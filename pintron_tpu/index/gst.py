@@ -1,0 +1,290 @@
+"""Genomic suffix-tree index with pairing-query augmentation.
+
+Array-based Ukkonen construction over the genomic locus plus the
+augmentation needed for maximal-pairing queries: string depth, suffix
+links, per-node "single preceding character" and DFS leaf intervals
+(replacing the reference's per-prev-char occurrence slices,
+aug_suffix_tree.c:122-245, with an equivalent set formulation).
+
+The matching-statistics walk (`MaximalPairingScanner`) reproduces the
+reference traversal exactly — including its path-dependent interaction
+between suffix-link fast-forwarding and the "avoid previous character"
+left-maximality pruning (max-emb-graph.c:58-163).  That interaction makes
+the emitted pairing set depend on traversal history, so it cannot be
+recovered from a pure k-mer index; it is inherently sequential pointer
+chasing and therefore lives on the host (the batched DP stages downstream
+are the TPU-resident part of the pipeline).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+
+class SuffixTree:
+    """Suffix tree of ``text`` with a unique terminal (byte 0), built with
+    Ukkonen's algorithm.  Node 0 is the root.
+
+    Attributes (parallel arrays indexed by node id):
+      start/end : edge label into the node, as [start, end) over text+'\\0'
+      parent    : parent node id (root: -1)
+      slink     : suffix link (root/leaves: -1)
+      depth     : string depth (root: 0; leaves include the terminal)
+      leaf_idx  : suffix start index for leaves, -1 for internal nodes
+      children  : dict first-byte -> child node id (terminal edge under 0)
+    """
+
+    __slots__ = (
+        "text", "n", "start", "end", "parent", "slink", "children",
+        "depth", "leaf_idx", "lo", "hi", "leaf_occ", "single_char",
+    )
+
+    def __init__(self, text: bytes):
+        s = text + b"\x00"
+        self.text = s
+        self.n = len(s)
+        n = self.n
+        # Upper bound on node count: 2n.
+        self.start = [0]
+        self.end = [0]
+        self.parent = [-1]
+        self.slink = [-1]
+        self.children: List[Dict[int, int]] = [{}]
+        self._build()
+        self._augment()
+
+    # -- construction -------------------------------------------------------
+
+    def _new_node(self, start: int, end: int, parent: int) -> int:
+        self.start.append(start)
+        self.end.append(end)
+        self.parent.append(parent)
+        self.slink.append(-1)
+        self.children.append({})
+        return len(self.start) - 1
+
+    def _build(self) -> None:
+        s = self.text
+        n = self.n
+        INF = n
+        start, end, parent = self.start, self.end, self.parent
+        slink, children = self.slink, self.children
+        new_node = self._new_node
+
+        active_node = 0
+        active_edge = 0   # index into s of first char of active edge
+        active_len = 0
+        remainder = 0
+
+        for i in range(n):
+            c = s[i]
+            remainder += 1
+            last_internal = -1
+            while remainder > 0:
+                if active_len == 0:
+                    active_edge = i
+                ae = s[active_edge]
+                child = children[active_node].get(ae, -1)
+                if child == -1:
+                    # new leaf directly under active_node
+                    leaf = new_node(i, INF, active_node)
+                    children[active_node][ae] = leaf
+                    if last_internal != -1:
+                        slink[last_internal] = active_node
+                        last_internal = -1
+                else:
+                    edge_len = min(end[child], i + 1) - start[child]
+                    if active_len >= edge_len:
+                        active_node = child
+                        active_edge += edge_len
+                        active_len -= edge_len
+                        continue
+                    if s[start[child] + active_len] == c:
+                        # char already present: extension is implicit
+                        active_len += 1
+                        if last_internal != -1:
+                            slink[last_internal] = active_node
+                            last_internal = -1
+                        break
+                    # split the edge
+                    split = new_node(start[child], start[child] + active_len,
+                                     active_node)
+                    children[active_node][ae] = split
+                    start[child] += active_len
+                    parent[child] = split
+                    children[split][s[start[child]]] = child
+                    leaf = new_node(i, INF, split)
+                    children[split][c] = leaf
+                    if last_internal != -1:
+                        slink[last_internal] = split
+                    last_internal = split
+                remainder -= 1
+                if active_node == 0 and active_len > 0:
+                    active_len -= 1
+                    active_edge = i - remainder + 1
+                elif active_node != 0:
+                    active_node = slink[active_node] if slink[active_node] != -1 else 0
+
+        # Clamp open leaf edges.
+        for v in range(1, len(start)):
+            if end[v] > n:
+                end[v] = n
+
+    # -- augmentation --------------------------------------------------------
+
+    def _augment(self) -> None:
+        nn = len(self.start)
+        s = self.text
+        n = self.n
+        start, end, children = self.start, self.end, self.children
+        depth = [0] * nn
+        leaf_idx = [-1] * nn
+        lo = [0] * nn
+        hi = [0] * nn
+        single = [0] * nn  # 0 == '\0' sentinel == "mixed or none"
+        leaf_occ: List[int] = []
+
+        # Iterative DFS computing depth, leaf indices, DFS leaf intervals
+        # and single_char (post-order merge), mirroring
+        # aug_suffix_tree.c:fill_node_info semantics.
+        stack: List[Tuple[int, bool]] = [(0, False)]
+        while stack:
+            v, processed = stack.pop()
+            if not processed:
+                if v != 0:
+                    depth[v] = depth[self.parent[v]] + (end[v] - start[v])
+                kids = children[v]
+                if not kids:
+                    # leaf: suffix index = n - depth (text includes terminal)
+                    idx = n - depth[v]
+                    leaf_idx[v] = idx
+                    lo[v] = len(leaf_occ)
+                    leaf_occ.append(idx)
+                    hi[v] = len(leaf_occ)
+                    single[v] = s[idx - 1] if idx > 0 else 0
+                else:
+                    stack.append((v, True))
+                    lo[v] = len(leaf_occ)
+                    for ch in kids.values():
+                        stack.append((ch, False))
+            else:
+                hi[v] = len(leaf_occ)
+                # single_char: common non-zero child value, else 0
+                val = -1
+                for ch in children[v].values():
+                    cv = single[ch]
+                    if cv == 0:
+                        val = 0
+                        break
+                    if val == -1:
+                        val = cv
+                    elif val != cv:
+                        val = 0
+                        break
+                single[v] = val if val > 0 else 0
+
+        self.depth = depth
+        self.leaf_idx = leaf_idx
+        self.lo = lo
+        self.hi = hi
+        self.leaf_occ = leaf_occ
+        self.single_char = single
+
+
+class MaximalPairingScanner:
+    """Stateful walk over the suffix tree for one pattern, reproducing
+    max-emb-graph.c:find_deepest_common_node / follow_suffix_link_and_fast_fwd.
+
+    Edges are represented by their destination node; ``(dst, matched)``
+    corresponds to the reference's (LST_Edge* final, size_t matched_len)."""
+
+    __slots__ = ("tree", "pattern", "plen", "prev_dst", "prev_matched",
+                 "prev_symbol")
+
+    def __init__(self, tree: SuffixTree, pattern: bytes):
+        self.tree = tree
+        self.pattern = pattern
+        self.plen = len(pattern)
+        self.prev_dst = -1        # -1 == no previous edge (NULL)
+        self.prev_matched = 0
+        self.prev_symbol = 0      # '\0'
+
+    def _descend(self, node: int, rel: int, already: int, avoid: int
+                 ) -> Tuple[int, int]:
+        """find_deepest_common_node_rec.  Returns (dst_node, matched_len);
+        dst_node == -1 means NULL (failed at root)."""
+        t = self.tree
+        s = t.text
+        pat = self.pattern
+        plen = self.plen
+        start, end, children = t.start, t.end, t.children
+        single = t.single_char
+        while True:
+            if rel >= plen:
+                # pattern exhausted: final = node's up edge
+                if node == 0:
+                    return -1, 0
+                return node, end[node] - start[node]
+            c = pat[rel]
+            kid = children[node].get(c, -1)
+            if kid != -1 and single[kid] != 0 and single[kid] == avoid:
+                kid = -1
+            if kid == -1:
+                if node == 0:
+                    return -1, 0
+                return node, end[node] - start[node]
+            el = end[kid] - start[kid]
+            if el == 1:
+                lcp = 1
+            elif already > 0:
+                if already >= el:
+                    lcp = el
+                else:
+                    lcp = already
+                    i = start[kid] + already
+                    j = rel + already
+                    while lcp < el and j < plen and s[i] == pat[j]:
+                        lcp += 1
+                        i += 1
+                        j += 1
+            else:
+                lcp = 0
+                i = start[kid]
+                j = rel
+                while lcp < el and j < plen and s[i] == pat[j]:
+                    lcp += 1
+                    i += 1
+                    j += 1
+            if rel + lcp >= plen or lcp < el:
+                return kid, lcp
+            # fully matched this edge: recurse below
+            already = already - lcp if already > lcp else 0
+            node = kid
+            rel += el
+
+    def advance(self, i: int) -> Tuple[int, int]:
+        """Process pattern suffix ``i``; returns (dst_node, matched_len) of
+        the deepest common edge, with internal state updated for the next
+        suffix (max-emb-graph.c:247-338 driver portion)."""
+        t = self.tree
+        avoid = self.prev_symbol
+        if self.prev_dst == -1 or t.slink[t.parent[self.prev_dst]] == -1:
+            # no previous edge, or its source is the root (no suffix link)
+            dst, matched = self._descend(0, i, 0, avoid)
+        else:
+            prev_len = t.end[self.prev_dst] - t.start[self.prev_dst]
+            if prev_len == self.prev_matched:
+                sl = t.slink[self.prev_dst]
+                m0 = 0
+            else:
+                sl = t.slink[t.parent[self.prev_dst]]
+                m0 = self.prev_matched
+            dst, matched = self._descend(sl, i + t.depth[sl], m0, avoid)
+        if dst == -1:
+            self.prev_dst = -1
+            self.prev_matched = 0
+        else:
+            self.prev_dst = dst
+            self.prev_matched = matched
+        self.prev_symbol = self.pattern[i] if i < self.plen else 0
+        return dst, matched
