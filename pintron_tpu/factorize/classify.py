@@ -1,0 +1,185 @@
+"""Intron classification via position-weight matrices
+(classify-intron.c:95-663).
+
+MatInspector-style scoring against hardcoded U12/U2 splice-site and
+branch-point matrices; the decision tree labels introns U12 (0), U2 (1)
+or unclassified (2).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from pintron_tpu.factorize.pwm_data import CV, MAXV, PWM
+from pintron_tpu.factorize.seq_util import real_substring
+
+INTRON_U12 = 0
+INTRON_U2 = 1
+INTRON_ND = 2
+
+_BASE_INDEX = {"A": 0, "a": 0, "C": 1, "c": 1, "G": 2, "g": 2,
+               "T": 3, "t": 3, "N": 0, "n": 0}
+
+
+def mat_inspector_score(sequence: str, name: str) -> float:
+    """classify-intron.c:620-663.  Out-of-range reads (short sequence)
+    behave like the C's '\\0' bytes: index stays -1 -> my_assert disabled
+    in production, reads pwm[-L+i]... we instead treat missing chars as
+    'A' only when the C would have: in practice windows are always full
+    because real_substring clamps earlier; assert to catch violations."""
+    pwm = PWM[name]
+    cv = CV[name]
+    maxv = MAXV[name]
+    L = len(cv)
+    num = 0.0
+    den = 0.0
+    for i in range(L):
+        ch = sequence[i] if i < len(sequence) else "\0"
+        idx = _BASE_INDEX.get(ch)
+        if idx is None:
+            # The reference would read out of bounds here (index stays -1
+            # with NDEBUG); real inputs never hit this.
+            idx = 3  # pwm[-1*L + i] == row3[i] for the previous row layout
+        num += cv[i] * pwm[idx][i]
+        den += cv[i] * maxv[i]
+    return num / den
+
+
+def search_bps(intron_sequence: str, name: str, range_start: int,
+               range_end: int) -> Tuple[int, float]:
+    """classify-intron.c:575-618.  Returns (position, score)."""
+    length = len(intron_sequence)
+    if length < range_start:
+        return -1, 0.0
+    start_w = length - range_end
+    end_w = length - range_start
+    if start_w < 0:
+        start_w = 0
+    score = 0.0
+    start_bps = -1
+    first = True
+    i = start_w
+    while i <= end_w:
+        bps = real_substring(i, 12, intron_sequence)
+        sb = mat_inspector_score(bps, name)
+        if first or sb >= score:
+            score = sb
+            start_bps = i
+            first = False
+        i += 1
+    return start_bps, score
+
+
+def exists_good_bps(intron_sequence: str, range_start: int, range_end: int
+                    ) -> Tuple[int, float]:
+    """classify-intron.c:535-573.  Returns (position, score) with score 0
+    when rejected."""
+    if range_end > len(intron_sequence):
+        return -1, 0.0
+    bps_9, score_9 = search_bps(intron_sequence, "BPS_9", range_start,
+                                range_end)
+    bps_10, score_10 = search_bps(intron_sequence, "BPS_10", range_start,
+                                  range_end)
+    if score_9 > score_10:
+        if score_9 > 0.75:
+            return bps_9, score_9
+    else:
+        if score_10 > 0.75:
+            return bps_10, score_10
+    return -1, 0.0
+
+
+def _score5(gen: str, start: int, name: str, length: int) -> float:
+    return mat_inspector_score(real_substring(start - 3, length, gen), name)
+
+
+def _score3(gen: str, end: int, name: str, length: int) -> float:
+    return mat_inspector_score(real_substring(end - 14 + 1, length, gen),
+                               name)
+
+
+def classify_genomic_intron_start_end(gen: str, start: int, end: int
+                                      ) -> Tuple[int, float, float, int, float]:
+    """classify-intron.c:95-229.  Returns (type, score5, score3,
+    BPS_position, BPS_score)."""
+    intron_sequence = real_substring(start, end - start + 1, gen)
+    bps_position, bps_score = exists_good_bps(intron_sequence, 14, 30)
+
+    pt_5 = real_substring(0, 2, intron_sequence)
+    pt_3 = real_substring(len(intron_sequence) - 2, 2, intron_sequence)
+
+    scoreU12_5 = scoreU2_5 = 0.0
+    scoreU12_3 = scoreU2_3 = 0.0
+    pt_type = 1
+    u5 = pt_5.upper() if len(pt_5) == 2 else ""
+    u3 = pt_3.upper() if len(pt_3) == 2 else ""
+    # strcmp comparisons accept only all-lower or all-upper forms
+    is5 = lambda p: pt_5 == p.lower() or pt_5 == p.upper()
+    is3 = lambda p: pt_3 == p.lower() or pt_3 == p.upper()
+
+    if is5("gt") and is3("ag"):
+        pt_type = 0
+        scoreU12_5 = _score5(gen, start, "P5_GTAG_U12", 14)
+        scoreU2_5 = _score5(gen, start, "P5_GTAG_U2", 13)
+        scoreU12_3 = _score3(gen, end, "P3_GTAG_U12", 18)
+        scoreU2_3 = _score3(gen, end, "P3_GTAG_U2", 17)
+    elif is5("gc") and is3("ag"):
+        pt_type = 0
+        scoreU2_5 = _score5(gen, start, "P5_GCAG_U2", 14)
+        scoreU2_3 = _score3(gen, end, "P3_GCAG_U2", 18)
+        scoreU12_5 = _score5(gen, start, "P5_GTAG_U12", 14)
+        s2 = _score5(gen, start, "P5_ATAC_U12", 14)
+        if s2 > scoreU12_5:
+            scoreU12_5 = s2
+        scoreU12_3 = _score3(gen, end, "P3_GTAG_U12", 18)
+        s2 = _score3(gen, end, "P3_ATAC_U12", 17)
+        if s2 > scoreU12_3:
+            scoreU12_3 = s2
+    elif is5("at") and is3("ac"):
+        scoreU12_5 = _score5(gen, start, "P5_ATAC_U12", 14)
+        scoreU12_3 = _score3(gen, end, "P3_ATAC_U12", 17)
+        scoreU2_5 = _score5(gen, start, "P5_GTAG_U2", 13)
+        s2 = _score5(gen, start, "P5_GCAG_U2", 14)
+        if s2 > scoreU2_5:
+            scoreU2_5 = s2
+        scoreU2_3 = _score3(gen, end, "P3_GTAG_U2", 17)
+        s2 = _score3(gen, end, "P3_GCAG_U2", 18)
+        if s2 > scoreU2_3:
+            scoreU2_3 = s2
+    else:
+        scoreU12_5 = _score5(gen, start, "P5_GTAG_U12", 14)
+        s2 = _score5(gen, start, "P5_ATAC_U12", 14)
+        if s2 > scoreU12_5:
+            scoreU12_5 = s2
+        scoreU2_5 = _score5(gen, start, "P5_GTAG_U2", 13)
+        s2 = _score5(gen, start, "P5_GCAG_U2", 14)
+        if s2 > scoreU2_5:
+            scoreU2_5 = s2
+        scoreU12_3 = _score3(gen, end, "P3_GTAG_U12", 18)
+        s2 = _score3(gen, end, "P3_ATAC_U12", 17)
+        if s2 > scoreU12_3:
+            scoreU12_3 = s2
+        scoreU2_3 = _score3(gen, end, "P3_GTAG_U2", 17)
+        s2 = _score3(gen, end, "P3_GCAG_U2", 18)
+        if s2 > scoreU2_3:
+            scoreU2_3 = s2
+
+    itype = 2
+    if bps_position != -1:
+        itype = 0 if scoreU12_5 > scoreU2_5 else 1
+    else:
+        if pt_type == 0:
+            itype = 1
+            bps_position, bps_score = exists_good_bps(intron_sequence, 30,
+                                                      200)
+        else:
+            if scoreU12_5 - scoreU2_5 > 0.25 and scoreU12_5 >= 0.75:
+                itype = 0
+                bps_position, bps_score = exists_good_bps(intron_sequence,
+                                                          30, 200)
+
+    if itype == 0:
+        score5, score3 = scoreU12_5, scoreU12_3
+    else:
+        score5, score3 = scoreU2_5, scoreU2_3
+    return itype, score5, score3, bps_position, bps_score
