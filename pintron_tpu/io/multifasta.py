@@ -216,9 +216,13 @@ def set_est_strand_and_rc(est: EstInfo, gen: EstInfo) -> None:
 
 
 def reverse_and_complement(est: EstInfo) -> None:
-    """RC both working and original sequences (io-multifasta.c:506-523)."""
-    est.seq = est.seq.translate(_COMP_TABLE)[::-1]
-    est.original_seq = est.original_seq.translate(_COMP_TABLE)[::-1]
+    """RC the working sequence, and OVERWRITE the original sequence with
+    the same characters: the reference writes the complemented EST_seq
+    bytes into BOTH buffers (io-multifasta.c:512-518), so after masking a
+    reverse copy's "original" carries the mask characters too."""
+    rc = est.seq.translate(_COMP_TABLE)[::-1]
+    est.seq = rc
+    est.original_seq = rc
 
 
 def _polyat_scan(get: "callable", est_len: int):

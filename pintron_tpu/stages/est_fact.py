@@ -1,0 +1,420 @@
+"""Stage 2: EST factorization (the aligner).
+
+Rebuild of est-fact (main-est-fact.c, compute-est-fact.c,
+est-factorizations.c:126-594).  Produces `raw-multifasta-out.txt`,
+`processed-ests.txt`, `megs.txt`, `processed-megs.txt`,
+`processed-megs-info.txt` and `meg-edges.txt` with the reference's file
+formats.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import List, Optional, TextIO, Tuple
+
+from pintron_tpu.config import Config
+from pintron_tpu.factorize import filters as flt
+from pintron_tpu.factorize.embeddings import (EmbeddingEnumerator,
+                                              TimeoutExpired,
+                                              get_factorizations_from_embeddings)
+from pintron_tpu.factorize.polya import (correct_composition_tail,
+                                         detect_polya_signal)
+from pintron_tpu.factorize.refine_intron import refine_intron
+from pintron_tpu.factorize.refinement import (
+    refine_est_factorizations, remove_duplicated_factorizations,
+    remove_factorizations_with_very_small_exons)
+from pintron_tpu.factorize.types import Factor, Factorization
+from pintron_tpu.index.gst import SuffixTree
+from pintron_tpu.io import multifasta as mf
+from pintron_tpu.meg import graph as megmod
+from pintron_tpu.meg import simplify as simp
+from pintron_tpu.meg.graph import MEG
+
+
+class FactorizedEst:
+    def __init__(self, info: mf.EstInfo):
+        self.info = info
+        self.factorizations: List[Factorization] = []
+        self.polya_signals: List[bool] = []
+        self.polyadenil_signals: List[bool] = []
+
+
+def get_est_factorizations(est_info: mf.EstInfo, V: MEG, config: Config,
+                           gen_info: mf.EstInfo,
+                           deadline: Optional[float]
+                           ) -> Optional[FactorizedEst]:
+    """est-factorizations.c:126-594.  Returns None on timeout."""
+    est = FactorizedEst(est_info)
+    est_length = len(V) - 2
+    gen_seq = gen_info.seq
+    est_seq = est_info.seq
+
+    for Vi in V:
+        for p in Vi:
+            p.number_of_visits = 0
+            p.visited = False
+
+    def deadline_check():
+        return deadline is not None and time.monotonic() > deadline
+
+    enum = EmbeddingEnumerator(config, gen_seq, deadline_check)
+    factorization_list: List[Factorization] = []
+
+    try:
+        for Vi in V:
+            for next_pairing in Vi:
+                if next_pairing.visited:
+                    continue
+                sub_embeddings = enum.get_subtree_embeddings(next_pairing)
+                subtree_facts = get_factorizations_from_embeddings(
+                    sub_embeddings, config)
+                for add_f in subtree_facts:
+                    is_ok = flt.check_for_not_source_sink_factorization(
+                        add_f, est_length)
+                    if is_ok:
+                        is_ok = flt.check_exon_start_end(add_f)
+                    if is_ok:
+                        add_f = flt.handle_endpoints(add_f, gen_seq, est_seq)
+                        if not add_f:
+                            is_ok = False
+                    if is_ok:
+                        add_f = flt.clean_external_exons(add_f, gen_seq,
+                                                         est_seq)
+                        if not add_f:
+                            is_ok = False
+                    if is_ok:
+                        add_f = flt.clean_low_complexity_exons_2(
+                            add_f, gen_seq, est_seq, config)
+                        if not add_f:
+                            is_ok = False
+                    if is_ok:
+                        add_f = flt.clean_noisy_exons(add_f, gen_seq,
+                                                      est_seq, False)
+                        if not add_f:
+                            is_ok = False
+                    if is_ok:
+                        is_ok = flt.check_est_coverage(add_f, est_seq)
+                    if is_ok:
+                        factorization_list, _added = flt.add_if_not_exists(
+                            add_f, factorization_list, config)
+    except TimeoutExpired:
+        return None
+
+    # coverage + FILTER 1 (est-factorizations.c:272-331)
+    coverages: List[float] = []
+    max_coverage = 0.0
+    for fact in factorization_list:
+        is_source_sink = False
+        if len(fact) == 1:
+            head = fact[0]
+            if head.est_start < 0 or head.est_start >= est_length:
+                coverages.append(-1.0)
+                is_source_sink = True
+        if not is_source_sink:
+            cov = flt.compute_coverage(fact, est_length)
+            coverages.append(cov)
+            if max_coverage < cov:
+                max_coverage = cov
+
+    est_seq_len = len(est_seq)
+    keep = []
+    for fact, cov in zip(factorization_list, coverages):
+        if cov == -1.0 or max_coverage - cov > config.max_coverage_diff:
+            continue
+        if (max_coverage - cov) * est_seq_len > 100:
+            continue
+        keep.append(fact)
+    factorization_list = keep
+
+    # FILTER 3: total gap length (est-factorizations.c:376-414)
+    gap_lengths = [flt.compute_gap_length(f) for f in factorization_list]
+    min_gap = -1
+    for gl in gap_lengths:
+        if min_gap == -1 or min_gap > gl:
+            min_gap = gl
+    if config.max_gapLength_diff != -1:
+        factorization_list = [
+            f for f, gl in zip(factorization_list, gap_lengths)
+            if gl - min_gap <= config.max_gapLength_diff]
+
+    # FILTER 4: gap errors (est-factorizations.c:420-433)
+    factorization_list = [
+        f for f in factorization_list
+        if flt.check_gap_errors(f, est_seq, gen_seq, config)]
+
+    # artifact check
+    if (config.max_number_of_factorizations != 0
+            and len(factorization_list)
+            > config.max_number_of_factorizations):
+        factorization_list = []
+
+    # intron refinement (est-factorizations.c:444-492)
+    for fact in factorization_list:
+        if not fact:
+            continue
+        first_intron = True
+        for k in range(len(fact) - 1):
+            refine_intron(config, gen_seq, est_seq, fact[k], fact[k + 1],
+                          first_intron)
+            first_intron = False
+        if len(fact) >= 2 and fact[0].est_start == fact[1].est_start:
+            fact.pop(0)
+
+    # polyA detection (est-factorizations.c:572-585)
+    for fact in factorization_list:
+        correct_composition_tail(fact, gen_seq, est_info.original_seq)
+        polya, polyadenil = detect_polya_signal(fact, gen_seq,
+                                                est_info.original_seq)
+        est.polya_signals.append(polya)
+        est.polyadenil_signals.append(polyadenil)
+
+    est.factorizations = factorization_list
+    return est
+
+
+def internal_get_est_factorizations(gen_info: mf.EstInfo,
+                                    est_info: mf.EstInfo, config: Config,
+                                    V: MEG) -> Tuple[Optional[FactorizedEst],
+                                                     bool]:
+    """compute-est-fact.c:154-190.  Returns (factorized, timeout_expired)."""
+    deadline = None
+    if config.max_single_factorization_time:
+        deadline = time.monotonic() + config.max_single_factorization_time
+    fe = get_est_factorizations(est_info, V, config, gen_info, deadline)
+    timeout = deadline is not None and time.monotonic() > deadline
+    if fe is not None:
+        fe.factorizations = refine_est_factorizations(
+            gen_info.seq, est_info.seq, est_info.original_seq,
+            fe.factorizations, config)
+        remove_factorizations_with_very_small_exons(fe.factorizations)
+        if fe.factorizations:
+            remove_duplicated_factorizations(fe.factorizations)
+    else:
+        timeout = True
+    return fe, timeout
+
+
+def build_meg(est_info: mf.EstInfo, tree: SuffixTree, gen_seq_bytes: bytes,
+              shared_config: Config, inc_pairing_len: int
+              ) -> Tuple[MEG, int]:
+    """compute-est-fact.c:90-152 retry-on-complexity loop.  Returns
+    (V, inc_pairing_len)."""
+    config = shared_config.clone()
+    pattern = est_info.seq.encode("latin1")
+    while True:
+        config.min_factor_len = shared_config.min_factor_len + inc_pairing_len
+        V = megmod.build_vertex_set(pattern, tree, gen_seq_bytes, config)
+        megmod.build_edge_set(V, config)
+        simp.simplify_meg(V, config)
+        if config.trans_red:
+            simp.transitive_reduction(V)
+        too_complex = simp.is_too_complex_for_compaction(V, config)
+        if not too_complex and config.short_edge_comp:
+            simp.compact_short_edges(V, config)
+        too_complex = too_complex or simp.is_too_complex(V, config)
+        if too_complex:
+            if (shared_config.min_factor_len + inc_pairing_len + 1 + 2
+                    < len(V)):
+                inc_pairing_len += 1
+                continue
+        return V, inc_pairing_len
+
+
+def write_meg(fh: TextIO, V: MEG) -> None:
+    """io-meg.c:meg_write."""
+    index = 0
+    for Vi in V:
+        for p in Vi:
+            fh.write(f"({p.p},{p.t},{p.l})\n")
+            p.id = index
+            index += 1
+    fh.write("#adj#\n")
+    for Vi in V:
+        for p in Vi:
+            for a in p.adjs:
+                fh.write(f"{p.id}-{a.id}\n")
+
+
+def write_intronic_edges(fh: TextIO, V: MEG) -> None:
+    """max-emb-graph.c:add_intronic_edges_to_file."""
+    INTRONIC_EDGE = 50
+    for Vi in V:
+        for p in Vi:
+            if p.is_source() or p.is_sink():
+                continue
+            for a in p.adjs:
+                if a.is_sink():
+                    continue
+                fh.write(f"{p.t + p.l} {a.t} {p.p + p.l} {a.p} "
+                         f"{a.t - p.t - p.l} {a.p - p.p - p.l} "
+                         f"{(a.t - p.t) - (a.p - p.p)} {p.l} {a.l}")
+                if (a.t - p.t) - (a.p - p.p) >= INTRONIC_EDGE:
+                    fh.write(" intronic")
+                fh.write("\n")
+
+
+def compute_est_fact(gen_info: mf.EstInfo, est_info: mf.EstInfo,
+                     tree: SuffixTree, gen_seq_bytes: bytes,
+                     config: Config,
+                     fmeg: Optional[TextIO], fpmeg: Optional[TextIO],
+                     ftmeg: Optional[TextIO], fintronic: Optional[TextIO]
+                     ) -> FactorizedEst:
+    """compute-est-fact.c:192-293: MEG + factorization with the retry
+    ladder."""
+    inc_pairing_len = 0
+    prev_tot_pairings = 0
+    prev_tot_edges = 0
+    factorized: Optional[FactorizedEst] = None
+
+    while True:
+        t_meg0 = time.monotonic()
+        while True:
+            V, inc_pairing_len = build_meg(est_info, tree, gen_seq_bytes,
+                                           config, inc_pairing_len)
+            tot_pairings, tot_edges = megmod.meg_stats(V)
+            same = (prev_tot_pairings > 2 and prev_tot_edges > 0
+                    and (prev_tot_pairings <= tot_pairings
+                         or prev_tot_edges <= tot_edges))
+            if not same:
+                break
+            inc_pairing_len += 1
+        prev_tot_pairings = tot_pairings
+        prev_tot_edges = tot_edges
+        meg_time = time.monotonic() - t_meg0
+
+        t_fact0 = time.monotonic()
+        factorized, timeout = internal_get_est_factorizations(
+            gen_info, est_info, config, V)
+        fact_time = time.monotonic() - t_fact0
+
+        has_facts = factorized is not None and factorized.factorizations
+        if not timeout or has_facts:
+            if fmeg is not None:
+                fmeg.write("\n\n***********\n\n")
+                fmeg.write(f">{est_info.est_id}\n")
+                fmeg.write(f"{est_info.original_seq}\n")
+                write_meg(fmeg, V)
+
+        if has_facts:
+            if fintronic is not None:
+                fintronic.write(f">{est_info.est_id}\n")
+                write_intronic_edges(fintronic, V)
+            if fpmeg is not None:
+                fpmeg.write(f">{est_info.est_id}\n")
+                fpmeg.write(f"{est_info.original_seq}\n")
+                write_meg(fpmeg, V)
+            if ftmeg is not None:
+                ftmeg.write(f"{int(meg_time * 1e6)} "
+                            f"{int(fact_time * 1e6)} "
+                            f"{len(factorized.factorizations)}\n")
+            return factorized
+        if not timeout:
+            return factorized if factorized is not None \
+                else FactorizedEst(est_info)
+        inc_pairing_len += 1
+
+
+def write_multifasta_output(gen: mf.EstInfo, est: FactorizedEst,
+                            fh: TextIO, retain_externals: bool) -> None:
+    """io-multifasta.c:187-243."""
+    if not est.factorizations:
+        return
+    for fact, polya, polyadenil in zip(est.factorizations,
+                                       est.polya_signals,
+                                       est.polyadenil_signals):
+        size = len(fact)
+        if not (retain_externals or size > 2
+                or (size == 2 and est.info.suff_polyA_length != -1)):
+            continue
+        fh.write(f">{est.info.est_id}\n")
+        if not retain_externals:
+            polya = False
+            polyadenil = False
+        fh.write(f"#polya={1 if polya else 0}\n"
+                 f"#polyad={1 if polyadenil else 0}\n")
+        l_index = 0 if retain_externals else 1
+        if retain_externals:
+            r_index = size + 1
+        else:
+            r_index = size if est.info.suff_polyA_length == -1 else size + 1
+        for counter, factor in enumerate(fact, start=1):
+            if counter > l_index and counter < r_index:
+                est_sub = est.info.original_seq[
+                    factor.est_start:factor.est_end + 1]
+                gen_sub = gen.original_seq[
+                    gen.pref_N_length + factor.gen_start:
+                    gen.pref_N_length + factor.gen_end + 1]
+                fh.write(f"{factor.est_start + 1} {factor.est_end + 1} "
+                         f"{gen.pref_N_length + factor.gen_start + 1} "
+                         f"{gen.pref_N_length + factor.gen_end + 1} "
+                         f"{est_sub} {gen_sub}\n")
+
+
+def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
+                 log=lambda *a: None) -> None:
+    """The est-fact stage entry point (main-est-fact.c:90-339)."""
+    import os
+    import sys as _sys
+    _sys.setrecursionlimit(1_000_000)
+
+    if config is None:
+        ini = os.path.join(workdir, "config.ini")
+        config = Config.from_ini(ini) if os.path.exists(ini) else Config()
+        config.validate()
+    config.dump_ini(os.path.join(workdir, "config-dump.ini"))
+
+    def wpath(name):
+        return os.path.join(workdir, name)
+
+    gen_list = mf.read_multifasta(open(wpath("genomic.txt")))
+    assert len(gen_list) == 1
+    gen = gen_list[0]
+    mf.parse_genomic_header(gen)
+    mf.ntails_removal(gen)
+
+    ests = mf.read_multifasta(open(wpath("ests.txt")))
+
+    est_list: List[mf.EstInfo] = []
+    for est in ests:
+        mf.set_est_gb_identification(est)
+        mf.set_est_strand_and_rc(est, gen)
+        est_list.append(est)
+        mf.polyat_substitution(est)
+        if not est.fixed_strand:
+            rev = est.copy_and_reverse()
+            est_list.append(rev)
+            mf.polyat_substitution(rev)
+
+    gen_seq_bytes = gen.seq.encode("latin1")
+    tree = SuffixTree(gen_seq_bytes)
+
+    with open(wpath("raw-multifasta-out.txt"), "w") as f_out, \
+            open(wpath("megs.txt"), "w") as fmeg, \
+            open(wpath("processed-megs.txt"), "w") as fpmeg, \
+            open(wpath("processed-megs-info.txt"), "w") as ftmeg, \
+            open(wpath("processed-ests.txt"), "w") as f_est_out, \
+            open(wpath("meg-edges.txt"), "w") as fintronic:
+        # `is_reverse` tracks whether the current entry is the RC copy of
+        # the preceding one (main-est-fact.c:247-284 `reversed` flag).
+        k = 0
+        is_reverse = False
+        while k < len(est_list):
+            est = est_list[k]
+            log("EST:", est.est_id)
+            factorized = compute_est_fact(gen, est, tree, gen_seq_bytes,
+                                          config, fmeg, fpmeg, ftmeg,
+                                          fintronic)
+            if factorized.factorizations:
+                write_multifasta_output(gen, factorized, f_out,
+                                        config.retain_externals)
+                f_est_out.write(f">{est.est_id}\n{est.original_seq}\n")
+                if not est.fixed_strand and not is_reverse:
+                    k += 1  # forward aligned: skip its reverse copy
+                is_reverse = False
+            else:
+                if is_reverse or est.fixed_strand:
+                    is_reverse = False
+                else:
+                    is_reverse = True  # next entry is the reverse copy
+            k += 1

@@ -1,0 +1,27 @@
+"""End-to-end est-fact stage equality against golden reference outputs."""
+
+import pathlib
+import shutil
+
+import pytest
+
+from pintron_tpu.stages.est_fact import run_est_fact
+
+REF = pathlib.Path("/root/reference/regressionTest")
+
+CHECK_FILES = ["raw-multifasta-out.txt", "processed-ests.txt", "megs.txt",
+               "processed-megs.txt", "meg-edges.txt"]
+
+
+@pytest.mark.parametrize("case", ["test-788"])
+def test_est_fact_stage_matches_reference(case, golden, tmp_path):
+    gold = golden(case)
+    work = tmp_path / case
+    work.mkdir()
+    shutil.copy(REF / case / "genomic.txt", work / "genomic.txt")
+    shutil.copy(REF / case / "ests.txt", work / "ests.txt")
+    run_est_fact(str(work))
+    for name in CHECK_FILES:
+        produced = (work / name).read_bytes()
+        expected = (gold / name).read_bytes()
+        assert produced == expected, f"{case}/{name} differs"
