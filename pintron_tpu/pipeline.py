@@ -1,0 +1,178 @@
+"""Pipeline orchestrator + CLI (`python -m pintron_tpu.pipeline`).
+
+Rebuild of the reference `pintron` driver (dist-scripts/pintron.py:764-1021):
+runs the eight pipeline steps over a working directory, producing the
+full-output JSON and GTF from `genomic.txt` + `ests.txt`.  Same flags,
+same intermediate-file ABI, same cleanup list.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import logging
+import os
+import shutil
+import sys
+import time
+
+
+def pintron_pipeline(workdir: str = ".",
+                     genome_filename: str = "genomic.txt",
+                     est_filename: str = "ests.txt",
+                     output_filename: str = "pintron-full-output.json",
+                     gtf_filename: str = "pintron-all-isoforms.gtf",
+                     gene: str = "unknown",
+                     organism: str = "unknown",
+                     only_cds_annot: bool = False,
+                     pas_tolerance: int = 30,
+                     keep_intermediate: bool = False,
+                     config=None,
+                     log=logging.getLogger("pintron")) -> None:
+    from pintron_tpu.stages.est_fact import run_est_fact
+    from pintron_tpu.stages.min_factorization import run_min_factorization
+    from pintron_tpu.stages.intron_agreement import run_intron_agreement
+    from pintron_tpu.stages.compact import run_compact_compositions
+    from pintron_tpu.stages.transcripts import run_maximal_transcripts
+    from pintron_tpu.stages.ccds import run_cds_annotation
+    from pintron_tpu.stages.emit import compute_json, json2gtf
+
+    def wpath(name: str) -> str:
+        return os.path.join(workdir, name)
+
+    t0 = time.time()
+    # STEP 1: input checks (pintron.py:824-873)
+    log.info("STEP  1:  Checking executables and input files...")
+    for f in (genome_filename, est_filename):
+        if not os.access(wpath(f), os.R_OK):
+            raise FileNotFoundError(wpath(f))
+
+    # the stage ABI uses the well-known names; stage inputs may be aliased
+    if genome_filename != "genomic.txt":
+        shutil.copyfile(wpath(genome_filename), wpath("genomic.txt"))
+    if est_filename != "ests.txt":
+        shutil.copyfile(wpath(est_filename), wpath("ests.txt"))
+
+    # STEP 2: spliced alignment (est-fact)
+    log.info("STEP  2:  Computing the spliced alignments...")
+    run_est_fact(workdir, config=config)
+
+    # STEP 3: minimum-factorization agreement
+    log.info("STEP  3:  Computing the agreement of the alignments...")
+    with open(wpath("raw-multifasta-out.txt")) as fin, \
+            open(wpath("out-agree.txt"), "w") as fout:
+        run_min_factorization(fin, fout)
+
+    # STEP 4: intron agreement + classification
+    log.info("STEP  4:  Computing the intron agreement...")
+    run_intron_agreement(workdir)
+
+    # STEP 5: composition compaction
+    log.info("STEP  5:  Computing the final transcript alignments...")
+    with open(wpath("out-after-intron-agree.txt")) as fin, \
+            open(wpath("build-ests.txt"), "w") as fout:
+        run_compact_compositions(fin, fout, wpath("genomic.txt"),
+                                 wpath("genomic-exonforCCDS.txt"))
+
+    # STEP 6: maximal transcripts
+    log.info("STEP  6:  Computing the final full-length isoforms...")
+    run_maximal_transcripts(workdir)
+    shutil.copyfile(wpath("TRANSCRIPTS1_1.txt"), wpath("isoforms.txt"))
+
+    # STEP 7: CDS annotation
+    log.info("STEP  7:  Annotating CDS...")
+    run_cds_annotation(workdir, gene=gene, organism=organism)
+
+    # STEP 8: JSON + GTF emission
+    log.info("STEP  8:  Saving outputs...")
+    compute_json(workdir, wpath(output_filename),
+                 pas_tolerance=pas_tolerance)
+    if gtf_filename:
+        json2gtf(wpath(output_filename), wpath(gtf_filename), gene,
+                 not only_cds_annot)
+
+    # STEP 10: cleanup (pintron.py:974-983)
+    log.info("STEP 10:  Finalizing...")
+    if not keep_intermediate:
+        tempfiles = [
+            "TEMP_COMPOSITION_TRANS1_1.txt", "TEMP_COMPOSITION_TRANS1_2.txt",
+            "TEMP_COMPOSITION_TRANS1_3.txt", "TEMP_COMPOSITION_TRANS1_4.txt",
+            "TRANSCRIPTS1_1.txt", "TRANSCRIPTS1_2.txt", "TRANSCRIPTS1_3.txt",
+            "TRANSCRIPTS1_4.txt", "VariantGTF.txt", "build-ests.txt",
+            "CCDS_transcripts.txt", "config-dump.ini",
+            "genomic-exonforCCDS.txt", "isoforms.txt", "meg-edges.txt",
+            "megs.txt", "out-after-intron-agree.txt", "out-agree.txt",
+            "out-fatt.txt", "predicted-introns.txt", "processed-ests.txt",
+            "processed-megs-info.txt", "processed-megs.txt",
+            "raw-multifasta-out.txt", "time-limits",
+        ]
+        for name in tempfiles:
+            for p in glob.glob(wpath(name)):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+    log.info("Pipeline completed in %.1fs", time.time() - t0)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="pintron",
+        description="TPU-native PIntron: gene-structure prediction by "
+                    "spliced alignment of ESTs/mRNAs")
+    p.add_argument("-g", "--genomic", dest="genome_filename",
+                   default="genomic.txt")
+    p.add_argument("-s", "--EST", dest="est_filename", default="ests.txt")
+    p.add_argument("-o", "--output", dest="output_filename",
+                   default="pintron-full-output.json")
+    p.add_argument("-t", "--gtf", dest="gtf_filename",
+                   default="pintron-all-isoforms.gtf")
+    p.add_argument("--extended-gtf", dest="extended_gtf", default=None)
+    p.add_argument("--strict-GTF-compliance", dest="only_cds_annot",
+                   action="store_true", default=False)
+    p.add_argument("-e", "--gene", dest="gene", default="unknown")
+    p.add_argument("-n", "--organism", dest="organism", default="unknown")
+    p.add_argument("-k", "--keep-intermediate-files", dest="no_clean",
+                   action="store_true", default=False)
+    p.add_argument("-l", "--logfile", dest="plogfile",
+                   default="pintron-pipeline-log.txt")
+    p.add_argument("--general-logfile", dest="glogfile",
+                   default="pintron-log.txt")
+    p.add_argument("-b", "--bin-dir", dest="bindir", default="")
+    p.add_argument("-z", "--compress", dest="compress", action="store_true",
+                   default=False)
+    p.add_argument("--pas-tolerance", dest="pas_tolerance", type=int,
+                   default=30)
+    p.add_argument("--set-max-factorization-time", type=int, default=60)
+    p.add_argument("--set-max-factorization-memory", type=int, default=3000)
+    p.add_argument("--set-max-exon-agreement-time", type=int, default=15)
+    p.add_argument("--set-max-intron-agreement-time", type=int, default=30)
+    p.add_argument("--workdir", default=".")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="[%(levelname)-8s] %(asctime)s - %(message)s")
+    pintron_pipeline(
+        workdir=args.workdir,
+        genome_filename=args.genome_filename,
+        est_filename=args.est_filename,
+        output_filename=args.output_filename,
+        gtf_filename=args.gtf_filename,
+        gene=args.gene,
+        organism=args.organism,
+        only_cds_annot=args.only_cds_annot,
+        pas_tolerance=args.pas_tolerance,
+        keep_intermediate=args.no_clean,
+    )
+    if args.compress:
+        import gzip
+        for name in (args.output_filename,):
+            src = os.path.join(args.workdir, name)
+            with open(src, "rb") as fi, gzip.open(src + ".gz", "wb") as fo:
+                shutil.copyfileobj(fi, fo)
+            os.remove(src)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

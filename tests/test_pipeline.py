@@ -1,0 +1,27 @@
+"""Full-pipeline end-to-end equality: genomic.txt + ests.txt -> JSON/GTF
+using ONLY pintron_tpu stages (no reference binaries)."""
+
+import shutil
+
+import pytest
+
+from pintron_tpu.pipeline import pintron_pipeline
+
+CASES = [("test-788", "AAMP")]
+
+
+@pytest.mark.parametrize("case,gene", CASES)
+def test_pipeline_end_to_end(case, gene, golden, tmp_path):
+    gold = golden(case)
+    work = tmp_path / case
+    work.mkdir()
+    for name in ["genomic.txt", "ests.txt"]:
+        shutil.copy(gold / name, work / name)
+    pintron_pipeline(workdir=str(work), output_filename="full.json",
+                     gtf_filename="pintron-all-isoforms.gtf",
+                     gene=gene, organism="human", keep_intermediate=True)
+    for name in ["full.json", "pintron-all-isoforms.gtf"]:
+        assert (work / name).read_bytes() == (gold / name).read_bytes(), \
+            f"{case}/{name} differs"
+    # cleanup-mode smoke: intermediates kept because keep_intermediate=True
+    assert (work / "predicted-introns.txt").exists()
