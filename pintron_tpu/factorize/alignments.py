@@ -16,6 +16,8 @@ from typing import List, Tuple
 
 import numpy as np
 
+from pintron_tpu.native import get_lib as _get_native_lib
+
 
 def _is_wild(c: str) -> bool:
     return c in ("n", "N")
@@ -42,6 +44,15 @@ def compute_alignment(est_seq: str, gen_seq: str) -> Alignment:
     m = len(gen_seq)
     if est_seq == gen_seq:
         return Alignment(est_seq, gen_seq, 0)
+
+    lib = _get_native_lib()
+    if lib is not None:
+        Mdir = np.empty((n + 1, m + 1), dtype=np.int8)
+        score = lib.nw_align(est_seq.encode("latin1"), n,
+                             gen_seq.encode("latin1"), m,
+                             Mdir.ctypes.data)
+        if score >= 0:
+            return _traceback(est_seq, gen_seq, Mdir, int(score))
 
     e = np.frombuffer(est_seq.encode("latin1"), dtype=np.uint8)
     g = np.frombuffer(gen_seq.encode("latin1"), dtype=np.uint8)
@@ -73,7 +84,12 @@ def compute_alignment(est_seq: str, gen_seq: str) -> Alignment:
         M1 = vals
 
     score = int(M1[m])
-    # traceback
+    return _traceback(est_seq, gen_seq, Mdir, score)
+
+
+def _traceback(est_seq: str, gen_seq: str, Mdir: np.ndarray,
+               score: int) -> Alignment:
+    n, m = len(est_seq), len(gen_seq)
     est_al: List[str] = []
     gen_al: List[str] = []
     i, j = n, m
@@ -110,6 +126,12 @@ def edit_distance_full(s1: str, s2: str) -> np.ndarray:
     Returns the matrix with shape (len(s2)+1, len(s1)+1)."""
     l1 = len(s1)
     l2 = len(s2)
+    lib = _get_native_lib()
+    if lib is not None:
+        M = np.empty((l2 + 1, l1 + 1), dtype=np.int64)
+        lib.edit_matrix(s1.encode("latin1"), l1, s2.encode("latin1"), l2,
+                        M.ctypes.data)
+        return M
     a1 = np.frombuffer(s1.encode("latin1"), dtype=np.uint8)
     a2 = np.frombuffer(s2.encode("latin1"), dtype=np.uint8)
     M = np.empty((l2 + 1, l1 + 1), dtype=np.int64)
@@ -196,6 +218,13 @@ def k_band_edit_distance(seq1: str, seq2: str, upper_bound: int
     if 2 * k + 1 >= n:
         edit = compute_edit_distance(seq1, seq2)
         return edit <= upper_bound, edit
+
+    lib = _get_native_lib()
+    if lib is not None:
+        result = int(lib.kband_core(seq1.encode("latin1"), n,
+                                    seq2.encode("latin1"), m, k))
+        if result >= 0:
+            return result <= upper_bound, result
 
     BIG = 1 << 60
     M1 = [BIG] * (2 * k + 1)

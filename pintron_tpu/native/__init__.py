@@ -1,0 +1,70 @@
+"""Native (C) host kernels with lazy build + ctypes binding.
+
+The reference implements its alignment inner loops in C; so do we.  The
+shared object is compiled on first use into a per-user cache dir (the
+repo itself stays source-only) and loaded via ctypes.  If no C compiler
+is available the callers fall back to the NumPy implementations in
+``pintron_tpu.factorize.alignments``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+_LIB = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "dp.c")
+
+
+def _build_and_load():
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"pintron-native-{os.getuid()}")
+    os.makedirs(cache, exist_ok=True)
+    so_path = os.path.join(cache, f"libpintron_dp-{tag}.so")
+    if not os.path.exists(so_path):
+        tmp = so_path + f".tmp{os.getpid()}"
+        for cc in ("cc", "gcc", "clang"):
+            try:
+                subprocess.run([cc, "-O2", "-fPIC", "-shared", _SRC,
+                                "-o", tmp], check=True,
+                               capture_output=True)
+                os.replace(tmp, so_path)
+                break
+            except (subprocess.CalledProcessError, FileNotFoundError):
+                continue
+        else:
+            return None
+    lib = ctypes.CDLL(so_path)
+    lib.kband_core.restype = ctypes.c_int64
+    lib.kband_core.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                               ctypes.c_char_p, ctypes.c_int64,
+                               ctypes.c_int64]
+    lib.nw_align.restype = ctypes.c_int64
+    lib.nw_align.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                             ctypes.c_char_p, ctypes.c_int64,
+                             ctypes.c_void_p]
+    lib.edit_matrix.restype = None
+    lib.edit_matrix.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                ctypes.c_char_p, ctypes.c_int64,
+                                ctypes.c_void_p]
+    return lib
+
+
+def get_lib():
+    """Return the loaded native library, or None if unavailable."""
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        try:
+            _LIB = _build_and_load()
+        except Exception:
+            _LIB = None
+    return _LIB
