@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark: ESTs aligned/sec on the AMBN locus (pipeline hot path).
+
+Runs the est-fact stage (seeding + MEG + factorization + refinement — the
+stage that dominates reference pipeline time) on the test-AMBN regression
+workload and reports throughput.
+
+Baseline: the reference C est-fact binary (single core, -O2, this repo's
+gengetopt shim build) processes the same workload — 25 ESTs, 8.5 kb locus
+— in 0.143 s wall ≈ 175 ESTs/s (measured on the dev machine, see
+BASELINE.md).  `vs_baseline` is our ESTs/s divided by that number.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "ESTs/s", "vs_baseline": N}
+"""
+
+import json
+import os
+import shutil
+import sys
+import tarfile
+import tempfile
+import time
+
+BASELINE_ESTS_PER_S = 175.0  # reference C est-fact, single core (25/0.143)
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main():
+    from pintron_tpu.stages.est_fact import run_est_fact
+
+    golden = os.path.join(REPO, "tests", "golden", "test-AMBN.tar.gz")
+    src = tempfile.mkdtemp(prefix="pintron-bench-src-")
+    with tarfile.open(golden) as tf:
+        tf.extractall(src)
+
+    n_ests = 0
+    with open(os.path.join(src, "ests.txt")) as f:
+        for line in f:
+            if line.startswith(">"):
+                n_ests += 1
+
+    # warm-up (native lib build, imports)
+    work = tempfile.mkdtemp(prefix="pintron-bench-")
+    for fn in ("genomic.txt", "ests.txt"):
+        shutil.copy(os.path.join(src, fn), work)
+    run_est_fact(work)
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run_est_fact(work)
+    dt = (time.perf_counter() - t0) / reps
+
+    ests_per_s = n_ests / dt
+    print(json.dumps({
+        "metric": "est-fact throughput (AMBN locus)",
+        "value": round(ests_per_s, 2),
+        "unit": "ESTs/s",
+        "vs_baseline": round(ests_per_s / BASELINE_ESTS_PER_S, 3),
+    }))
+
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Batched alignment DPs as JAX/XLA device ops.
+
+The reference runs its edit-distance style DPs one problem at a time in C
+(src/compute-alignments.c:319-453 K-band, :39-207 global alignment).  On
+TPU the same recurrences are evaluated as a *batch*: one row-wavefront
+`lax.scan` over the DP rows with the whole batch advancing in lockstep on
+the VPU lanes.  All shapes are static (padded); per-problem lengths and
+band widths are data.
+
+Numerical contract: `banded_edit_distance` reproduces the host/C
+`kband_core` exactly for every problem in the batch (int32 DP, same
+band-boundary semantics), which the unit tests check against the host
+implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG = jnp.int32(1 << 20)  # safe sentinel: > any real distance, no overflow
+
+
+@functools.partial(jax.jit, static_argnames=("max_rows", "k_max"))
+def banded_edit_distance(seq1, len1, seq2, len2, band, *, max_rows: int,
+                         k_max: int):
+    """Batched banded (K-band) edit distance.
+
+    Args:
+      seq1: (B, N_max) int8/int32 codes of the LONGER sequences (padded).
+      len1: (B,) int32 actual lengths n.
+      seq2: (B, M_max) codes of the shorter sequences; M_max <= max_rows.
+      len2: (B,) int32 actual lengths m (m <= n).
+      band: (B,) int32 per-problem band half-width k (k <= k_max).
+      max_rows: static row count to scan (>= max(len2)).
+      k_max: static band half-width bound; band vector width is 2*k_max+1.
+
+    Returns:
+      (B,) int32 final band cell values M[m][n] (the banded distance),
+      identical to the reference's K-band result for each problem.
+    """
+    B = seq1.shape[0]
+    W = 2 * k_max + 1
+    offs = jnp.arange(W, dtype=jnp.int32)  # o = c - r + k_max
+
+    seq1 = seq1.astype(jnp.int32)
+    seq2 = seq2.astype(jnp.int32)
+    len1 = len1.astype(jnp.int32)
+    len2 = len2.astype(jnp.int32)
+    band = band.astype(jnp.int32)
+
+    # row 0: M[o] = c for 0 <= c <= k, BIG outside the band
+    c0 = offs[None, :] - k_max  # (1, W) -> c at r=0
+    in_init = (c0 >= 0) & (c0 <= band[:, None])
+    M0 = jnp.where(in_init, c0, BIG).astype(jnp.int32)
+
+    def row_step(M1, r):
+        # r: current row (1-based), traced scalar
+        c = offs[None, :] + r - k_max                       # (B, W)
+        in_band = jnp.abs(c - r) <= band[:, None]
+        valid_c = (c >= 1) & (c <= len1[:, None])
+        active = in_band & valid_c & (r <= len2[:, None])
+
+        ch1 = jnp.take_along_axis(
+            seq1, jnp.clip(c - 1, 0, seq1.shape[1] - 1), axis=1)
+        ch2 = jnp.take_along_axis(
+            seq2, jnp.broadcast_to(jnp.clip(r - 1, 0, seq2.shape[1] - 1),
+                                   (B, 1)), axis=1)
+        mism = (ch1 != ch2).astype(jnp.int32)
+
+        diag = M1 + mism
+        up = jnp.concatenate([M1[:, 1:], jnp.full((B, 1), BIG)], axis=1) + 1
+        cand = jnp.minimum(diag, up)
+        # boundary cell c == 0 is forced to r while r <= k
+        is_boundary = (c == 0) & (r <= band[:, None])
+        cand = jnp.where(is_boundary, r, cand)
+        cand = jnp.where(active | is_boundary, cand, BIG)
+        # left-chain: M2[o] = min_{j<=o} cand[j] + (o - j)
+        shifted = jax.lax.cummin(cand - offs[None, :], axis=1)
+        M2 = jnp.minimum(shifted + offs[None, :], BIG)
+        # rows past len2 keep the previous band (final answer frozen)
+        M2 = jnp.where(r <= len2[:, None], M2, M1)
+        return M2, None
+
+    rows = jnp.arange(1, max_rows + 1, dtype=jnp.int32)
+    Mf, _ = jax.lax.scan(row_step, M0, rows)
+    final_off = jnp.clip(len1 - len2 + k_max, 0, W - 1)
+    return jnp.take_along_axis(Mf, final_off[:, None], axis=1)[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("max_rows",))
+def batch_edit_distance_score(seq1, len1, seq2, len2, *, max_rows: int):
+    """Batched full (unbanded) unit-cost edit distance — final score only.
+
+    Row-wavefront over seq2's rows; the in-row (left) dependency is closed
+    with a prefix-min (`cummin`), so each row is one vectorized VPU pass.
+    Matches the reference edit_distance (src/refine.c:50-83) final cell.
+    """
+    B, N = seq1.shape
+    seq1 = seq1.astype(jnp.int32)
+    seq2 = seq2.astype(jnp.int32)
+    cols = jnp.arange(N + 1, dtype=jnp.int32)
+    M0 = jnp.broadcast_to(cols, (B, N + 1)).astype(jnp.int32)
+
+    def row_step(M1, r):
+        ch2 = jnp.take_along_axis(
+            seq2, jnp.broadcast_to(jnp.clip(r - 1, 0, seq2.shape[1] - 1),
+                                   (B, 1)), axis=1)
+        mism = (seq1 != ch2).astype(jnp.int32)
+        diag = M1[:, :-1] + mism
+        up = M1[:, 1:] + 1
+        cand = jnp.minimum(diag, up)
+        first = jnp.full((B, 1), r, dtype=jnp.int32)
+        cand = jnp.concatenate([first, cand], axis=1)
+        row = jax.lax.cummin(cand - cols[None, :], axis=1) + cols[None, :]
+        row = jnp.where(r <= len2[:, None], row, M1)
+        return row, None
+
+    rows = jnp.arange(1, max_rows + 1, dtype=jnp.int32)
+    Mf, _ = jax.lax.scan(row_step, M0, rows)
+    return jnp.take_along_axis(Mf, len1[:, None], axis=1)[:, 0]
+
+
+def encode_batch(strings, width: int) -> "tuple[np.ndarray, np.ndarray]":
+    """Host helper: pack python strings into a padded int8 code batch."""
+    B = len(strings)
+    out = np.zeros((B, width), dtype=np.int8)
+    lens = np.zeros((B,), dtype=np.int32)
+    for i, s in enumerate(strings):
+        b = np.frombuffer(s.encode("latin1"), dtype=np.uint8)
+        out[i, :len(b)] = b.astype(np.int8)
+        lens[i] = len(b)
+    return out, lens
