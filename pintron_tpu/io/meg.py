@@ -43,8 +43,16 @@ def read_meg(fh: TextIO) -> MEG:
         a, b = line.split("-")
         pairings[int(a)].adjs.append(pairings[int(b)])
 
-    dim = max((max(0, q.p) for q in pairings), default=0)
-    graph: MEG = [[] for _ in range(dim + 1)]
+    # bucket by EST position; source/sink sentinels (types.h:203-206) go
+    # into the first/last bucket rather than at their literal positions
+    regular = [q.p for q in pairings if not q.is_source() and not q.is_sink()]
+    dim = max(regular, default=0)
+    graph: MEG = [[] for _ in range(dim + 2)]
     for q in pairings:
-        graph[max(0, q.p)].append(q)
+        if q.is_source():
+            graph[0].append(q)
+        elif q.is_sink():
+            graph[dim + 1].append(q)
+        else:
+            graph[q.p].append(q)
     return graph
