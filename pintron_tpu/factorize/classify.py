@@ -55,6 +55,17 @@ def search_bps(intron_sequence: str, name: str, range_start: int,
     end_w = length - range_start
     if start_w < 0:
         start_w = 0
+    from pintron_tpu.native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+        wpwm, cv_arr, den = _native_pwm_tables(name)
+        out = ctypes.c_double()
+        pos = lib.bps_search(intron_sequence.encode("latin1"),
+                             len(intron_sequence), wpwm.ctypes.data,
+                             wpwm.shape[1], cv_arr.ctypes.data, den,
+                             start_w, end_w, ctypes.byref(out))
+        return int(pos), float(out.value)
     score = 0.0
     start_bps = -1
     first = True
@@ -68,6 +79,32 @@ def search_bps(intron_sequence: str, name: str, range_start: int,
             first = False
         i += 1
     return start_bps, score
+
+
+_NATIVE_PWM_CACHE = {}
+
+
+def _native_pwm_tables(name: str):
+    """(cv-weighted pwm rows, cv, denominator) with the accumulation
+    order of mat_inspector_score preserved for bit-identical doubles."""
+    cached = _NATIVE_PWM_CACHE.get(name)
+    if cached is not None:
+        return cached
+    import numpy as np
+    pwm = PWM[name]
+    cv = CV[name]
+    maxv = MAXV[name]
+    L = len(cv)
+    wpwm = np.empty((4, L), dtype=np.float64)
+    for r in range(4):
+        for i in range(L):
+            wpwm[r, i] = cv[i] * pwm[r][i]
+    den = 0.0
+    for i in range(L):
+        den += cv[i] * maxv[i]
+    cv_arr = np.asarray(cv, dtype=np.float64)
+    _NATIVE_PWM_CACHE[name] = (wpwm, cv_arr, den)
+    return _NATIVE_PWM_CACHE[name]
 
 
 def exists_good_bps(intron_sequence: str, range_start: int, range_end: int
@@ -98,6 +135,10 @@ def _score3(gen: str, end: int, name: str, length: int) -> float:
                                name)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=200_000)
 def classify_genomic_intron_start_end(gen: str, start: int, end: int
                                       ) -> Tuple[int, float, float, int, float]:
     """classify-intron.c:95-229.  Returns (type, score5, score3,

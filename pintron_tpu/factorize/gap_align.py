@@ -36,6 +36,22 @@ class GapAlignment:
 def compute_gap_alignment(est_seq: str, gen_seq: str) -> GapAlignment:
     n = len(est_seq)
     m = len(gen_seq)
+
+    from pintron_tpu.native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        Ldir = np.zeros((n + 1, m + 1), dtype=np.int8)
+        Gdir = np.zeros((n + 1, m + 1), dtype=np.int8)
+        Rdir = np.zeros((n + 1, m + 1), dtype=np.int8)
+        finals = np.zeros(3, dtype=np.int64)
+        lib.gap_align_fill(est_seq.encode("latin1"), n,
+                           gen_seq.encode("latin1"), m,
+                           Ldir.ctypes.data, Gdir.ctypes.data,
+                           Rdir.ctypes.data, finals.ctypes.data)
+        return _gap_traceback(est_seq, gen_seq, Ldir, Gdir, Rdir,
+                              int(finals[0]), int(finals[1]),
+                              int(finals[2]))
+
     e = np.frombuffer(est_seq.encode("latin1"), dtype=np.uint8)
     g = np.frombuffer(gen_seq.encode("latin1"), dtype=np.uint8)
     wild_e = (e == ord("n")) | (e == ord("N"))
@@ -122,11 +138,19 @@ def compute_gap_alignment(est_seq: str, gen_seq: str) -> GapAlignment:
         dirs = np.where(upd, 1, dirs).astype(np.int8)
         Rdir[i, 1:] = dirs
 
+    return _gap_traceback(est_seq, gen_seq, Ldir, Gdir, Rdir,
+                          int(L[n, m]), int(G[n, m]), int(R[n, m]))
+
+
+def _gap_traceback(est_seq: str, gen_seq: str, Ldir, Gdir, Rdir,
+                   Lnm: int, Gnm: int, Rnm: int) -> GapAlignment:
+    n = len(est_seq)
+    m = len(gen_seq)
     # start matrix selection (refine-intron.c:808-819)
-    if R[n, m] >= G[n, m]:
-        start_matrix = 2 if R[n, m] >= L[n, m] else 0
+    if Rnm >= Gnm:
+        start_matrix = 2 if Rnm >= Lnm else 0
     else:
-        start_matrix = 1 if G[n, m] >= L[n, m] else 0
+        start_matrix = 1 if Gnm >= Lnm else 0
 
     al = GapAlignment()
     est_al = []

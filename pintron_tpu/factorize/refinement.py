@@ -117,6 +117,16 @@ def find_longest_common_factor_dp(s1: str, s2: str):
     l1, l2 = len(s1), len(s2)
     if l1 == 0 or l2 == 0:
         return 0, 0, 0
+    from pintron_tpu.native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+        occ1 = ctypes.c_int64()
+        occ2 = ctypes.c_int64()
+        plen = lib.lcf_dp(s1.encode("latin1"), l1, s2.encode("latin1"), l2,
+                          ctypes.byref(occ1), ctypes.byref(occ2))
+        if plen >= 0:
+            return int(occ1.value), int(occ2.value), int(plen)
     import numpy as np
 
     a1 = np.frombuffer(s1.encode("latin1"), dtype=np.uint8)
@@ -432,24 +442,28 @@ def remove_false_small_exons(gen_seq: str, est_seq: str,
 
 
 def find_longest_affix(est: str, genomic: str):
-    """factorization-refinement.c:1134-1172."""
+    """factorization-refinement.c:1134-1172.  The reference's running-min
+    scan selects the LAST cell (row-major) whose weight equals the overall
+    minimum among eligible (matching-char, weight <= rate) cells; weights
+    start capped at 1.0."""
+    import numpy as np
     estl, genomicl = len(est), len(genomic)
+    if estl == 0 or genomicl == 0:
+        return False, 0, 0
     matrix = edit_distance_full(genomic, est)  # rows over est
-    valid = False
-    best_gcut = 0
-    best_ecut = 0
-    best_weight = 1.0
-    for ecut in range(1, estl + 1):
-        row = matrix[ecut]
-        for gcut in range(1, genomicl + 1):
-            w = 2.0 * row[gcut] / (ecut + gcut)
-            if (est[ecut - 1] == genomic[gcut - 1]
-                    and w <= MAX_ERROR_RATE and w <= best_weight):
-                best_gcut = gcut
-                best_ecut = ecut
-                best_weight = w
-                valid = True
-    return valid, best_ecut, best_gcut
+    e = np.frombuffer(est.encode("latin1"), dtype=np.uint8)
+    g = np.frombuffer(genomic.encode("latin1"), dtype=np.uint8)
+    M = matrix[1:, 1:].astype(np.float64)
+    denom = (np.arange(1, estl + 1)[:, None]
+             + np.arange(1, genomicl + 1)[None, :])
+    w = 2.0 * M / denom
+    mask = (e[:, None] == g[None, :]) & (w <= MAX_ERROR_RATE) & (w <= 1.0)
+    if not mask.any():
+        return False, 0, 0
+    wmin = w[mask].min()
+    cand = mask & (w == wmin)
+    idx = int(np.flatnonzero(cand.ravel())[-1])
+    return True, idx // genomicl + 1, idx % genomicl + 1
 
 
 def recover_lost_prefixes_and_suffixes(gen_seq: str, est_seq: str,

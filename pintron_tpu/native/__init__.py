@@ -55,6 +55,22 @@ def _build_and_load():
     lib.edit_matrix.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                 ctypes.c_char_p, ctypes.c_int64,
                                 ctypes.c_void_p]
+    lib.lcf_dp.restype = ctypes.c_int64
+    lib.lcf_dp.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                           ctypes.c_char_p, ctypes.c_int64,
+                           ctypes.POINTER(ctypes.c_int64),
+                           ctypes.POINTER(ctypes.c_int64)]
+    lib.bps_search.restype = ctypes.c_int64
+    lib.bps_search.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                               ctypes.c_void_p, ctypes.c_int64,
+                               ctypes.c_void_p, ctypes.c_double,
+                               ctypes.c_int64, ctypes.c_int64,
+                               ctypes.POINTER(ctypes.c_double)]
+    lib.gap_align_fill.restype = None
+    lib.gap_align_fill.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                   ctypes.c_char_p, ctypes.c_int64,
+                                   ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_void_p, ctypes.c_void_p]
     return lib
 
 
