@@ -37,6 +37,7 @@ class SuffixTree:
     __slots__ = (
         "text", "n", "start", "end", "parent", "slink", "children",
         "depth", "leaf_idx", "lo", "hi", "leaf_occ", "single_char",
+        "_flat",
     )
 
     def __init__(self, text: bytes):
@@ -44,6 +45,9 @@ class SuffixTree:
         self.text = s
         self.n = len(s)
         n = self.n
+        self._flat = None
+        if self._build_native():
+            return
         # Upper bound on node count: 2n.
         self.start = [0]
         self.end = [0]
@@ -52,6 +56,70 @@ class SuffixTree:
         self.children: List[Dict[int, int]] = [{}]
         self._build()
         self._augment()
+
+    def _build_native(self) -> bool:
+        """Build via the C Ukkonen + augmentation (native/dp.c:st_build);
+        produces the same arrays (and DFS occurrence order) as the Python
+        path, validated by tests."""
+        from pintron_tpu.native import get_lib
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "st_build"):
+            return False
+        import numpy as np
+        tlen = self.n
+        cap = 2 * tlen + 4
+        start = np.zeros(cap, dtype=np.int64)
+        end = np.zeros(cap, dtype=np.int64)
+        parent = np.zeros(cap, dtype=np.int64)
+        slink = np.zeros(cap, dtype=np.int64)
+        depth = np.zeros(cap, dtype=np.int64)
+        leaf_idx = np.zeros(cap, dtype=np.int64)
+        lo = np.zeros(cap, dtype=np.int64)
+        hi = np.zeros(cap, dtype=np.int64)
+        occ = np.zeros(max(tlen, 1), dtype=np.int64)
+        single = np.zeros(cap, dtype=np.uint8)
+        coff = np.zeros(cap + 1, dtype=np.int64)
+        cchar = np.zeros(cap, dtype=np.uint8)
+        cnode = np.zeros(cap, dtype=np.int64)
+        nn = lib.st_build(self.text, tlen,
+                          start.ctypes.data, end.ctypes.data,
+                          parent.ctypes.data, slink.ctypes.data,
+                          depth.ctypes.data, leaf_idx.ctypes.data,
+                          lo.ctypes.data, hi.ctypes.data, occ.ctypes.data,
+                          single.ctypes.data, coff.ctypes.data,
+                          cchar.ctypes.data, cnode.ctypes.data)
+        if nn <= 0:
+            return False
+        self.start = start[:nn]
+        self.end = end[:nn]
+        self.parent = parent[:nn]
+        self.slink = slink[:nn]
+        self.depth = depth[:nn]
+        self.leaf_idx = leaf_idx[:nn]
+        self.lo = lo[:nn]
+        self.hi = hi[:nn]
+        # occurrence count == the root's DFS interval (may be < tlen when
+        # the text embeds NUL bytes and the terminal isn't unique)
+        self.leaf_occ = occ[:int(hi[0])]
+        self.single_char = single[:nn]
+        nch = int(coff[nn])
+        self._flat = {
+            "start": self.start, "end": self.end, "parent": self.parent,
+            "slink": self.slink, "depth": self.depth, "single":
+            self.single_char, "lo": self.lo, "hi": self.hi,
+            "occ": self.leaf_occ, "coff": coff[:nn + 1],
+            "cchar": cchar[:nch], "cnode": cnode[:nch],
+        }
+        # children dicts for the Python fallback scanner / tests
+        children: List[Dict[int, int]] = []
+        cchar_l = cchar[:nch].tolist()
+        cnode_l = cnode[:nch].tolist()
+        coff_l = coff[:nn + 1].tolist()
+        for v in range(nn):
+            children.append(dict(zip(cchar_l[coff_l[v]:coff_l[v + 1]],
+                                     cnode_l[coff_l[v]:coff_l[v + 1]])))
+        self.children = children
+        return True
 
     # -- construction -------------------------------------------------------
 
@@ -189,6 +257,38 @@ class SuffixTree:
         self.hi = hi
         self.leaf_occ = leaf_occ
         self.single_char = single
+        self._flat = None
+
+    def flat_arrays(self):
+        """Flattened numpy arrays for the native vertex scan (cached)."""
+        if self._flat is None:
+            import numpy as np
+            nn = len(self.start)
+            coff = np.zeros(nn + 1, dtype=np.int64)
+            total = sum(len(c) for c in self.children)
+            cchar = np.zeros(total, dtype=np.uint8)
+            cnode = np.zeros(total, dtype=np.int64)
+            pos = 0
+            for v in range(nn):
+                coff[v] = pos
+                for ch, kid in self.children[v].items():
+                    cchar[pos] = ch
+                    cnode[pos] = kid
+                    pos += 1
+            coff[nn] = pos
+            self._flat = {
+                "start": np.asarray(self.start, dtype=np.int64),
+                "end": np.asarray(self.end, dtype=np.int64),
+                "parent": np.asarray(self.parent, dtype=np.int64),
+                "slink": np.asarray(self.slink, dtype=np.int64),
+                "depth": np.asarray(self.depth, dtype=np.int64),
+                "single": np.asarray(self.single_char, dtype=np.uint8),
+                "lo": np.asarray(self.lo, dtype=np.int64),
+                "hi": np.asarray(self.hi, dtype=np.int64),
+                "occ": np.asarray(self.leaf_occ, dtype=np.int64),
+                "coff": coff, "cchar": cchar, "cnode": cnode,
+            }
+        return self._flat
 
 
 class MaximalPairingScanner:

@@ -73,6 +73,16 @@ def build_vertex_set(pattern: bytes, tree: SuffixTree, gen: bytes,
     alph_index = {c: k for k, c in enumerate(alphabet)}
     alph_size = len(alphabet)
 
+    from pintron_tpu.native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "vertex_scan"):
+        cols = _native_vertex_scan(lib, pattern, tree, config, alph_index,
+                                   alph_size)
+        if cols is not None:
+            V.extend(cols)
+            _append_sink_and_cleanup(V)
+            return V
+
     scanner = MaximalPairingScanner(tree, pattern)
     rate = config.min_string_depth_rate
     min_len = config.min_factor_len
@@ -135,6 +145,50 @@ def build_vertex_set(pattern: bytes, tree: SuffixTree, gen: bytes,
         if to_remove:
             V[-1] = [pr for k, pr in enumerate(Vi) if k not in to_remove]
 
+    _append_sink_and_cleanup(V)
+    return V
+
+
+def _native_vertex_scan(lib, pattern: bytes, tree: SuffixTree,
+                        config: Config, alph_index, alph_size):
+    """Invoke the C vertex scan; returns per-position pairing columns or
+    None if the native call is unavailable/failed."""
+    import numpy as np
+    flat = tree.flat_arrays()
+    a256 = np.full(256, alph_size, dtype=np.int64)
+    for c, k in alph_index.items():
+        a256[c] = k
+    plen = len(pattern)
+    cap = max(4096, 64 * plen)
+    while True:
+        out_p = np.empty(cap, dtype=np.int64)
+        out_t = np.empty(cap, dtype=np.int64)
+        out_l = np.empty(cap, dtype=np.int64)
+        n = lib.vertex_scan(
+            tree.text, len(tree.text), pattern, plen,
+            flat["start"].ctypes.data, flat["end"].ctypes.data,
+            flat["parent"].ctypes.data, flat["slink"].ctypes.data,
+            flat["depth"].ctypes.data, flat["single"].ctypes.data,
+            flat["lo"].ctypes.data, flat["hi"].ctypes.data,
+            flat["occ"].ctypes.data, flat["coff"].ctypes.data,
+            flat["cchar"].ctypes.data, flat["cnode"].ctypes.data,
+            a256.ctypes.data, alph_size,
+            config.min_string_depth_rate, config.min_factor_len,
+            out_p.ctypes.data, out_t.ctypes.data, out_l.ctypes.data, cap)
+        if n == -1:
+            return None
+        if n < -1:
+            cap = -n
+            continue
+        break
+    cols: List[List[Pairing]] = [[] for _ in range(plen)]
+    for k in range(n):
+        cols[out_p[k]].append(Pairing(int(out_p[k]), int(out_t[k]),
+                                      int(out_l[k])))
+    return cols
+
+
+def _append_sink_and_cleanup(V: MEG) -> None:
     V.append([Pairing(SINK_PAIRING_START, SINK_PAIRING_START,
                       SINK_PAIRING_LEN)])
 
@@ -157,7 +211,6 @@ def build_vertex_set(pattern: bytes, tree: SuffixTree, gen: bytes,
         if len(keep) != len(Vi1):
             Vi1[:] = keep
         Vi1 = Vi
-    return V
 
 
 def compute_fl(config: Config) -> int:

@@ -71,6 +71,21 @@ def _build_and_load():
                                    ctypes.c_char_p, ctypes.c_int64,
                                    ctypes.c_void_p, ctypes.c_void_p,
                                    ctypes.c_void_p, ctypes.c_void_p]
+    lib.st_build.restype = ctypes.c_int64
+    lib.st_build.argtypes = ([ctypes.c_char_p, ctypes.c_int64]
+                             + [ctypes.c_void_p] * 13)
+    lib.vertex_scan.restype = ctypes.c_int64
+    lib.vertex_scan.argtypes = (
+        [ctypes.c_char_p, ctypes.c_int64,      # text
+         ctypes.c_char_p, ctypes.c_int64]      # pattern
+        + [ctypes.c_void_p] * 5                # start end parent slink depth
+        + [ctypes.c_void_p]                    # single_char
+        + [ctypes.c_void_p] * 3                # lo hi occ
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]  # coff cchar cnode
+        + [ctypes.c_void_p, ctypes.c_int64]    # alph_index256, alph_size
+        + [ctypes.c_double, ctypes.c_int64]    # rate, min_len
+        + [ctypes.c_void_p] * 3                # out p t l
+        + [ctypes.c_int64])                    # cap
     return lib
 
 

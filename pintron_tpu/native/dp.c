@@ -114,6 +114,418 @@ int64_t nw_align(const char *est, int64_t n, const char *gen, int64_t m,
     return score;
 }
 
+/* ---- Suffix tree construction -----------------------------------------
+ * Ukkonen build + augmentation, mirroring pintron_tpu/index/gst.py
+ * exactly (including the DFS ordering that defines the occurrence
+ * slices).  Children are kept as insertion-ordered sibling lists; edge
+ * splits REPLACE the child in place (preserving its position) like a
+ * Python dict key overwrite. */
+
+typedef struct {
+    int64_t *start, *end, *parent, *slink;
+    int64_t *first_child, *next_sib, *last_child;
+    unsigned char *first_char;   /* first char of the node's up edge label */
+    int64_t nn;
+} stree_t;
+
+static int64_t st_new_node(stree_t *st, int64_t start, int64_t end,
+                           int64_t parent) {
+    int64_t v = st->nn++;
+    st->start[v] = start;
+    st->end[v] = end;
+    st->parent[v] = parent;
+    st->slink[v] = -1;
+    st->first_child[v] = -1;
+    st->last_child[v] = -1;
+    st->next_sib[v] = -1;
+    return v;
+}
+
+static int64_t st_get_child(const stree_t *st, int64_t v, unsigned char c) {
+    int64_t ch = st->first_child[v];
+    while (ch != -1) {
+        if (st->first_char[ch] == c) return ch;
+        ch = st->next_sib[ch];
+    }
+    return -1;
+}
+
+/* dict-like set: replace in place if key exists, else append at tail */
+static void st_set_child(stree_t *st, int64_t v, unsigned char c,
+                         int64_t node) {
+    int64_t ch = st->first_child[v], prev = -1;
+    st->first_char[node] = c;
+    while (ch != -1) {
+        if (st->first_char[ch] == c) {
+            st->next_sib[node] = st->next_sib[ch];
+            if (prev == -1) st->first_child[v] = node;
+            else st->next_sib[prev] = node;
+            if (st->last_child[v] == ch) st->last_child[v] = node;
+            return;
+        }
+        prev = ch;
+        ch = st->next_sib[ch];
+    }
+    st->next_sib[node] = -1;
+    if (st->last_child[v] == -1) {
+        st->first_child[v] = node;
+        st->last_child[v] = node;
+    } else {
+        st->next_sib[st->last_child[v]] = node;
+        st->last_child[v] = node;
+    }
+}
+
+/* Build + augment.  text includes the trailing '\0' terminator; all
+ * output arrays must have capacity 2*tlen+4 (occ: tlen).  Returns the
+ * node count. */
+int64_t st_build(const unsigned char *text, int64_t tlen,
+                 int64_t *start, int64_t *end, int64_t *parent,
+                 int64_t *slink, int64_t *depth, int64_t *leaf_idx,
+                 int64_t *lo, int64_t *hi, int64_t *occ,
+                 unsigned char *single_char,
+                 int64_t *coff, unsigned char *cchar, int64_t *cnode) {
+    int64_t cap = 2 * tlen + 4;
+    stree_t st;
+    int64_t i, active_node, active_edge, active_len, remainder;
+    st.start = start; st.end = end; st.parent = parent; st.slink = slink;
+    st.first_child = (int64_t *)malloc(cap * sizeof(int64_t));
+    st.next_sib = (int64_t *)malloc(cap * sizeof(int64_t));
+    st.last_child = (int64_t *)malloc(cap * sizeof(int64_t));
+    st.first_char = (unsigned char *)malloc(cap);
+    if (!st.first_child || !st.next_sib || !st.last_child || !st.first_char)
+        return -1;
+    st.nn = 0;
+    st_new_node(&st, 0, 0, -1);   /* root */
+
+    active_node = 0; active_edge = 0; active_len = 0; remainder = 0;
+    for (i = 0; i < tlen; i++) {
+        unsigned char c = text[i];
+        int64_t last_internal = -1;
+        remainder++;
+        while (remainder > 0) {
+            unsigned char ae;
+            int64_t child;
+            if (active_len == 0) active_edge = i;
+            ae = text[active_edge];
+            child = st_get_child(&st, active_node, ae);
+            if (child == -1) {
+                int64_t leaf = st_new_node(&st, i, tlen, active_node);
+                st_set_child(&st, active_node, ae, leaf);
+                if (last_internal != -1) {
+                    slink[last_internal] = active_node;
+                    last_internal = -1;
+                }
+            } else {
+                int64_t e = end[child] < i + 1 ? end[child] : i + 1;
+                int64_t edge_len = e - start[child];
+                if (active_len >= edge_len) {
+                    active_node = child;
+                    active_edge += edge_len;
+                    active_len -= edge_len;
+                    continue;
+                }
+                if (text[start[child] + active_len] == c) {
+                    active_len++;
+                    if (last_internal != -1) {
+                        slink[last_internal] = active_node;
+                        last_internal = -1;
+                    }
+                    break;
+                }
+                {
+                    int64_t split = st_new_node(&st, start[child],
+                                                start[child] + active_len,
+                                                active_node);
+                    int64_t leaf;
+                    st_set_child(&st, active_node, ae, split);
+                    start[child] += active_len;
+                    parent[child] = split;
+                    st_set_child(&st, split, text[start[child]], child);
+                    leaf = st_new_node(&st, i, tlen, split);
+                    st_set_child(&st, split, c, leaf);
+                    if (last_internal != -1) slink[last_internal] = split;
+                    last_internal = split;
+                }
+            }
+            remainder--;
+            if (active_node == 0 && active_len > 0) {
+                active_len--;
+                active_edge = i - remainder + 1;
+            } else if (active_node != 0) {
+                active_node = slink[active_node] != -1
+                    ? slink[active_node] : 0;
+            }
+        }
+    }
+    for (i = 1; i < st.nn; i++)
+        if (end[i] > tlen) end[i] = tlen;
+
+    /* augmentation: iterative DFS matching gst.py::_augment, children
+     * pushed in insertion order onto a stack (visited reversed) */
+    {
+        int64_t nn = st.nn, nocc = 0, sp = 0;
+        int64_t *stack = (int64_t *)malloc(2 * cap * sizeof(int64_t));
+        unsigned char *phase = (unsigned char *)malloc(2 * cap);
+        if (!stack || !phase) return -1;
+        stack[sp] = 0; phase[sp] = 0; sp++;
+        while (sp > 0) {
+            int64_t v = stack[--sp];
+            unsigned char pr = phase[sp];
+            if (!pr) {
+                if (v != 0)
+                    depth[v] = depth[parent[v]] + (end[v] - start[v]);
+                else
+                    depth[v] = 0;
+                if (st.first_child[v] == -1) {
+                    int64_t idx = tlen - depth[v];
+                    leaf_idx[v] = idx;
+                    lo[v] = nocc;
+                    occ[nocc++] = idx;
+                    hi[v] = nocc;
+                    single_char[v] = idx > 0 ? text[idx - 1] : 0;
+                } else {
+                    int64_t ch;
+                    leaf_idx[v] = -1;
+                    stack[sp] = v; phase[sp] = 1; sp++;
+                    lo[v] = nocc;
+                    for (ch = st.first_child[v]; ch != -1;
+                         ch = st.next_sib[ch]) {
+                        stack[sp] = ch; phase[sp] = 0; sp++;
+                    }
+                }
+            } else {
+                int64_t ch, val = -1;
+                hi[v] = nocc;
+                for (ch = st.first_child[v]; ch != -1;
+                     ch = st.next_sib[ch]) {
+                    int64_t cv = single_char[ch];
+                    if (cv == 0) { val = 0; break; }
+                    if (val == -1) val = cv;
+                    else if (val != cv) { val = 0; break; }
+                }
+                single_char[v] = val > 0 ? (unsigned char)val : 0;
+            }
+        }
+        free(stack); free(phase);
+        /* child flat arrays for vertex_scan */
+        {
+            int64_t pos = 0, v, ch;
+            for (v = 0; v < nn; v++) {
+                coff[v] = pos;
+                for (ch = st.first_child[v]; ch != -1; ch = st.next_sib[ch]) {
+                    cchar[pos] = st.first_char[ch];
+                    cnode[pos] = ch;
+                    pos++;
+                }
+            }
+            coff[nn] = pos;
+        }
+    }
+    free(st.first_child); free(st.next_sib); free(st.last_child);
+    free(st.first_char);
+    return st.nn;
+}
+
+/* ---- MEG vertex scan --------------------------------------------------
+ * Native port of the suffix-tree matching-statistics walk + pairing
+ * emission (max-emb-graph.c:58-380; python mirror:
+ * pintron_tpu/meg/graph.py:build_vertex_set +
+ * pintron_tpu/index/gst.py:MaximalPairingScanner).  Tree arrays are
+ * produced once per run by the Python SuffixTree. */
+
+typedef struct {
+    const unsigned char *text; int64_t tlen;
+    const int64_t *start, *end, *parent, *slink, *depth;
+    const unsigned char *single_char;
+    const int64_t *lo, *hi, *occ;
+    const int64_t *coff; const unsigned char *cchar; const int64_t *cnode;
+} tree_t;
+
+static int64_t child_of(const tree_t *t, int64_t node, unsigned char c) {
+    int64_t a = t->coff[node], b = t->coff[node + 1];
+    for (; a < b; a++)
+        if (t->cchar[a] == c) return t->cnode[a];
+    return -1;
+}
+
+/* find_deepest_common_node_rec; returns dst node (or -1), *out_matched */
+static int64_t vs_descend(const tree_t *t, const unsigned char *pat,
+                          int64_t plen, int64_t node, int64_t rel,
+                          int64_t already, unsigned char avoid,
+                          int64_t *out_matched) {
+    for (;;) {
+        int64_t kid, el, lcp;
+        if (rel >= plen) {
+            if (node == 0) { *out_matched = 0; return -1; }
+            *out_matched = t->end[node] - t->start[node];
+            return node;
+        }
+        kid = child_of(t, node, pat[rel]);
+        if (kid != -1 && t->single_char[kid] != 0
+            && t->single_char[kid] == avoid)
+            kid = -1;
+        if (kid == -1) {
+            if (node == 0) { *out_matched = 0; return -1; }
+            *out_matched = t->end[node] - t->start[node];
+            return node;
+        }
+        el = t->end[kid] - t->start[kid];
+        if (el == 1) {
+            lcp = 1;
+        } else if (already > 0) {
+            if (already >= el) lcp = el;
+            else {
+                int64_t i = t->start[kid] + already, j = rel + already;
+                lcp = already;
+                while (lcp < el && j < plen && t->text[i] == pat[j]) {
+                    lcp++; i++; j++;
+                }
+            }
+        } else {
+            int64_t i = t->start[kid], j = rel;
+            lcp = 0;
+            while (lcp < el && j < plen && t->text[i] == pat[j]) {
+                lcp++; i++; j++;
+            }
+        }
+        if (rel + lcp >= plen || lcp < el) { *out_matched = lcp; return kid; }
+        already = already > lcp ? already - lcp : 0;
+        node = kid;
+        rel += el;
+    }
+}
+
+typedef struct { int64_t t, l; } pair_tl;
+
+static int cmp_tl(const void *a, const void *b) {
+    const pair_tl *x = (const pair_tl *)a, *y = (const pair_tl *)b;
+    if (x->t != y->t) return x->t < y->t ? -1 : 1;
+    if (x->l != y->l) return x->l < y->l ? -1 : 1;
+    return 0;
+}
+
+/* Full per-EST vertex scan.  Emits (p, t, l) triples (post per-column
+ * sort + in-column dedup) into out_*; returns the count, or -needed if
+ * out_cap is too small, or -1 on allocation failure. */
+int64_t vertex_scan(
+    const unsigned char *text, int64_t tlen,
+    const unsigned char *pattern, int64_t plen,
+    const int64_t *start, const int64_t *end, const int64_t *parent,
+    const int64_t *slink, const int64_t *depth,
+    const unsigned char *single_char,
+    const int64_t *lo, const int64_t *hi, const int64_t *occ,
+    const int64_t *coff, const unsigned char *cchar, const int64_t *cnode,
+    const int64_t *alph_index256, int64_t alph_size,
+    double rate, int64_t min_len,
+    int64_t *out_p, int64_t *out_t, int64_t *out_l, int64_t out_cap) {
+
+    tree_t tr = { text, tlen, start, end, parent, slink, depth,
+                  single_char, lo, hi, occ, coff, cchar, cnode };
+    int64_t prev_dst = -1, prev_matched = 0;
+    unsigned char prev_symbol = 0;
+    int64_t count = 0, needed = 0;
+    int64_t col_cap = 1024;
+    pair_tl *col = (pair_tl *)malloc(col_cap * sizeof(pair_tl));
+    unsigned char *rm = (unsigned char *)malloc(col_cap);
+    int64_t i;
+    if (!col || !rm) { free(col); free(rm); return -1; }
+
+    for (i = 0; i < plen; i++) {
+        unsigned char avoid = prev_symbol;
+        int64_t dst, matched, ncol = 0;
+        /* scanner advance */
+        if (prev_dst == -1 || slink[parent[prev_dst]] == -1) {
+            dst = vs_descend(&tr, pattern, plen, 0, i, 0, avoid, &matched);
+        } else {
+            int64_t prev_len = end[prev_dst] - start[prev_dst];
+            int64_t sl, m0;
+            if (prev_len == prev_matched) { sl = slink[prev_dst]; m0 = 0; }
+            else { sl = slink[parent[prev_dst]]; m0 = prev_matched; }
+            dst = vs_descend(&tr, pattern, plen, sl, i + depth[sl], m0,
+                             avoid, &matched);
+        }
+        if (dst == -1) { prev_dst = -1; prev_matched = 0; }
+        else { prev_dst = dst; prev_matched = matched; }
+        prev_symbol = i < plen ? pattern[i] : 0;
+        if (dst == -1) continue;
+
+        {
+            int64_t d = depth[parent[dst]] + matched;
+            double msd = d * rate;
+            int64_t min_sd = (int64_t)(msd > (double)min_len
+                                       ? msd : (double)min_len);
+            int64_t symbol_k = alph_index256[avoid];
+            int64_t node = dst, cur_l = d, block = -1;
+            while (cur_l >= min_sd) {
+                int64_t b_lo = block != -1 ? lo[block] : hi[node];
+                int64_t b_hi = block != -1 ? hi[block] : hi[node];
+                int64_t r, rngs[2][2];
+                rngs[0][0] = lo[node]; rngs[0][1] = b_lo;
+                rngs[1][0] = b_hi;     rngs[1][1] = hi[node];
+                for (r = 0; r < 2; r++) {
+                    int64_t j;
+                    for (j = rngs[r][0]; j < rngs[r][1]; j++) {
+                        int64_t t = occ[j];
+                        int emit;
+                        if (t > 0)
+                            emit = alph_index256[text[t - 1]] != symbol_k;
+                        else
+                            emit = (symbol_k != 0 || alph_size > 1);
+                        if (emit) {
+                            if (ncol >= col_cap) {
+                                col_cap *= 2;
+                                col = (pair_tl *)realloc(
+                                    col, col_cap * sizeof(pair_tl));
+                                rm = (unsigned char *)realloc(rm, col_cap);
+                                if (!col || !rm) return -1;
+                            }
+                            col[ncol].t = t;
+                            col[ncol].l = cur_l;
+                            ncol++;
+                        }
+                    }
+                }
+                block = node;
+                node = parent[node];
+                if (node <= 0) break;
+                cur_l = depth[node];
+            }
+            /* sort by (t, l) then in-column dedup
+             * (max-emb-graph.c:301-334) */
+            qsort(col, ncol, sizeof(pair_tl), cmp_tl);
+            memset(rm, 0, ncol);
+            {
+                int64_t jj, ii;
+                for (jj = ncol - 1; jj >= 0; jj--) {
+                    for (ii = jj - 1; ii >= 0; ii--) {
+                        if ((col[jj].t > col[ii].t &&
+                             col[jj].t + col[jj].l <= col[ii].t + col[ii].l)
+                            || (col[jj].t == col[ii].t + 1 &&
+                                col[jj].l == col[ii].l)) {
+                            rm[jj] = 1;
+                            break;
+                        }
+                    }
+                }
+                for (jj = 0; jj < ncol; jj++) {
+                    if (rm[jj]) continue;
+                    if (count < out_cap) {
+                        out_p[count] = i;
+                        out_t[count] = col[jj].t;
+                        out_l[count] = col[jj].l;
+                    }
+                    count++;
+                }
+            }
+        }
+    }
+    needed = count;
+    free(col); free(rm);
+    if (needed > out_cap) return -needed;
+    return needed;
+}
+
 /* Longest common factor DP (factorization-refinement.c:253-316 semantics:
  * N wildcards always match; first strictly-greater maximum wins, with the
  * earliest i2 inside that row).  Writes occ1/occ2, returns plen. */
