@@ -40,9 +40,10 @@ def compute_gap_alignment(est_seq: str, gen_seq: str) -> GapAlignment:
     from pintron_tpu.native import get_lib
     lib = get_lib()
     if lib is not None:
-        Ldir = np.zeros((n + 1, m + 1), dtype=np.int8)
-        Gdir = np.zeros((n + 1, m + 1), dtype=np.int8)
-        Rdir = np.zeros((n + 1, m + 1), dtype=np.int8)
+        # dirs rows/cols 0 are never read by the traceback; no init needed
+        Ldir = np.empty((n + 1, m + 1), dtype=np.int8)
+        Gdir = np.empty((n + 1, m + 1), dtype=np.int8)
+        Rdir = np.empty((n + 1, m + 1), dtype=np.int8)
         finals = np.zeros(3, dtype=np.int64)
         lib.gap_align_fill(est_seq.encode("latin1"), n,
                            gen_seq.encode("latin1"), m,

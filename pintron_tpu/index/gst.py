@@ -35,10 +35,29 @@ class SuffixTree:
     """
 
     __slots__ = (
-        "text", "n", "start", "end", "parent", "slink", "children",
+        "text", "n", "start", "end", "parent", "slink", "_children",
         "depth", "leaf_idx", "lo", "hi", "leaf_occ", "single_char",
         "_flat",
     )
+
+    @property
+    def children(self) -> List[Dict[int, int]]:
+        """Per-node first-byte -> child maps; reconstructed lazily from
+        the flat arrays when the tree was built natively."""
+        if self._children is None:
+            flat = self._flat
+            coff = flat["coff"].tolist()
+            cchar = flat["cchar"].tolist()
+            cnode = flat["cnode"].tolist()
+            self._children = [
+                dict(zip(cchar[coff[v]:coff[v + 1]],
+                         cnode[coff[v]:coff[v + 1]]))
+                for v in range(len(coff) - 1)]
+        return self._children
+
+    @children.setter
+    def children(self, value):
+        self._children = value
 
     def __init__(self, text: bytes):
         s = text + b"\x00"
@@ -110,15 +129,7 @@ class SuffixTree:
             "occ": self.leaf_occ, "coff": coff[:nn + 1],
             "cchar": cchar[:nch], "cnode": cnode[:nch],
         }
-        # children dicts for the Python fallback scanner / tests
-        children: List[Dict[int, int]] = []
-        cchar_l = cchar[:nch].tolist()
-        cnode_l = cnode[:nch].tolist()
-        coff_l = coff[:nn + 1].tolist()
-        for v in range(nn):
-            children.append(dict(zip(cchar_l[coff_l[v]:coff_l[v + 1]],
-                                     cnode_l[coff_l[v]:coff_l[v + 1]])))
-        self.children = children
+        self._children = None  # reconstructed lazily from _flat on demand
         return True
 
     # -- construction -------------------------------------------------------
