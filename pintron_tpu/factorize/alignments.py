@@ -47,12 +47,19 @@ def compute_alignment(est_seq: str, gen_seq: str) -> Alignment:
 
     lib = _get_native_lib()
     if lib is not None:
-        Mdir = np.empty((n + 1, m + 1), dtype=np.int8)
-        score = lib.nw_align(est_seq.encode("latin1"), n,
-                             gen_seq.encode("latin1"), m,
-                             Mdir.ctypes.data)
+        import ctypes
+        cap = n + m
+        est_buf = ctypes.create_string_buffer(cap + 1)
+        gen_buf = ctypes.create_string_buffer(cap + 1)
+        out_len = ctypes.c_int64(0)
+        score = lib.nw_align_run(est_seq.encode("latin1"), n,
+                                 gen_seq.encode("latin1"), m,
+                                 est_buf, gen_buf, ctypes.byref(out_len))
         if score >= 0:
-            return _traceback(est_seq, gen_seq, Mdir, int(score))
+            total = out_len.value
+            return Alignment(est_buf.raw[:total].decode("latin1"),
+                             gen_buf.raw[:total].decode("latin1"),
+                             int(score))
 
     e = np.frombuffer(est_seq.encode("latin1"), dtype=np.uint8)
     g = np.frombuffer(gen_seq.encode("latin1"), dtype=np.uint8)

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+from pintron_tpu.native import get_lib as _get_native_lib
+
 _IDX = {}
 for _i, _a in enumerate("ACGT"):
     for _j, _b in enumerate("ACGT"):
@@ -16,6 +18,9 @@ def dust_score(sequence: str) -> float:
     length = len(sequence)
     if length <= 2:
         return 0.0
+    lib = _get_native_lib()
+    if lib is not None:
+        return lib.dust_score_c(sequence.encode("latin1"), length)
     freq = [0] * 17
     running = 0
     for i in range(length - 1):

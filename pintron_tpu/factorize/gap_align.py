@@ -40,18 +40,25 @@ def compute_gap_alignment(est_seq: str, gen_seq: str) -> GapAlignment:
     from pintron_tpu.native import get_lib
     lib = get_lib()
     if lib is not None:
-        # dirs rows/cols 0 are never read by the traceback; no init needed
-        Ldir = np.empty((n + 1, m + 1), dtype=np.int8)
-        Gdir = np.empty((n + 1, m + 1), dtype=np.int8)
-        Rdir = np.empty((n + 1, m + 1), dtype=np.int8)
-        finals = np.zeros(3, dtype=np.int64)
-        lib.gap_align_fill(est_seq.encode("latin1"), n,
-                           gen_seq.encode("latin1"), m,
-                           Ldir.ctypes.data, Gdir.ctypes.data,
-                           Rdir.ctypes.data, finals.ctypes.data)
-        return _gap_traceback(est_seq, gen_seq, Ldir, Gdir, Rdir,
-                              int(finals[0]), int(finals[1]),
-                              int(finals[2]))
+        import ctypes
+        cap = n + m
+        est_buf = ctypes.create_string_buffer(cap + 1)
+        gen_buf = ctypes.create_string_buffer(cap + 1)
+        out = (ctypes.c_int64 * 7)()
+        lib.gap_align_run(est_seq.encode("latin1"), n,
+                          gen_seq.encode("latin1"), m,
+                          est_buf, gen_buf, out)
+        if out[0] >= 0:
+            total = int(out[0])
+            al = GapAlignment()
+            al.est = est_buf.raw[:total].decode("latin1")
+            al.gen = gen_buf.raw[:total].decode("latin1")
+            al.factor_cut = int(out[1])
+            al.intron_start = int(out[2])
+            al.intron_end = int(out[3])
+            al.intron_start_on_align = int(out[4])
+            al.intron_end_on_align = int(out[5])
+            return al
 
     e = np.frombuffer(est_seq.encode("latin1"), dtype=np.uint8)
     g = np.frombuffer(gen_seq.encode("latin1"), dtype=np.uint8)

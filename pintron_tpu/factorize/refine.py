@@ -21,6 +21,18 @@ def general_refine_borders(p: str, min_p_cut: int, max_p_cut: int,
     out parameter."""
     len_p = len(p)
     len_t = len(t)
+
+    from pintron_tpu.native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+        out = (ctypes.c_int64 * 6)()
+        lib.refine_borders_core(p.encode("latin1"), len_p,
+                                min_p_cut, max_p_cut,
+                                t.encode("latin1"), len_t, max_errs, out)
+        if out[0] >= 0:
+            return (bool(out[0]), int(out[1]), int(out[2]), int(out[3]),
+                    int(out[4]))
     t_win = min(len_p + max_errs, len_t)
     # Mp = edit_distance(t[:t_win], p): matrix rows over p (second arg)
     Mp = edit_distance_full(t[:t_win], p)

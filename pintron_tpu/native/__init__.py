@@ -86,6 +86,20 @@ def _build_and_load():
         + [ctypes.c_double, ctypes.c_int64]    # rate, min_len
         + [ctypes.c_void_p] * 3                # out p t l
         + [ctypes.c_int64])                    # cap
+    lib.dust_score_c.restype = ctypes.c_double
+    lib.dust_score_c.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.refine_borders_core.restype = None
+    lib.refine_borders_core.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+    lib.gap_align_run.restype = None
+    lib.gap_align_run.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.nw_align_run.restype = ctypes.c_int64
+    lib.nw_align_run.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     return lib
 
 

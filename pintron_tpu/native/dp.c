@@ -700,3 +700,277 @@ void edit_matrix(const char *s1, int64_t l1, const char *s2, int64_t l2,
         }
     }
 }
+
+/* DUST dinucleotide complexity score (exon-complexity.c:38-131 semantics;
+ * python mirror pintron_tpu/factorize/dust.py). */
+double dust_score_c(const char *seq, int64_t len) {
+    static int nt_idx[256];
+    static int nt_init = 0;
+    int64_t freq[17];
+    int64_t running = 0, i;
+    if (!nt_init) {
+        for (i = 0; i < 256; i++) nt_idx[i] = -1;
+        nt_idx['A'] = nt_idx['a'] = 0;
+        nt_idx['C'] = nt_idx['c'] = 1;
+        nt_idx['G'] = nt_idx['g'] = 2;
+        nt_idx['T'] = nt_idx['t'] = 3;
+        nt_init = 1;
+    }
+    if (len <= 2) return 0.0;
+    for (i = 0; i < 17; i++) freq[i] = 0;
+    for (i = 0; i < len - 1; i++) {
+        int a = nt_idx[(unsigned char)seq[i]];
+        int b = nt_idx[(unsigned char)seq[i + 1]];
+        int idx = (a < 0 || b < 0) ? 16 : a * 4 + b;
+        running += freq[idx];
+        freq[idx]++;
+    }
+    return (10.0 * (double)running / (double)(len - 2)) / (double)len;
+}
+
+/* Burset dinucleotide pair frequency (refine-intron.c:376-556; python
+ * mirror pintron_tpu/factorize/burset.py). */
+static int burset_tab[16][16];
+static int burset_init_done = 0;
+
+static int b_idx(char c) {
+    switch (c) {
+    case 'A': case 'a': return 0;
+    case 'C': case 'c': return 1;
+    case 'G': case 'g': return 2;
+    case 'T': case 't': return 3;
+    default: return -1;
+    }
+}
+
+static void burset_init(void) {
+    static const struct { const char *d, *a; int f; } entries[] = {
+        {"AA","AG",1},{"AA","AT",1},{"AA","GT",1},
+        {"AC","CC",1},
+        {"AG","AC",1},{"AG","AG",5},{"AG","CT",2},{"AG","GC",1},
+        {"AG","TG",2},
+        {"AT","AA",1},{"AT","AC",8},{"AT","AG",7},{"AT","AT",2},
+        {"AT","GC",1},{"AT","GT",1},
+        {"CA","AG",1},{"CA","TT",1},
+        {"CC","AG",2},
+        {"CG","AG",1},{"CG","CA",1},
+        {"CT","AC",2},{"CT","CA",1},
+        {"GA","AG",8},{"GA","GT",1},{"GA","TC",1},{"GA","TG",1},
+        {"GC","AG",126},{"GC","GG",1},{"GC","TA",1},
+        {"GG","AC",1},{"GG","AG",11},{"GG","CA",1},{"GG","GA",2},
+        {"GG","TC",2},
+        {"GT","AG",200},{"GT","AC",4},{"GT","AT",2},{"GT","CA",9},
+        {"GT","CG",4},{"GT","CT",3},{"GT","GC",1},{"GT","GG",10},
+        {"GT","GT",1},{"GT","TA",7},{"GT","TC",2},{"GT","TG",8},
+        {"GT","TT",2},
+        {"TA","AG",6},{"TA","CG",1},{"TA","TC",1},
+        {"TC","AG",1},{"TC","GG",1},
+        {"TG","AC",1},{"TG","AG",7},{"TG","GG",2},
+        {"TT","AG",5},{"TT","AT",1},{"TT","GG",1},
+    };
+    size_t i;
+    memset(burset_tab, 0, sizeof(burset_tab));
+    for (i = 0; i < sizeof(entries) / sizeof(entries[0]); i++) {
+        int d = b_idx(entries[i].d[0]) * 4 + b_idx(entries[i].d[1]);
+        int a = b_idx(entries[i].a[0]) * 4 + b_idx(entries[i].a[1]);
+        burset_tab[d][a] = entries[i].f;
+    }
+    burset_init_done = 1;
+}
+
+static int burset_pair(char d0, char d1, char a0, char a1) {
+    int i0 = b_idx(d0), i1 = b_idx(d1), j0 = b_idx(a0), j1 = b_idx(a1);
+    if (!burset_init_done) burset_init();
+    if (i0 < 0 || i1 < 0 || j0 < 0 || j1 < 0) return 0;
+    return burset_tab[i0 * 4 + i1][j0 * 4 + j1];
+}
+
+/* adaptor: donor = t[cut1:cut1+2], acceptor = t[cut2-2:cut2] with the
+ * python mirror's clamped-slice semantics (burset.py:39-49) */
+static int burset_adaptor(const char *t, int64_t lt, int64_t cut1,
+                          int64_t cut2) {
+    if (cut2 < 2 || cut1 < 0) return 0;
+    if (cut1 + 2 > lt || cut2 > lt) return 0;
+    return burset_pair(t[cut1], t[cut1 + 1], t[cut2 - 2], t[cut2 - 1]);
+}
+
+/* Border refinement DP (refine.c:105-192; python mirror
+ * pintron_tpu/factorize/refine.py).  out6 = {ok, off_p, off_t1,
+ * lt - off_t2, best_edit, best_burset}. */
+void refine_borders_core(const char *p, int64_t lp, int64_t min_cut,
+                         int64_t max_cut, const char *t, int64_t lt,
+                         int64_t max_errs, int64_t *out6) {
+    int64_t tw = lp + max_errs < lt ? lp + max_errs : lt;
+    /* row minima (value, first position) of the (lp+1) x (tw+1) edit
+     * matrix with rows over p prefixes, for the forward and reversed
+     * strings */
+    int64_t *min_pp = (int64_t *)malloc((lp + 1) * sizeof(int64_t));
+    int64_t *pos_pp = (int64_t *)malloc((lp + 1) * sizeof(int64_t));
+    int64_t *min_sp = (int64_t *)malloc((lp + 1) * sizeof(int64_t));
+    int64_t *pos_sp = (int64_t *)malloc((lp + 1) * sizeof(int64_t));
+    int64_t *prev = (int64_t *)malloc((tw + 1) * sizeof(int64_t));
+    int64_t *cur = (int64_t *)malloc((tw + 1) * sizeof(int64_t));
+    int64_t i, j, pass;
+    int64_t off_p, off_t1, off_t2, best, best_burset;
+    if (!min_pp || !pos_pp || !min_sp || !pos_sp || !prev || !cur) {
+        out6[0] = -1;
+        goto done;
+    }
+    for (pass = 0; pass < 2; pass++) {
+        int64_t *mn = pass ? min_sp : min_pp;
+        int64_t *ps = pass ? pos_sp : pos_pp;
+        int64_t *tmp;
+        for (j = 0; j <= tw; j++) prev[j] = j;
+        mn[0] = 0; ps[0] = 0;
+        for (i = 1; i <= lp; i++) {
+            char pc = pass ? p[lp - i] : p[i - 1];
+            int64_t rmin, rpos;
+            cur[0] = i;
+            rmin = i; rpos = 0;
+            for (j = 1; j <= tw; j++) {
+                /* reversed pass: rt = reverse(t), window rt[:tw] reads
+                 * t[lt-1], t[lt-2], ..., t[lt-tw] */
+                char tc = pass ? t[lt - j] : t[j - 1];
+                int64_t v = prev[j - 1] + (tc != pc);
+                if (prev[j] + 1 < v) v = prev[j] + 1;
+                if (cur[j - 1] + 1 < v) v = cur[j - 1] + 1;
+                cur[j] = v;
+                if (v < rmin) { rmin = v; rpos = j; }
+            }
+            mn[i] = rmin; ps[i] = rpos;
+            tmp = prev; prev = cur; cur = tmp;
+        }
+    }
+    off_p = min_cut;
+    off_t1 = pos_pp[min_cut];
+    off_t2 = pos_sp[lp - min_cut];
+    best = min_pp[min_cut] + min_sp[lp - min_cut];
+    best_burset = burset_adaptor(t, lt, off_t1, lt - off_t2);
+    for (i = min_cut + 1; i <= max_cut; i++) {
+        int64_t curr = min_pp[i] + min_sp[lp - i];
+        int64_t curr_burset = burset_adaptor(t, lt, pos_pp[i],
+                                             lt - pos_sp[lp - i]);
+        if (best > curr || (best == curr && curr_burset > best_burset)) {
+            best = curr;
+            off_p = i;
+            off_t1 = pos_pp[i];
+            off_t2 = pos_sp[lp - i];
+            best_burset = curr_burset;
+        }
+    }
+    out6[0] = best <= max_errs ? 1 : 0;
+    out6[1] = off_p;
+    out6[2] = off_t1;
+    out6[3] = lt - off_t2;
+    out6[4] = best;
+    out6[5] = best_burset;
+done:
+    free(min_pp); free(pos_pp); free(min_sp); free(pos_sp);
+    free(prev); free(cur);
+}
+
+/* Full gap alignment: fill + traceback in one call (python mirror
+ * pintron_tpu/factorize/gap_align.py).  est_al/gen_al must have capacity
+ * n + m.  out7 = {align_len, factor_cut, intron_start, intron_end,
+ * intron_start_on_align, intron_end_on_align, start_matrix}. */
+void gap_align_run(const char *est, int64_t n, const char *gen, int64_t m,
+                   char *est_al, char *gen_al, int64_t *out7) {
+    int64_t stride = m + 1;
+    int8_t *Ldir = (int8_t *)malloc((n + 1) * stride);
+    int8_t *Gdir = (int8_t *)malloc((n + 1) * stride);
+    int8_t *Rdir = (int8_t *)malloc((n + 1) * stride);
+    int64_t finals[3];
+    int64_t i, j, sm, cap = n + m, w;
+    int64_t jump_w[2]; int64_t njump = 0;
+    int64_t factor_cut = 0, intron_start = 0, intron_end = 0;
+    int64_t is_al = 0, ie_al = 0, total, start_matrix;
+    if (!Ldir || !Gdir || !Rdir) { out7[0] = -1; goto done; }
+    gap_align_fill(est, n, gen, m, Ldir, Gdir, Rdir, finals);
+
+    if (finals[2] >= finals[1])
+        start_matrix = finals[2] >= finals[0] ? 2 : 0;
+    else
+        start_matrix = finals[1] >= finals[0] ? 1 : 0;
+
+    i = n; j = m; sm = start_matrix; w = cap;
+    while (i > 0 && j > 0) {
+        int8_t d;
+        if (sm == 2) d = Rdir[i * stride + j];
+        else if (sm == 1) d = Gdir[i * stride + j];
+        else d = Ldir[i * stride + j];
+        w--;
+        if (d == 0) {
+            est_al[w] = est[i - 1]; gen_al[w] = gen[j - 1];
+            i--; j--;
+        } else if (d == 1) {
+            est_al[w] = est[i - 1]; gen_al[w] = '-';
+            i--;
+        } else {
+            if (d == -2) {
+                if (sm == 2) { intron_end = j - 1; factor_cut = i; }
+                else intron_start = j - 1;
+                sm--;
+                if (njump < 2) jump_w[njump++] = w;
+            }
+            est_al[w] = '-'; gen_al[w] = gen[j - 1];
+            j--;
+        }
+    }
+    while (i > 0) { w--; est_al[w] = est[i - 1]; gen_al[w] = '-'; i--; }
+    while (j > 0) { w--; est_al[w] = '-'; gen_al[w] = gen[j - 1]; j--; }
+    total = cap - w;
+    if (w > 0) {
+        memmove(est_al, est_al + w, total);
+        memmove(gen_al, gen_al + w, total);
+    }
+    /* forward emission index of a jump = its buffer index - w */
+    if (start_matrix == 2) {
+        if (njump >= 1) ie_al = jump_w[0] - w;
+        if (njump >= 2) is_al = jump_w[1] - w;
+    } else if (start_matrix == 1) {
+        if (njump >= 1) is_al = jump_w[0] - w;
+    }
+    out7[0] = total;
+    out7[1] = factor_cut;
+    out7[2] = intron_start;
+    out7[3] = intron_end;
+    out7[4] = is_al;
+    out7[5] = ie_al;
+    out7[6] = start_matrix;
+done:
+    free(Ldir); free(Gdir); free(Rdir);
+}
+
+/* Full NW alignment: fill + traceback (python mirror
+ * pintron_tpu/factorize/alignments.py:compute_alignment).  est_al/gen_al
+ * capacity n + m; returns the score; *out_len = alignment length. */
+int64_t nw_align_run(const char *est, int64_t n, const char *gen, int64_t m,
+                     char *est_al, char *gen_al, int64_t *out_len) {
+    int64_t stride = m + 1;
+    int8_t *dirs = (int8_t *)malloc((n + 1) * stride);
+    int64_t score, i, j, cap = n + m, w;
+    if (!dirs) return -1;
+    score = nw_align(est, n, gen, m, dirs);
+    if (score < 0) { free(dirs); return -1; }
+    i = n; j = m; w = cap;
+    while (i > 0 && j > 0) {
+        int8_t d = dirs[i * stride + j];
+        w--;
+        if (d == 0) {
+            est_al[w] = est[i - 1]; gen_al[w] = gen[j - 1]; i--; j--;
+        } else if (d == 1) {
+            est_al[w] = est[i - 1]; gen_al[w] = '-'; i--;
+        } else {
+            est_al[w] = '-'; gen_al[w] = gen[j - 1]; j--;
+        }
+    }
+    while (i > 0) { w--; est_al[w] = est[i - 1]; gen_al[w] = '-'; i--; }
+    while (j > 0) { w--; est_al[w] = '-'; gen_al[w] = gen[j - 1]; j--; }
+    if (w > 0) {
+        memmove(est_al, est_al + w, cap - w);
+        memmove(gen_al, gen_al + w, cap - w);
+    }
+    *out_len = cap - w;
+    free(dirs);
+    return score;
+}
