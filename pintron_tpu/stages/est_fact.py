@@ -351,6 +351,51 @@ def write_multifasta_output(gen: mf.EstInfo, est: FactorizedEst,
                          f"{est_sub} {gen_sub}\n")
 
 
+# Globals inherited by fork()ed worker processes (set by run_est_fact
+# just before the pool is created; copy-on-write, read-only in workers).
+_WORKER_CTX = None
+
+
+def _process_unit(unit: List[mf.EstInfo]) -> Tuple[str, str, str, str, str,
+                                                   str]:
+    """Process one independent EST unit (a fixed-strand EST alone, or a
+    forward EST followed by its reverse-complement copy) and return the
+    text each output file receives, in (raw, megs, processed-megs,
+    megs-info, processed-ests, meg-edges) order.  Mirrors the sequential
+    loop of main-est-fact.c:247-291: the RC copy is skipped when the
+    forward strand aligned."""
+    import io
+    gen, tree, gen_seq_bytes, config = _WORKER_CTX
+    f_out = io.StringIO()
+    fmeg = io.StringIO()
+    fpmeg = io.StringIO()
+    ftmeg = io.StringIO()
+    f_est_out = io.StringIO()
+    fintronic = io.StringIO()
+    k = 0
+    is_reverse = False
+    while k < len(unit):
+        est = unit[k]
+        factorized = compute_est_fact(gen, est, tree, gen_seq_bytes,
+                                      config, fmeg, fpmeg, ftmeg,
+                                      fintronic)
+        if factorized.factorizations:
+            write_multifasta_output(gen, factorized, f_out,
+                                    config.retain_externals)
+            f_est_out.write(f">{est.est_id}\n{est.original_seq}\n")
+            if not est.fixed_strand and not is_reverse:
+                k += 1  # forward aligned: skip its reverse copy
+            is_reverse = False
+        else:
+            if is_reverse or est.fixed_strand:
+                is_reverse = False
+            else:
+                is_reverse = True
+        k += 1
+    return (f_out.getvalue(), fmeg.getvalue(), fpmeg.getvalue(),
+            ftmeg.getvalue(), f_est_out.getvalue(), fintronic.getvalue())
+
+
 def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
                  log=lambda *a: None) -> None:
     """The est-fact stage entry point (main-est-fact.c:90-339)."""
@@ -389,32 +434,51 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
     gen_seq_bytes = gen.seq.encode("latin1")
     tree = SuffixTree(gen_seq_bytes)
 
+    # Independent work units: a fixed-strand EST alone, or a forward EST
+    # together with the RC copy appended right after it above.  Units
+    # never share state (the genomic index is read-only), so they are the
+    # data-parallel axis — across host workers here, across devices/hosts
+    # in pintron_tpu.parallel.
+    units: List[List[mf.EstInfo]] = []
+    i = 0
+    while i < len(est_list):
+        if not est_list[i].fixed_strand:
+            units.append([est_list[i], est_list[i + 1]])
+            i += 2
+        else:
+            units.append([est_list[i]])
+            i += 1
+
+    global _WORKER_CTX
+    _WORKER_CTX = (gen, tree, gen_seq_bytes, config)
+    try:
+        nworkers = int(os.environ.get("PINTRON_EST_WORKERS", "0")) \
+            or (os.cpu_count() or 1)
+        nworkers = min(nworkers, len(units))
+        results = None
+        if nworkers > 1:
+            import multiprocessing
+            try:
+                ctx = multiprocessing.get_context("fork")
+                with ctx.Pool(nworkers) as pool:
+                    results = pool.map(_process_unit, units, chunksize=1)
+            except (ValueError, OSError):
+                results = None  # fork unavailable: fall through
+        if results is None:
+            results = [_process_unit(u) for u in units]
+    finally:
+        _WORKER_CTX = None
+
     with open(wpath("raw-multifasta-out.txt"), "w") as f_out, \
             open(wpath("megs.txt"), "w") as fmeg, \
             open(wpath("processed-megs.txt"), "w") as fpmeg, \
             open(wpath("processed-megs-info.txt"), "w") as ftmeg, \
             open(wpath("processed-ests.txt"), "w") as f_est_out, \
             open(wpath("meg-edges.txt"), "w") as fintronic:
-        # `is_reverse` tracks whether the current entry is the RC copy of
-        # the preceding one (main-est-fact.c:247-284 `reversed` flag).
-        k = 0
-        is_reverse = False
-        while k < len(est_list):
-            est = est_list[k]
-            log("EST:", est.est_id)
-            factorized = compute_est_fact(gen, est, tree, gen_seq_bytes,
-                                          config, fmeg, fpmeg, ftmeg,
-                                          fintronic)
-            if factorized.factorizations:
-                write_multifasta_output(gen, factorized, f_out,
-                                        config.retain_externals)
-                f_est_out.write(f">{est.est_id}\n{est.original_seq}\n")
-                if not est.fixed_strand and not is_reverse:
-                    k += 1  # forward aligned: skip its reverse copy
-                is_reverse = False
-            else:
-                if is_reverse or est.fixed_strand:
-                    is_reverse = False
-                else:
-                    is_reverse = True  # next entry is the reverse copy
-            k += 1
+        for raw, megs, pmegs, tmeg, est_out, intronic in results:
+            f_out.write(raw)
+            fmeg.write(megs)
+            fpmeg.write(pmegs)
+            ftmeg.write(tmeg)
+            f_est_out.write(est_out)
+            fintronic.write(intronic)
