@@ -47,16 +47,13 @@ def compute_alignment(est_seq: str, gen_seq: str) -> Alignment:
 
     lib = _get_native_lib()
     if lib is not None:
-        import ctypes
-        cap = n + m
-        est_buf = ctypes.create_string_buffer(cap + 1)
-        gen_buf = ctypes.create_string_buffer(cap + 1)
-        out_len = ctypes.c_int64(0)
+        from pintron_tpu.native import get_scratch
+        est_buf, gen_buf, out = get_scratch(n + m)
         score = lib.nw_align_run(est_seq.encode("latin1"), n,
                                  gen_seq.encode("latin1"), m,
-                                 est_buf, gen_buf, ctypes.byref(out_len))
+                                 est_buf, gen_buf, out)
         if score >= 0:
-            total = out_len.value
+            total = out[0]
             return Alignment(est_buf.raw[:total].decode("latin1"),
                              gen_buf.raw[:total].decode("latin1"),
                              int(score))

@@ -37,14 +37,11 @@ def compute_gap_alignment(est_seq: str, gen_seq: str) -> GapAlignment:
     n = len(est_seq)
     m = len(gen_seq)
 
-    from pintron_tpu.native import get_lib
+    from pintron_tpu.native import get_lib, get_scratch
     lib = get_lib()
     if lib is not None:
-        import ctypes
         cap = n + m
-        est_buf = ctypes.create_string_buffer(cap + 1)
-        gen_buf = ctypes.create_string_buffer(cap + 1)
-        out = (ctypes.c_int64 * 7)()
+        est_buf, gen_buf, out = get_scratch(cap)
         lib.gap_align_run(est_seq.encode("latin1"), n,
                           gen_seq.encode("latin1"), m,
                           est_buf, gen_buf, out)

@@ -22,11 +22,10 @@ def general_refine_borders(p: str, min_p_cut: int, max_p_cut: int,
     len_p = len(p)
     len_t = len(t)
 
-    from pintron_tpu.native import get_lib
+    from pintron_tpu.native import get_lib, get_scratch
     lib = get_lib()
     if lib is not None:
-        import ctypes
-        out = (ctypes.c_int64 * 6)()
+        _, _, out = get_scratch(0)
         lib.refine_borders_core(p.encode("latin1"), len_p,
                                 min_p_cut, max_p_cut,
                                 t.encode("latin1"), len_t, max_errs, out)

@@ -113,3 +113,23 @@ def get_lib():
         except Exception:
             _LIB = None
     return _LIB
+
+
+# Reusable scratch buffers for the string-returning kernels.  The
+# pipeline is single-threaded per process (parallelism is process-based),
+# so one pair of char buffers plus an int64 out-array per process is
+# safe and avoids a create_string_buffer round-trip per call.
+_SCRATCH_CAP = 0
+_SCRATCH = None
+
+
+def get_scratch(cap: int):
+    """Return (est_buf, gen_buf, out8) char/int64 scratch with at least
+    ``cap`` writable chars in each char buffer."""
+    global _SCRATCH_CAP, _SCRATCH
+    if cap >= _SCRATCH_CAP:
+        _SCRATCH_CAP = max(2 * cap + 64, 1 << 12)
+        _SCRATCH = (ctypes.create_string_buffer(_SCRATCH_CAP),
+                    ctypes.create_string_buffer(_SCRATCH_CAP),
+                    (ctypes.c_int64 * 8)())
+    return _SCRATCH
