@@ -149,10 +149,10 @@ def build_vertex_set(pattern: bytes, tree: SuffixTree, gen: bytes,
     return V
 
 
-def _native_vertex_scan(lib, pattern: bytes, tree: SuffixTree,
+def _native_scan_arrays(lib, pattern: bytes, tree: SuffixTree,
                         config: Config, alph_index, alph_size):
-    """Invoke the C vertex scan; returns per-position pairing columns or
-    None if the native call is unavailable/failed."""
+    """Invoke the C vertex scan; returns raw (p, t, l, n) arrays or None
+    if the native call is unavailable/failed."""
     import numpy as np
     flat = tree.flat_arrays()
     a256 = np.full(256, alph_size, dtype=np.int64)
@@ -181,11 +181,102 @@ def _native_vertex_scan(lib, pattern: bytes, tree: SuffixTree,
             cap = -n
             continue
         break
+    return out_p, out_t, out_l, int(n)
+
+
+def _native_vertex_scan(lib, pattern: bytes, tree: SuffixTree,
+                        config: Config, alph_index, alph_size):
+    """Invoke the C vertex scan; returns per-position pairing columns or
+    None if the native call is unavailable/failed."""
+    arrs = _native_scan_arrays(lib, pattern, tree, config, alph_index,
+                               alph_size)
+    if arrs is None:
+        return None
+    out_p, out_t, out_l, n = arrs
+    plen = len(pattern)
     cols: List[List[Pairing]] = [[] for _ in range(plen)]
     for k in range(n):
         cols[out_p[k]].append(Pairing(int(out_p[k]), int(out_t[k]),
                                       int(out_l[k])))
     return cols
+
+
+def build_meg_native(pattern: bytes, tree: SuffixTree, gen: bytes,
+                     shared_config: Config, config: Config,
+                     inc_pairing_len: int):
+    """Full native MEG construction: vertex scan + edges + simplification
+    + transitive reduction + compaction + complexity-retry ladder, all in
+    one C pass per attempt (compute-est-fact.c:90-152 semantics).
+    Returns (V, inc_pairing_len) or (None, inc_pairing_len) if the native
+    library is unavailable."""
+    import numpy as np
+
+    from pintron_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "meg_build"):
+        return None, inc_pairing_len
+
+    plen = len(pattern)
+    alphabet = sorted(set(gen))
+    alph_index = {c: k for k, c in enumerate(alphabet)}
+    alph_size = len(alphabet)
+
+    while True:
+        config.min_factor_len = (shared_config.min_factor_len
+                                 + inc_pairing_len)
+        arrs = _native_scan_arrays(lib, pattern, tree, config, alph_index,
+                                   alph_size)
+        if arrs is None:
+            return None, inc_pairing_len
+        in_p, in_t, in_l, n = arrs
+
+        cap_v = n + 16
+        cap_e = max(8 * n, 1024)
+        flags = np.zeros(5, dtype=np.int64)
+        while True:
+            out_p = np.empty(cap_v, dtype=np.int64)
+            out_t = np.empty(cap_v, dtype=np.int64)
+            out_l = np.empty(cap_v, dtype=np.int64)
+            out_col = np.empty(cap_v, dtype=np.int64)
+            out_off = np.empty(cap_v + 1, dtype=np.int64)
+            out_adj = np.empty(cap_e, dtype=np.int64)
+            nv = lib.meg_build(
+                in_p.ctypes.data, in_t.ctypes.data, in_l.ctypes.data,
+                n, plen,
+                config.min_factor_len, config.max_intron_length,
+                config.min_intron_length,
+                config.max_prefix_discarded_rate,
+                config.max_suffix_discarded_rate,
+                config.max_pairings_in_MEG,
+                config.max_freq_shortest_pairing,
+                1 if config.trans_red else 0,
+                1 if config.short_edge_comp else 0,
+                out_p.ctypes.data, out_t.ctypes.data, out_l.ctypes.data,
+                out_col.ctypes.data, out_off.ctypes.data,
+                out_adj.ctypes.data, flags.ctypes.data, cap_v, cap_e)
+            if nv == -2:
+                cap_v = int(flags[3]) + 1
+                cap_e = int(flags[4]) + 1
+                continue
+            if nv < 0:
+                return None, inc_pairing_len
+            break
+
+        too_complex = bool(flags[0])
+        if too_complex and (shared_config.min_factor_len + inc_pairing_len
+                            + 1 + 2 < plen + 2):
+            inc_pairing_len += 1
+            continue
+
+        verts = [Pairing(int(out_p[k]), int(out_t[k]), int(out_l[k]))
+                 for k in range(nv)]
+        for k in range(nv):
+            a0, a1 = int(out_off[k]), int(out_off[k + 1])
+            verts[k].adjs = [verts[int(out_adj[e])] for e in range(a0, a1)]
+        V: MEG = [[] for _ in range(plen + 2)]
+        for k in range(nv):
+            V[int(out_col[k])].append(verts[k])
+        return V, inc_pairing_len
 
 
 def _append_sink_and_cleanup(V: MEG) -> None:

@@ -86,6 +86,17 @@ def _build_and_load():
         + [ctypes.c_double, ctypes.c_int64]    # rate, min_len
         + [ctypes.c_void_p] * 3                # out p t l
         + [ctypes.c_int64])                    # cap
+    lib.meg_build.restype = ctypes.c_int64
+    lib.meg_build.argtypes = (
+        [ctypes.c_void_p] * 3                  # in p t l
+        + [ctypes.c_int64] * 2                 # n_in, plen
+        + [ctypes.c_int64] * 3                 # min_factor, max/min intron
+        + [ctypes.c_double] * 2                # prefix/suffix rates
+        + [ctypes.c_int64, ctypes.c_double]    # max_pairings, max_freq
+        + [ctypes.c_int64] * 2                 # trans_red, short_edge_comp
+        + [ctypes.c_void_p] * 6                # out p t l col off adj
+        + [ctypes.c_void_p]                    # flags
+        + [ctypes.c_int64] * 2)                # cap_v, cap_e
     lib.dust_score_c.restype = ctypes.c_double
     lib.dust_score_c.argtypes = [ctypes.c_char_p, ctypes.c_int64]
     lib.refine_borders_core.restype = None

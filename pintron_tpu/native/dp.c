@@ -974,3 +974,636 @@ int64_t nw_align_run(const char *est, int64_t n, const char *gen, int64_t m,
     free(dirs);
     return score;
 }
+
+/* ---- MEG build: edges + simplification + transitive reduction +
+ * compaction ------------------------------------------------------------
+ * Native mirror of pintron_tpu/meg/graph.py (build_edge_set,
+ * _append_sink_and_cleanup) and pintron_tpu/meg/simplify.py
+ * (remove_useless_edges, remove_other_sources_and_sinks,
+ * compact_short_edges, transitive_reduction, complexity gates), which in
+ * turn rebuild max-emb-graph.c:382-672 and meg-simplification.c.  All
+ * list orders (column order, adjacency order, incidence order) match the
+ * Python/reference semantics exactly — they are output-defining. */
+
+#define MEG_SOURCE_P (-(int64_t)2147483648LL)
+#define MEG_SINK_P   ((int64_t)2147483647LL - 200)
+
+typedef struct { int64_t *d; int64_t n, cap; } ivec;
+
+static int iv_push(ivec *v, int64_t x) {
+    if (v->n == v->cap) {
+        int64_t nc = v->cap ? v->cap * 2 : 8;
+        int64_t *nd = (int64_t *)realloc(v->d, nc * sizeof(int64_t));
+        if (!nd) return 0;
+        v->d = nd; v->cap = nc;
+    }
+    v->d[v->n++] = x;
+    return 1;
+}
+
+static void iv_del_at(ivec *v, int64_t k) {
+    memmove(v->d + k, v->d + k + 1, (v->n - k - 1) * sizeof(int64_t));
+    v->n--;
+}
+
+/* remove first occurrence by value; no-op if absent */
+static void iv_del_val(ivec *v, int64_t x) {
+    int64_t k;
+    for (k = 0; k < v->n; k++)
+        if (v->d[k] == x) { iv_del_at(v, k); return; }
+}
+
+typedef struct {
+    int64_t p, t, l;
+    ivec adjs, incs;
+    int64_t id;
+} mvert;
+
+typedef struct {
+    mvert *v; int64_t nv, cap_v;
+    ivec *cols; int64_t ncols;
+    int oom;
+} meg_t;
+
+static int64_t meg_new_vert(meg_t *g, int64_t p, int64_t t, int64_t l) {
+    if (g->nv == g->cap_v) {
+        int64_t nc = g->cap_v * 2;
+        mvert *nd = (mvert *)realloc(g->v, nc * sizeof(mvert));
+        if (!nd) { g->oom = 1; return -1; }
+        g->v = nd; g->cap_v = nc;
+    }
+    {
+        mvert *m = &g->v[g->nv];
+        m->p = p; m->t = t; m->l = l;
+        m->adjs.d = NULL; m->adjs.n = 0; m->adjs.cap = 0;
+        m->incs.d = NULL; m->incs.n = 0; m->incs.cap = 0;
+        m->id = -1;
+        return g->nv++;
+    }
+}
+
+static int meg_edge_strict(const mvert *I, const mvert *J, int64_t l,
+                           int64_t fl, int64_t max_intron) {
+    int I_is_long = I->l >= 5 * l;
+    if (J->p <= I->p) return 0;
+    if (J->t <= I->t) return 0;
+    if (I->p + I->l <= J->p && J->p <= I->p + I->l + fl) {
+        if (I->t + I->l <= J->t
+            && (max_intron == 0 || J->t <= I->t + I->l + max_intron))
+            return 1;
+        if (I->t + 2 * l <= J->t + J->l && J->t < I->t + I->l
+            && J->p + I->t - I->p - J->t <= fl) {
+            if (I_is_long
+                && (double)(I->t + I->l - J->t) > 0.4 * (double)I->l)
+                return 0;
+            return 1;
+        }
+    } else if (I->p + 2 * l <= J->p + J->l && J->p < I->p + I->l) {
+        if (I->t + I->l <= J->t
+            && (max_intron == 0 || J->t <= I->t + I->l + max_intron))
+            return 1;
+        if (I->t + 2 * l <= J->t + J->l && J->t < I->t + I->l
+            && J->p + I->t - I->p - J->t <= fl)
+            return 1;
+    }
+    return 0;
+}
+
+/* prune vertices with no adjacents or no incidents, to fixpoint */
+static void meg_remove_other_ss(meg_t *g) {
+    int removed;
+    int64_t i, k, e;
+    do {
+        removed = 0;
+        for (i = 1; i < g->ncols - 1; i++) {
+            ivec *col = &g->cols[i];
+            k = 0;
+            while (k < col->n) {
+                int64_t vi = col->d[k];
+                mvert *I = &g->v[vi];
+                if (I->adjs.n == 0 || I->incs.n == 0) {
+                    removed = 1;
+                    for (e = 0; e < I->adjs.n; e++)
+                        iv_del_val(&g->v[I->adjs.d[e]].incs, vi);
+                    for (e = 0; e < I->incs.n; e++)
+                        iv_del_val(&g->v[I->incs.d[e]].adjs, vi);
+                    I->adjs.n = 0;
+                    I->incs.n = 0;
+                    iv_del_at(col, k);
+                } else {
+                    k++;
+                }
+            }
+        }
+    } while (removed);
+}
+
+static void meg_stats_c(const meg_t *g, int64_t *tot_p, int64_t *tot_e) {
+    int64_t i, k, tp = 0, te = 0;
+    for (i = 0; i < g->ncols; i++)
+        for (k = 0; k < g->cols[i].n; k++) {
+            tp++;
+            te += g->v[g->cols[i].d[k]].adjs.n;
+        }
+    *tot_p = tp;
+    *tot_e = te;
+}
+
+/* iterative DFS topological ids (meg-simplification.c:360-470; python
+ * mirror simplify.py:_dfs_topological_ids).  Returns acyclic flag. */
+static int meg_topo_ids(meg_t *g, int64_t *flat, int64_t nv, int64_t *ids) {
+    unsigned char *color = (unsigned char *)calloc(nv, 1);
+    ivec S = {NULL, 0, 0};
+    int is_acyclic = 1;
+    int64_t k, progr_id = nv;
+    if (!color) { g->oom = 1; return 0; }
+    for (k = 0; k < nv; k++) g->v[flat[k]].id = k;
+    for (k = 0; k < nv; k++)
+        if (g->v[flat[k]].incs.n == 0)
+            if (!iv_push(&S, k)) { g->oom = 1; goto out; }
+    if (S.n == 0) is_acyclic = 0;
+    for (;;) {
+        while (S.n > 0) {
+            int64_t v_id = S.d[--S.n];
+            if (color[v_id] == 0) {
+                mvert *v = &g->v[flat[v_id]];
+                int64_t a;
+                color[v_id] = 1;
+                if (!iv_push(&S, v_id)) { g->oom = 1; goto out; }
+                for (a = 0; a < v->adjs.n; a++) {
+                    int64_t aid = g->v[v->adjs.d[a]].id;
+                    if (color[aid] == 0) {
+                        if (!iv_push(&S, aid)) { g->oom = 1; goto out; }
+                    } else if (color[aid] == 1) {
+                        is_acyclic = 0;
+                    }
+                }
+            } else if (color[v_id] == 1) {
+                color[v_id] = 2;
+                ids[v_id] = --progr_id;
+            }
+        }
+        {
+            int restarted = 0;
+            for (k = 0; k < nv; k++)
+                if (color[k] == 0) {
+                    is_acyclic = 0;
+                    if (!iv_push(&S, k)) { g->oom = 1; goto out; }
+                    restarted = 1;
+                    break;
+                }
+            if (!restarted) break;
+        }
+    }
+out:
+    free(color); free(S.d);
+    return is_acyclic;
+}
+
+/* portable insertion sort by vertex id (lists are tiny; avoids
+ * qsort_r portability issues) */
+static void sort_by_id(ivec *lst, const mvert *vs) {
+    int64_t i, j;
+    for (i = 1; i < lst->n; i++) {
+        int64_t x = lst->d[i];
+        int64_t xid = vs[x].id;
+        j = i - 1;
+        while (j >= 0 && vs[lst->d[j]].id > xid) {
+            lst->d[j + 1] = lst->d[j];
+            j--;
+        }
+        lst->d[j + 1] = x;
+    }
+}
+
+/* transitive reduction (meg-simplification.c:518-632; python mirror
+ * simplify.py:transitive_reduction).  Returns 1 if applied (acyclic). */
+static int meg_trans_red(meg_t *g) {
+    int64_t nv = 0, i, k;
+    int64_t *flat, *ids;
+    ivec *outs_star, *outs_red, *outs_red_inc;
+    unsigned char *star_bits;
+    int64_t words;
+    for (i = 0; i < g->ncols; i++) nv += g->cols[i].n;
+    if (nv == 0) return 1;
+    flat = (int64_t *)malloc(nv * sizeof(int64_t));
+    ids = (int64_t *)malloc(nv * sizeof(int64_t));
+    if (!flat || !ids) { g->oom = 1; free(flat); free(ids); return 0; }
+    k = 0;
+    for (i = 0; i < g->ncols; i++) {
+        int64_t j;
+        for (j = 0; j < g->cols[i].n; j++) flat[k++] = g->cols[i].d[j];
+    }
+    if (!meg_topo_ids(g, flat, nv, ids)) {
+        free(flat); free(ids);
+        return 0;  /* cyclic (or oom): leave untouched */
+    }
+    /* assign topological rank as id; build rank->vertex order */
+    {
+        int64_t *by_rank = (int64_t *)malloc(nv * sizeof(int64_t));
+        if (!by_rank) { g->oom = 1; free(flat); free(ids); return 0; }
+        for (k = 0; k < nv; k++) {
+            g->v[flat[k]].id = ids[k];
+            by_rank[ids[k]] = flat[k];
+        }
+        free(flat);
+        flat = by_rank;  /* now topologically ordered vertex indices */
+    }
+    for (k = 0; k < nv; k++) {
+        sort_by_id(&g->v[flat[k]].adjs, g->v);
+        sort_by_id(&g->v[flat[k]].incs, g->v);
+    }
+    outs_star = (ivec *)calloc(nv, sizeof(ivec));
+    outs_red = (ivec *)calloc(nv, sizeof(ivec));
+    outs_red_inc = (ivec *)calloc(nv, sizeof(ivec));
+    words = (nv + 7) / 8;
+    star_bits = (unsigned char *)malloc(words);
+    if (!outs_star || !outs_red || !outs_red_inc || !star_bits) {
+        g->oom = 1;
+        goto tr_out;
+    }
+    for (i = nv - 1; i >= 0; i--) {
+        int64_t vi = flat[i];
+        mvert *v = &g->v[vi];
+        int64_t a;
+        memset(star_bits, 0, words);
+        star_bits[i >> 3] |= (unsigned char)(1u << (i & 7));
+        if (!iv_push(&outs_star[i], vi)) { g->oom = 1; goto tr_out; }
+        for (a = 0; a < v->adjs.n; a++) {
+            int64_t wi = v->adjs.d[a];
+            mvert *w = &g->v[wi];
+            int64_t wid = w->id;
+            int in_star = (star_bits[wid >> 3] >> (wid & 7)) & 1;
+            int keep = !in_star
+                || w->p < v->p || w->t < v->t
+                || w->p + w->l < v->p + v->l || w->t + w->l < v->t + v->l;
+            if (keep) {
+                if (!iv_push(&outs_red[i], wi)) { g->oom = 1; goto tr_out; }
+                if (!iv_push(&outs_red_inc[wid], vi)) {
+                    g->oom = 1; goto tr_out;
+                }
+                if (!(w->p + w->l < v->p + v->l
+                      || w->t + w->l < v->t + v->l)) {
+                    int64_t s;
+                    for (s = 0; s < outs_star[wid].n; s++) {
+                        int64_t wai = outs_star[wid].d[s];
+                        mvert *wa = &g->v[wai];
+                        int64_t waid = wa->id;
+                        if (!((star_bits[waid >> 3] >> (waid & 7)) & 1)) {
+                            if (v->t <= wa->t && v->p <= wa->p
+                                && v->t + v->l <= wa->t + wa->l
+                                && v->p + v->l <= wa->p + wa->l) {
+                                star_bits[waid >> 3] |=
+                                    (unsigned char)(1u << (waid & 7));
+                                if (!iv_push(&outs_star[i], wai)) {
+                                    g->oom = 1; goto tr_out;
+                                }
+                            }
+                        }
+                    }
+                }
+            }
+        }
+    }
+    for (i = 0; i < nv; i++) {
+        mvert *v = &g->v[flat[i]];
+        free(v->adjs.d);
+        v->adjs = outs_red[i];
+        outs_red[i].d = NULL;
+        free(v->incs.d);
+        v->incs = outs_red_inc[i];
+        outs_red_inc[i].d = NULL;
+    }
+tr_out:
+    if (outs_star) {
+        for (i = 0; i < nv; i++) free(outs_star[i].d);
+        free(outs_star);
+    }
+    if (outs_red) {
+        for (i = 0; i < nv; i++) free(outs_red[i].d);
+        free(outs_red);
+    }
+    if (outs_red_inc) {
+        for (i = 0; i < nv; i++) free(outs_red_inc[i].d);
+        free(outs_red_inc);
+    }
+    free(star_bits); free(flat); free(ids);
+    return 1;
+}
+
+/* Full MEG build.  Input: (p,t,l) pairing triples from vertex_scan (in
+ * emission order = column-major).  Output: alive vertices in column
+ * order with adjacency (indices into the output numbering).
+ * Returns the output vertex count, -1 on allocation failure, or
+ * -2 when caps are too small (needs in flags[3], flags[4]).
+ * flags: [0]=too_complex, [1]=tot_pairings, [2]=tot_edges,
+ *        [3]=needed_v, [4]=needed_e. */
+int64_t meg_build(const int64_t *in_p, const int64_t *in_t,
+                  const int64_t *in_l, int64_t n_in, int64_t plen,
+                  int64_t min_factor_len, int64_t max_intron_length,
+                  int64_t min_intron_length,
+                  double max_prefix_rate, double max_suffix_rate,
+                  int64_t max_pairings, double max_freq_shortest,
+                  int64_t trans_red, int64_t short_edge_comp,
+                  int64_t *out_p, int64_t *out_t, int64_t *out_l,
+                  int64_t *out_col, int64_t *out_adj_off, int64_t *out_adj,
+                  int64_t *flags, int64_t cap_v, int64_t cap_e) {
+    meg_t g;
+    int64_t i, k, ret = -1;
+    int64_t ncols = plen + 2;
+    int64_t l = min_factor_len, fl = 2 * min_factor_len + 1;
+    int64_t gl = 2 * min_factor_len + 3;
+    int too_complex = 0;
+
+    g.ncols = ncols;
+    g.cap_v = n_in + 16;
+    g.nv = 0;
+    g.oom = 0;
+    g.v = (mvert *)malloc(g.cap_v * sizeof(mvert));
+    g.cols = (ivec *)calloc(ncols, sizeof(ivec));
+    if (!g.v || !g.cols) { free(g.v); free(g.cols); return -1; }
+
+    /* source + sink sentinels and pairing columns (column = p + 1) */
+    {
+        int64_t src = meg_new_vert(&g, MEG_SOURCE_P, MEG_SOURCE_P, 200);
+        if (src < 0 || !iv_push(&g.cols[0], src)) goto fail;
+    }
+    for (k = 0; k < n_in; k++) {
+        int64_t vi = meg_new_vert(&g, in_p[k], in_t[k], in_l[k]);
+        if (vi < 0 || !iv_push(&g.cols[in_p[k] + 1], vi)) goto fail;
+    }
+    {
+        int64_t snk = meg_new_vert(&g, MEG_SINK_P, MEG_SINK_P, 200);
+        if (snk < 0 || !iv_push(&g.cols[ncols - 1], snk)) goto fail;
+    }
+
+    /* cross-column cleanup (max-emb-graph.c:349-375; python
+     * _append_sink_and_cleanup): filter col[i+1] against col[i], i
+     * descending from ncols-3 to 1 */
+    for (i = ncols - 3; i >= 1; i--) {
+        ivec *ca = &g.cols[i], *cb = &g.cols[i + 1];
+        int64_t kb = 0;
+        while (kb < cb->n) {
+            mvert *I1 = &g.v[cb->d[kb]];
+            int removed = 0;
+            int64_t ka;
+            for (ka = 0; ka < ca->n; ka++) {
+                mvert *I = &g.v[ca->d[ka]];
+                if (I->t == I1->t && I->l >= I1->l) { removed = 1; break; }
+            }
+            if (removed) iv_del_at(cb, kb);
+            else kb++;
+        }
+    }
+
+    /* edge set (max-emb-graph.c:532-672; python build_edge_set) */
+    for (i = 1; i < ncols - 1; i++) {
+        int64_t ki;
+        for (ki = 0; ki < g.cols[i].n; ki++) {
+            int64_t Ii = g.cols[i].d[ki];
+            mvert *I = &g.v[Ii];
+            int64_t ub = I->p + I->l + fl + 1;
+            int64_t j;
+            if (ncols - l < ub) ub = ncols - l;
+            for (j = 0; j < ub; j++) {
+                int64_t kj;
+                for (kj = 0; kj < g.cols[j].n; kj++) {
+                    int64_t Ji = g.cols[j].d[kj];
+                    mvert *J = &g.v[Ji];
+                    if (meg_edge_strict(I, J, l, fl, max_intron_length)) {
+                        if (!iv_push(&I->adjs, Ji)
+                            || !iv_push(&J->incs, Ii)) goto fail;
+                    }
+                }
+            }
+        }
+    }
+    /* source edges */
+    {
+        int64_t max_p = (int64_t)((double)plen * max_prefix_rate);
+        int64_t src = g.cols[0].d[0];
+        for (i = 1; i <= max_p && i < ncols; i++) {
+            int64_t ki;
+            for (ki = 0; ki < g.cols[i].n; ki++) {
+                int64_t Ii = g.cols[i].d[ki];
+                mvert *I = &g.v[Ii];
+                int possible = 1;
+                int64_t e;
+                for (e = 0; e < I->incs.n && possible; e++) {
+                    mvert *inc = &g.v[I->incs.d[e]];
+                    int disjoint =
+                        (inc->p + inc->l <= I->p || I->p + I->l <= inc->p)
+                        && (inc->t + inc->l <= I->t
+                            || I->t + I->l <= inc->t);
+                    possible = !disjoint;
+                    possible = possible
+                        && (inc->p + l > I->p || inc->t + l > I->t);
+                }
+                if (possible) {
+                    if (!iv_push(&g.v[src].adjs, Ii)
+                        || !iv_push(&I->incs, src)) goto fail;
+                }
+            }
+        }
+    }
+    /* sink edges */
+    {
+        int64_t min_p = (int64_t)((double)plen * (1.0 - max_suffix_rate));
+        int64_t snk = g.cols[ncols - 1].d[0];
+        for (i = 1; i <= plen; i++) {
+            int64_t ki;
+            for (ki = 0; ki < g.cols[i].n; ki++) {
+                int64_t Ii = g.cols[i].d[ki];
+                mvert *I = &g.v[Ii];
+                int possible = 1;
+                int64_t e;
+                if (I->p + I->l < min_p) continue;
+                for (e = 0; e < I->adjs.n && possible; e++) {
+                    mvert *adj = &g.v[I->adjs.d[e]];
+                    int disjoint =
+                        (adj->p + adj->l <= I->p || I->p + I->l <= adj->p)
+                        && (adj->t + adj->l <= I->t
+                            || I->t + I->l <= adj->t);
+                    possible = !disjoint;
+                    possible = possible
+                        && (I->p + I->l + l > adj->p + adj->l
+                            || I->t + I->l + l > adj->t + adj->l);
+                }
+                if (possible) {
+                    if (!iv_push(&g.v[snk].incs, Ii)
+                        || !iv_push(&I->adjs, snk)) goto fail;
+                }
+            }
+        }
+    }
+
+    /* simplify: remove useless edges, then orphan pruning */
+    for (i = 1; i < ncols; i++) {
+        int64_t ki;
+        for (ki = 0; ki < g.cols[i].n; ki++) {
+            int64_t Pi = g.cols[i].d[ki];
+            mvert *P = &g.v[Pi];
+            int64_t e = 0;
+            while (e < P->adjs.n) {
+                mvert *A = &g.v[P->adjs.d[e]];
+                if (A->t != MEG_SINK_P) {
+                    int64_t gap = A->t - A->p - P->t + P->p;
+                    if (gap < 0) gap = 0;
+                    if (gap > gl && gap < min_intron_length) {
+                        int64_t Ai = P->adjs.d[e];
+                        iv_del_at(&P->adjs, e);
+                        iv_del_val(&g.v[Ai].incs, Pi);
+                        continue;
+                    }
+                }
+                e++;
+            }
+        }
+    }
+    meg_remove_other_ss(&g);
+    if (g.oom) goto fail;
+
+    if (trans_red) {
+        meg_trans_red(&g);
+        if (g.oom) goto fail;
+    }
+
+    /* complexity gates + optional compaction (compute-est-fact.c:90-152
+     * ordering; python stages/est_fact.py:build_meg) */
+    {
+        int64_t tot_p, tot_e;
+        meg_stats_c(&g, &tot_p, &tot_e);
+        too_complex = (tot_e > 1000 || tot_p > 2000);
+    }
+    if (!too_complex && short_edge_comp) {
+        int removed;
+        do {
+            removed = 0;
+            for (i = 1; i < ncols; i++) {
+                ivec *col = &g.cols[i];
+                int64_t pi = 0;
+                while (pi < col->n) {
+                    int64_t Pi = col->d[pi];
+                    int64_t ai = 0;
+                    while (ai < g.v[Pi].adjs.n) {
+                        int64_t Ai = g.v[Pi].adjs.d[ai];
+                        mvert *A = &g.v[Ai];
+                        mvert *P = &g.v[Pi];
+                        int compact = 0;
+                        if (A->t != MEG_SINK_P
+                            && A->t + A->l - P->t == A->p + A->l - P->p)
+                            compact = (A->t >= P->t + P->l
+                                       && A->t - P->t - P->l <= 3);
+                        if (compact) {
+                            int64_t nv_i, e;
+                            removed = 1;
+                            iv_del_at(&g.v[Pi].adjs, ai);
+                            iv_del_val(&g.v[Ai].incs, Pi);
+                            nv_i = meg_new_vert(&g, g.v[Pi].p, g.v[Pi].t,
+                                                g.v[Ai].p + g.v[Ai].l
+                                                - g.v[Pi].p);
+                            if (nv_i < 0) goto fail;
+                            /* realloc may move g.v: refresh nothing, use
+                             * indices only below */
+                            for (e = 0; e < g.v[Ai].adjs.n; e++) {
+                                int64_t w = g.v[Ai].adjs.d[e];
+                                if (!iv_push(&g.v[nv_i].adjs, w)
+                                    || !iv_push(&g.v[w].incs, nv_i))
+                                    goto fail;
+                            }
+                            for (e = 0; e < g.v[Pi].incs.n; e++) {
+                                int64_t inc = g.v[Pi].incs.d[e];
+                                if (!iv_push(&g.v[nv_i].incs, inc)
+                                    || !iv_push(&g.v[inc].adjs, nv_i))
+                                    goto fail;
+                            }
+                            if (!iv_push(col, nv_i)) goto fail;
+                            continue;
+                        }
+                        ai++;
+                    }
+                    pi++;
+                }
+            }
+            meg_remove_other_ss(&g);
+            if (g.oom) goto fail;
+        } while (removed);
+    }
+
+    /* heuristic complexity gate (meg-simplification.c:89-140) */
+    {
+        int64_t min_len = 0, freq_min_len = 0, tot_p = 0, tot_e = 0;
+        for (i = 0; i < ncols; i++) {
+            int64_t ki;
+            for (ki = 0; ki < g.cols[i].n; ki++) {
+                mvert *P = &g.v[g.cols[i].d[ki]];
+                tot_p++;
+                if (min_len == 0 || P->l < min_len) {
+                    min_len = P->l;
+                    freq_min_len = 1;
+                } else if (P->l == min_len) {
+                    freq_min_len++;
+                }
+                tot_e += P->adjs.n;
+            }
+        }
+        flags[1] = tot_p;
+        flags[2] = tot_e;
+        if (tot_p >= 5 && tot_e >= 4) {
+            if (max_pairings != 0 && tot_p > max_pairings
+                && (double)freq_min_len
+                   > max_freq_shortest * (double)tot_p)
+                too_complex = 1;
+            if (tot_e > 5 * tot_p
+                || tot_p > (2 * plen) / min_factor_len
+                || (tot_p > plen / min_factor_len && tot_p >= 50))
+                too_complex = 1;
+        }
+        flags[0] = too_complex;
+    }
+
+    /* emit: alive vertices in column order, adjacency renumbered */
+    {
+        int64_t nv_out = 0, ne_out = 0, pos = 0;
+        int64_t *newid = (int64_t *)malloc(g.nv * sizeof(int64_t));
+        if (!newid) goto fail;
+        for (i = 0; i < g.ncols; i++)
+            for (k = 0; k < g.cols[i].n; k++) {
+                newid[g.cols[i].d[k]] = nv_out++;
+                ne_out += g.v[g.cols[i].d[k]].adjs.n;
+            }
+        flags[3] = nv_out;
+        flags[4] = ne_out;
+        if (nv_out > cap_v || ne_out > cap_e) {
+            free(newid);
+            ret = -2;
+            goto fail;
+        }
+        nv_out = 0;
+        for (i = 0; i < g.ncols; i++)
+            for (k = 0; k < g.cols[i].n; k++) {
+                mvert *P = &g.v[g.cols[i].d[k]];
+                int64_t e;
+                out_p[nv_out] = P->p;
+                out_t[nv_out] = P->t;
+                out_l[nv_out] = P->l;
+                out_col[nv_out] = i;
+                out_adj_off[nv_out] = pos;
+                for (e = 0; e < P->adjs.n; e++)
+                    out_adj[pos++] = newid[P->adjs.d[e]];
+                nv_out++;
+            }
+        out_adj_off[nv_out] = pos;
+        free(newid);
+        ret = nv_out;
+    }
+fail:
+    for (k = 0; k < g.nv; k++) {
+        free(g.v[k].adjs.d);
+        free(g.v[k].incs.d);
+    }
+    for (i = 0; i < g.ncols; i++) free(g.cols[i].d);
+    free(g.v);
+    free(g.cols);
+    return ret;
+}

@@ -202,6 +202,11 @@ def build_meg(est_info: mf.EstInfo, tree: SuffixTree, gen_seq_bytes: bytes,
     (V, inc_pairing_len)."""
     config = shared_config.clone()
     pattern = est_info.seq.encode("latin1")
+    V, inc = megmod.build_meg_native(pattern, tree, gen_seq_bytes,
+                                     shared_config, config,
+                                     inc_pairing_len)
+    if V is not None:
+        return V, inc
     while True:
         config.min_factor_len = shared_config.min_factor_len + inc_pairing_len
         V = megmod.build_vertex_set(pattern, tree, gen_seq_bytes, config)
