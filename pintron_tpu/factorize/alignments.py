@@ -36,7 +36,25 @@ class Alignment:
         return len(self.est)
 
 
+# Pure function of its inputs; candidate factorizations repeat exon
+# windows, so memoize (fresh Alignment per call — callers own the object).
+_NW_CACHE: dict = {}
+_NW_CACHE_MAX = 1 << 16
+
+
 def compute_alignment(est_seq: str, gen_seq: str) -> Alignment:
+    key = (est_seq, gen_seq)
+    cached = _NW_CACHE.get(key)
+    if cached is not None:
+        return Alignment(cached[0], cached[1], cached[2])
+    al = _compute_alignment_uncached(est_seq, gen_seq)
+    if len(_NW_CACHE) >= _NW_CACHE_MAX:
+        _NW_CACHE.clear()
+    _NW_CACHE[key] = (al.est, al.gen, al.score)
+    return al
+
+
+def _compute_alignment_uncached(est_seq: str, gen_seq: str) -> Alignment:
     """Needleman-Wunsch with unit costs, N-wildcard matches and the
     reference's direction preference diag > up(gap in GEN) > left(gap in
     EST) (compute-alignments.c:85-207)."""
@@ -203,6 +221,10 @@ def compute_best_prefix_cut(s1: str, s2: str) -> Tuple[int, int, int]:
     return l1 - c1, l2 - c2, ed
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1 << 16)
 def k_band_edit_distance(seq1: str, seq2: str, upper_bound: int
                          ) -> Tuple[bool, int]:
     """compute-alignments.c:319-453.  Returns (ok, edit)."""

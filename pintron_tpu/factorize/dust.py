@@ -14,6 +14,10 @@ for _i, _a in enumerate("ACGT"):
         _IDX[_a.lower() + _b.lower()] = _i * 4 + _j
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1 << 17)
 def dust_score(sequence: str) -> float:
     length = len(sequence)
     if length <= 2:

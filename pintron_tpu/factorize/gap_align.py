@@ -32,8 +32,35 @@ class GapAlignment:
         self.new_donor_right_on_gen = 0
         self.new_acceptor_left_on_gen = 0
 
+    def copy(self) -> "GapAlignment":
+        c = GapAlignment()
+        for f in GapAlignment.__slots__:
+            setattr(c, f, getattr(self, f))
+        return c
+
+
+# The alignment is a pure function of its two windows; candidate
+# factorizations of the same EST (and neighbouring ESTs of the same
+# locus) repeat windows, so memoize.  Callers mutate only the new_*
+# fields, hence the copy-on-return.
+_GAP_CACHE: dict = {}
+_GAP_CACHE_MAX = 1 << 16
+
 
 def compute_gap_alignment(est_seq: str, gen_seq: str) -> GapAlignment:
+    key = (est_seq, gen_seq)
+    cached = _GAP_CACHE.get(key)
+    if cached is not None:
+        return cached.copy()
+    al = _compute_gap_alignment_uncached(est_seq, gen_seq)
+    if len(_GAP_CACHE) >= _GAP_CACHE_MAX:
+        _GAP_CACHE.clear()
+    _GAP_CACHE[key] = al.copy()
+    return al
+
+
+def _compute_gap_alignment_uncached(est_seq: str, gen_seq: str
+                                    ) -> GapAlignment:
     n = len(est_seq)
     m = len(gen_seq)
 

@@ -13,6 +13,10 @@ from pintron_tpu.factorize.alignments import edit_distance_full
 from pintron_tpu.factorize.burset import get_burset_frequency_adaptor
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1 << 16)
 def general_refine_borders(p: str, min_p_cut: int, max_p_cut: int,
                            t: str, max_errs: int
                            ) -> Tuple[bool, int, int, int, int]:

@@ -607,81 +607,89 @@ int64_t bps_search(const char *seq, int64_t len, const double *pwm,
 /* 3-matrix gap alignment fill (refine-intron.c:623-806 semantics; see
  * pintron_tpu/factorize/gap_align.py for the direction-update chains).
  * Fills the three (n+1)x(m+1) int8 direction matrices and the final
- * L/G/R values at (n, m). */
+ * L/G/R values at (n, m).  Single fused row pass: G[i][*] depends only
+ * on L's current row, R[i][j] on G[i][j-1] and R's previous/current
+ * rows, so no full value matrices are materialized. */
+static int64_t *ga_scratch = NULL;
+static int64_t ga_scratch_cap = 0;
+
 void gap_align_fill(const char *est, int64_t n, const char *gen, int64_t m,
                     int8_t *Ldir, int8_t *Gdir, int8_t *Rdir,
                     int64_t *finals) {
-    int64_t *Lprev = (int64_t *)calloc(m + 1, sizeof(int64_t));
-    int64_t *Lcur = (int64_t *)calloc(m + 1, sizeof(int64_t));
-    int64_t *Gcur = (int64_t *)calloc(m + 1, sizeof(int64_t));
-    int64_t *Rprev = (int64_t *)calloc(m + 1, sizeof(int64_t));
-    int64_t *Rcur = (int64_t *)calloc(m + 1, sizeof(int64_t));
-    int64_t *Lrows = (int64_t *)malloc((n + 1) * (m + 1) * sizeof(int64_t));
-    int64_t *Grows = (int64_t *)malloc((n + 1) * (m + 1) * sizeof(int64_t));
-    int64_t i, j, *tmp;
-    if (!Lprev || !Lcur || !Gcur || !Rprev || !Rcur || !Lrows || !Grows) {
-        finals[0] = finals[1] = finals[2] = -(1LL << 40);
-        goto done;
+    int64_t need = 4 * (m + 1);
+    int64_t *Lprev, *Lcur, *Rprev, *Rcur, *Gcur, *tmp;
+    int64_t i, j;
+    if (need + (m + 1) > ga_scratch_cap) {
+        int64_t nc = 2 * (need + m + 1) + 64;
+        int64_t *nd = (int64_t *)realloc(ga_scratch, nc * sizeof(int64_t));
+        if (!nd) { finals[0] = finals[1] = finals[2] = -(1LL << 40); return; }
+        ga_scratch = nd;
+        ga_scratch_cap = nc;
     }
-    for (j = 0; j <= m; j++) { Lrows[j] = 0; Grows[j] = 0; }
-    for (i = 1; i <= n; i++) {
-        char e = est[i - 1];
-        int ew = (e == 'n' || e == 'N');
-        Lcur[0] = 0;
-        Gcur[0] = 0;
-        for (j = 1; j <= m; j++) {
-            char g = gen[j - 1];
-            int match = (e == g) || ew || g == 'n' || g == 'N';
-            int64_t diag = Lprev[j - 1] + (match ? 1 : -1);
-            int64_t up = Lprev[j] - 1;
-            int64_t left = Lcur[j - 1] - 1;
-            int64_t v = diag; int8_t d = 0;
-            if (up > v) { v = up; d = 1; }
-            if (left > v) { v = left; d = 2; }
-            Lcur[j] = v;
-            Ldir[i * (m + 1) + j] = d;
-            /* G matrix uses L's current row */
-            if (Gcur[j - 1] < Lcur[j - 1]) {
-                Gcur[j] = Lcur[j - 1];
-                Gdir[i * (m + 1) + j] = -2;
-            } else {
-                Gcur[j] = Gcur[j - 1];
-                Gdir[i * (m + 1) + j] = 2;
-            }
-        }
-        memcpy(Lrows + i * (m + 1), Lcur, (m + 1) * sizeof(int64_t));
-        memcpy(Grows + i * (m + 1), Gcur, (m + 1) * sizeof(int64_t));
-        tmp = Lprev; Lprev = Lcur; Lcur = tmp;
-    }
+    Lprev = ga_scratch;
+    Lcur = Lprev + (m + 1);
+    Rprev = Lcur + (m + 1);
+    Rcur = Rprev + (m + 1);
+    Gcur = Rcur + (m + 1);
+    for (j = 0; j <= m; j++) { Lprev[j] = 0; Rprev[j] = 0; Gcur[j] = 0; }
+    finals[0] = 0; finals[1] = 0; finals[2] = 0;
     for (i = 1; i <= n; i++) {
         char e = est[i - 1];
         int ew = (e == 'n' || e == 'N');
         int64_t cost = (i == n) ? 0 : 1;
-        const int64_t *Grow = Grows + i * (m + 1);
+        int8_t *Lrow = Ldir + i * (m + 1);
+        int8_t *Grow = Gdir + i * (m + 1);
+        int8_t *Rrow = Rdir + i * (m + 1);
+        Lcur[0] = 0;
         Rcur[0] = 0;
+        /* Gcur[0] stays 0 every row */
         for (j = 1; j <= m; j++) {
             char g = gen[j - 1];
             int match = (e == g) || ew || g == 'n' || g == 'N';
-            int64_t diag = Rprev[j - 1] + (match ? 1 : -1);
-            int64_t up = Rprev[j] - 1;
-            int64_t i_del = Rcur[j - 1] - cost;
-            int64_t grow = Grow[j - 1];
-            int64_t v = diag; int8_t d = 0;
-            if (i_del > v) { v = i_del; d = 2; }
-            if (grow > v) { v = grow; d = -2; }
+            int64_t ms = match ? 1 : -1;
+            int64_t gprev = Gcur[j - 1];     /* G[i][j-1] before update? */
+            int64_t diag, up, left, v;
+            int8_t d;
+            /* L matrix */
+            diag = Lprev[j - 1] + ms;
+            up = Lprev[j] - 1;
+            left = Lcur[j - 1] - 1;
+            v = diag; d = 0;
             if (up > v) { v = up; d = 1; }
+            if (left > v) { v = left; d = 2; }
+            Lcur[j] = v;
+            Lrow[j] = d;
+            /* G matrix: uses L current row and G current row (j-1).
+             * NOTE Gcur[j-1] at this point is already THIS row's value
+             * (updated last iteration), matching the reference row
+             * recurrence G[i][j] = max(G[i][j-1], L[i][j-1]). */
+            if (gprev < Lcur[j - 1]) {
+                Gcur[j] = Lcur[j - 1];
+                Grow[j] = -2;
+            } else {
+                Gcur[j] = gprev;
+                Grow[j] = 2;
+            }
+            /* R matrix */
+            diag = Rprev[j - 1] + ms;
+            up = Rprev[j] - 1;
+            {
+                int64_t i_del = Rcur[j - 1] - cost;
+                int64_t grow = Gcur[j - 1];
+                v = diag; d = 0;
+                if (i_del > v) { v = i_del; d = 2; }
+                if (grow > v) { v = grow; d = -2; }
+                if (up > v) { v = up; d = 1; }
+            }
             Rcur[j] = v;
-            Rdir[i * (m + 1) + j] = d;
+            Rrow[j] = d;
         }
+        tmp = Lprev; Lprev = Lcur; Lcur = tmp;
         tmp = Rprev; Rprev = Rcur; Rcur = tmp;
     }
-    finals[0] = Lprev[m];  /* careful: L was swapped each row */
-    finals[0] = Lrows[n * (m + 1) + m];
-    finals[1] = Grows[n * (m + 1) + m];
+    finals[0] = Lprev[m];
+    finals[1] = Gcur[m];
     finals[2] = Rprev[m];
-done:
-    free(Lprev); free(Lcur); free(Gcur); free(Rprev); free(Rcur);
-    free(Lrows); free(Grows);
 }
 
 /* Edit distance matrix (refine.c:50-83): rows over s2, int64 row-major
@@ -873,18 +881,34 @@ done:
  * pintron_tpu/factorize/gap_align.py).  est_al/gen_al must have capacity
  * n + m.  out7 = {align_len, factor_cut, intron_start, intron_end,
  * intron_start_on_align, intron_end_on_align, start_matrix}. */
+static int8_t *dir_scratch = NULL;
+static int64_t dir_scratch_cap = 0;
+
+/* grow-once per-process int8 scratch shared by the tracebacks */
+static int8_t *dir_scratch_get(int64_t need) {
+    if (need > dir_scratch_cap) {
+        int8_t *nd = (int8_t *)realloc(dir_scratch, 2 * need + 64);
+        if (!nd) return NULL;
+        dir_scratch = nd;
+        dir_scratch_cap = 2 * need + 64;
+    }
+    return dir_scratch;
+}
+
 void gap_align_run(const char *est, int64_t n, const char *gen, int64_t m,
                    char *est_al, char *gen_al, int64_t *out7) {
     int64_t stride = m + 1;
-    int8_t *Ldir = (int8_t *)malloc((n + 1) * stride);
-    int8_t *Gdir = (int8_t *)malloc((n + 1) * stride);
-    int8_t *Rdir = (int8_t *)malloc((n + 1) * stride);
+    int64_t msize = (n + 1) * stride;
+    int8_t *base = dir_scratch_get(3 * msize);
+    int8_t *Ldir = base;
+    int8_t *Gdir = base + msize;
+    int8_t *Rdir = base + 2 * msize;
     int64_t finals[3];
     int64_t i, j, sm, cap = n + m, w;
     int64_t jump_w[2]; int64_t njump = 0;
     int64_t factor_cut = 0, intron_start = 0, intron_end = 0;
     int64_t is_al = 0, ie_al = 0, total, start_matrix;
-    if (!Ldir || !Gdir || !Rdir) { out7[0] = -1; goto done; }
+    if (!base) { out7[0] = -1; return; }
     gap_align_fill(est, n, gen, m, Ldir, Gdir, Rdir, finals);
 
     if (finals[2] >= finals[1])
@@ -937,8 +961,6 @@ void gap_align_run(const char *est, int64_t n, const char *gen, int64_t m,
     out7[4] = is_al;
     out7[5] = ie_al;
     out7[6] = start_matrix;
-done:
-    free(Ldir); free(Gdir); free(Rdir);
 }
 
 /* Full NW alignment: fill + traceback (python mirror
@@ -947,11 +969,11 @@ done:
 int64_t nw_align_run(const char *est, int64_t n, const char *gen, int64_t m,
                      char *est_al, char *gen_al, int64_t *out_len) {
     int64_t stride = m + 1;
-    int8_t *dirs = (int8_t *)malloc((n + 1) * stride);
+    int8_t *dirs = dir_scratch_get((n + 1) * stride);
     int64_t score, i, j, cap = n + m, w;
     if (!dirs) return -1;
     score = nw_align(est, n, gen, m, dirs);
-    if (score < 0) { free(dirs); return -1; }
+    if (score < 0) return -1;
     i = n; j = m; w = cap;
     while (i > 0 && j > 0) {
         int8_t d = dirs[i * stride + j];
@@ -971,7 +993,6 @@ int64_t nw_align_run(const char *est, int64_t n, const char *gen, int64_t m,
         memmove(gen_al, gen_al + w, cap - w);
     }
     *out_len = cap - w;
-    free(dirs);
     return score;
 }
 
