@@ -28,10 +28,24 @@ def _al_char(s: str, idx: int) -> str:
     return "\0"
 
 
+def _native_scanners():
+    from pintron_tpu.native import get_lib, get_scratch
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "scan_ag_after_right"):
+        return None, None
+    return lib, get_scratch(0)[2]
+
+
 def find_AG_after_on_the_right(al: GapAlignment, init: int
                                ) -> Tuple[int, int, int]:
     """refine-intron.c:892-940.  Returns (cut_on_align, genomic_cut_dim,
     est_cut_dim); dims are -1 when no 'AG' is found."""
+    lib, out = _native_scanners()
+    if lib is not None:
+        lib.scan_ag_after_right(al.est.encode("latin1"),
+                                al.gen.encode("latin1"), len(al.gen),
+                                init, al.intron_end_on_align, out)
+        return int(out[0]), int(out[1]), int(out[2])
     if init < 2:
         # size_t underflow in the reference skips the loop entirely
         return -1, -1, -1
@@ -68,6 +82,13 @@ def find_ACCEPTOR_before_on_the_left(al: GapAlignment, init: int,
                                      acceptor_str: str
                                      ) -> Tuple[int, int, int]:
     """refine-intron.c:942-990."""
+    lib, out = _native_scanners()
+    if lib is not None:
+        lib.scan_acceptor_before_left(
+            al.est.encode("latin1"), al.gen.encode("latin1"), len(al.gen),
+            init, ord(acceptor_str[0]), ord(acceptor_str[1]),
+            al.intron_start_on_align, out)
+        return int(out[0]), int(out[1]), int(out[2])
     index = init + 2
     stop = False
     while not stop and index > 0:
@@ -98,6 +119,12 @@ def find_ACCEPTOR_before_on_the_left(al: GapAlignment, init: int,
 def find_ACCEPTOR_after_on_the_left(al: GapAlignment, init: int,
                                     acceptor_str: str) -> int:
     """refine-intron.c:1852-1874.  Returns genomic_substr_dim or -1."""
+    lib, _ = _native_scanners()
+    if lib is not None:
+        return int(lib.scan_acceptor_after_left(
+            al.gen.encode("latin1"), len(al.gen), init,
+            ord(acceptor_str[0]), ord(acceptor_str[1]),
+            al.intron_start_on_align, al.intron_end_on_align))
     index = init
     stop = False
     while not stop and index < al.intron_end_on_align:
@@ -113,6 +140,11 @@ def find_ACCEPTOR_after_on_the_left(al: GapAlignment, init: int,
 
 def find_AG_before_on_the_right(al: GapAlignment, init: int) -> int:
     """refine-intron.c:1950-1973."""
+    lib, _ = _native_scanners()
+    if lib is not None:
+        return int(lib.scan_ag_before_right(
+            al.gen.encode("latin1"), len(al.gen), init,
+            al.intron_start_on_align, al.intron_end_on_align))
     index = init
     stop = False
     while not stop and index > al.intron_start_on_align:

@@ -97,6 +97,22 @@ def _build_and_load():
         + [ctypes.c_void_p] * 6                # out p t l col off adj
         + [ctypes.c_void_p]                    # flags
         + [ctypes.c_int64] * 2)                # cap_v, cap_e
+    lib.scan_ag_after_right.restype = None
+    lib.scan_ag_after_right.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_void_p]
+    lib.scan_acceptor_before_left.restype = None
+    lib.scan_acceptor_before_left.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_char, ctypes.c_char, ctypes.c_int64, ctypes.c_void_p]
+    lib.scan_acceptor_after_left.restype = ctypes.c_int64
+    lib.scan_acceptor_after_left.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_char, ctypes.c_char, ctypes.c_int64, ctypes.c_int64]
+    lib.scan_ag_before_right.restype = ctypes.c_int64
+    lib.scan_ag_before_right.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64]
     lib.dust_score_c.restype = ctypes.c_double
     lib.dust_score_c.argtypes = [ctypes.c_char_p, ctypes.c_int64]
     lib.refine_borders_core.restype = None

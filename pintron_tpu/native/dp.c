@@ -1628,3 +1628,106 @@ fail:
     free(g.cols);
     return ret;
 }
+
+/* ---- refine-intron alignment-string scanners ---------------------------
+ * Native mirrors of pintron_tpu/factorize/refine_intron.py:31-126
+ * (reference refine-intron.c:892-990, 1852-1874, 1950-1973).  All reads
+ * past the string end yield '\0' like the C terminator semantics the
+ * python mirror models. */
+
+static char alch(const char *s, int64_t len, int64_t i) {
+    return (i >= 0 && i < len) ? s[i] : '\0';
+}
+
+/* find_AG_after_on_the_right.  out3 = {cut_on_align, cut_gen, cut_est} */
+void scan_ag_after_right(const char *est_al, const char *gen_al,
+                         int64_t alen, int64_t init,
+                         int64_t intron_end_on_align, int64_t *out3) {
+    int64_t index, i, cut_gen = 0, cut_est = 0;
+    int stop = 0;
+    out3[0] = -1; out3[1] = -1; out3[2] = -1;
+    if (init < 2) return;
+    index = init - 2;
+    while (!stop && index < alen - 1) {
+        char first, second;
+        while (alch(gen_al, alen, index) == '-') index++;
+        first = alch(gen_al, alen, index);
+        index++;
+        while (alch(gen_al, alen, index) == '-') index++;
+        second = alch(gen_al, alen, index);
+        stop = (first == 'A' && second == 'G');
+        if (!stop && index >= alen) break;
+    }
+    if (!stop) return;
+    out3[0] = index + 1;
+    for (i = intron_end_on_align + 1; i <= index; i++) {
+        if (alch(gen_al, alen, i) != '-') cut_gen++;
+        if (alch(est_al, alen, i) != '-') cut_est++;
+    }
+    out3[1] = cut_gen;
+    out3[2] = cut_est;
+}
+
+/* find_ACCEPTOR_before_on_the_left.  acceptor = 2 chars.
+ * out3 = {cut_on_align, cut_gen, cut_est} */
+void scan_acceptor_before_left(const char *est_al, const char *gen_al,
+                               int64_t alen, int64_t init,
+                               char acc0, char acc1,
+                               int64_t intron_start_on_align,
+                               int64_t *out3) {
+    int64_t index = init + 2, i, cut_gen = 0, cut_est = 0;
+    int stop = 0;
+    out3[0] = -1; out3[1] = -1; out3[2] = -1;
+    while (!stop && index > 0) {
+        char first, second;
+        while (alch(gen_al, alen, index) == '-') index--;
+        second = alch(gen_al, alen, index);
+        index--;
+        while (index >= 0 && alch(gen_al, alen, index) == '-') index--;
+        first = index >= 0 ? alch(gen_al, alen, index) : '\0';
+        if (first == acc0 && second == acc1) stop = 1;
+    }
+    if (!stop) return;
+    out3[0] = index - 1;
+    for (i = intron_start_on_align - 1; i >= index; i--) {
+        if (alch(gen_al, alen, i) != '-') cut_gen++;
+        if (alch(est_al, alen, i) != '-') cut_est++;
+    }
+    out3[1] = cut_gen;
+    out3[2] = cut_est;
+}
+
+/* find_ACCEPTOR_after_on_the_left: returns genomic_substr_dim or -1 */
+int64_t scan_acceptor_after_left(const char *gen_al, int64_t alen,
+                                 int64_t init, char acc0, char acc1,
+                                 int64_t intron_start_on_align,
+                                 int64_t intron_end_on_align) {
+    int64_t index = init;
+    int stop = 0;
+    while (!stop && index < intron_end_on_align) {
+        char first = alch(gen_al, alen, index);
+        char second;
+        index++;
+        second = alch(gen_al, alen, index);
+        if (first == acc0 && second == acc1) stop = 1;
+    }
+    if (!stop) return -1;
+    return index - intron_start_on_align - 1;
+}
+
+/* find_AG_before_on_the_right: returns dim or -1 */
+int64_t scan_ag_before_right(const char *gen_al, int64_t alen,
+                             int64_t init, int64_t intron_start_on_align,
+                             int64_t intron_end_on_align) {
+    int64_t index = init;
+    int stop = 0;
+    while (!stop && index > intron_start_on_align) {
+        char second = alch(gen_al, alen, index);
+        char first;
+        index--;
+        first = alch(gen_al, alen, index);
+        if (first == 'A' && second == 'G') stop = 1;
+    }
+    if (!stop) return -1;
+    return intron_end_on_align - index - 1;
+}
