@@ -356,9 +356,100 @@ def write_multifasta_output(gen: mf.EstInfo, est: FactorizedEst,
                          f"{est_sub} {gen_sub}\n")
 
 
-# Globals inherited by fork()ed worker processes (set by run_est_fact
-# just before the pool is created; copy-on-write, read-only in workers).
+# Per-process context used by _process_unit: set directly in sequential
+# mode, or rebuilt inside each persistent worker from the pickled
+# (gen, gen_seq_bytes, config) triple it receives per run.
 _WORKER_CTX = None
+
+
+def _worker_main(conn) -> None:
+    """Persistent worker loop: each message carries the run context and
+    this worker's interleaved share of the units; the reply is the list
+    of per-unit output blobs (or ('err', traceback))."""
+    import sys as _sys
+    _sys.setrecursionlimit(1_000_000)
+    global _WORKER_CTX
+    while True:
+        try:
+            msg = conn.recv()
+        except EOFError:
+            return
+        if msg is None:
+            return
+        gen, gen_seq_bytes, config, units = msg
+        try:
+            tree = SuffixTree(gen_seq_bytes)
+            _WORKER_CTX = (gen, tree, gen_seq_bytes, config)
+            conn.send([_process_unit(u) for u in units])
+        except Exception:
+            import traceback
+            try:
+                conn.send(("err", traceback.format_exc()))
+            except Exception:
+                return
+        finally:
+            _WORKER_CTX = None
+
+
+class _PersistentPool:
+    """Fork-based worker processes kept alive across run_est_fact calls
+    (the pipeline and the benchmark call the stage repeatedly; pool
+    setup/teardown would otherwise dominate small loci).  Units are
+    dealt round-robin (worker w gets units w::n) and reassembled by
+    index, so output is byte-identical to sequential order."""
+
+    def __init__(self, n: int):
+        import multiprocessing
+        ctx = multiprocessing.get_context("fork")
+        self.n = n
+        self.pipes = []
+        self.procs = []
+        for _ in range(n):
+            parent_conn, child_conn = ctx.Pipe()
+            proc = ctx.Process(target=_worker_main, args=(child_conn,),
+                               daemon=True)
+            proc.start()
+            child_conn.close()
+            self.pipes.append(parent_conn)
+            self.procs.append(proc)
+
+    def alive(self) -> bool:
+        return all(p.is_alive() for p in self.procs)
+
+    def run(self, gen, gen_seq_bytes, config, units):
+        for w, conn in enumerate(self.pipes):
+            conn.send((gen, gen_seq_bytes, config, units[w::self.n]))
+        results = [None] * len(units)
+        for w, conn in enumerate(self.pipes):
+            res = conn.recv()
+            if isinstance(res, tuple) and res and res[0] == "err":
+                raise RuntimeError(res[1])
+            for k, r in zip(range(w, len(units), self.n), res):
+                results[k] = r
+        return results
+
+    def shutdown(self) -> None:
+        for conn in self.pipes:
+            try:
+                conn.send(None)
+                conn.close()
+            except Exception:
+                pass
+        for p in self.procs:
+            p.join(timeout=1)
+
+
+_POOL = None
+
+
+def _get_pool(nworkers: int):
+    global _POOL
+    if _POOL is not None and (_POOL.n != nworkers or not _POOL.alive()):
+        _POOL.shutdown()
+        _POOL = None
+    if _POOL is None:
+        _POOL = _PersistentPool(nworkers)
+    return _POOL
 
 
 def _process_unit(unit: List[mf.EstInfo]) -> Tuple[str, str, str, str, str,
@@ -437,7 +528,6 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
             mf.polyat_substitution(rev)
 
     gen_seq_bytes = gen.seq.encode("latin1")
-    tree = SuffixTree(gen_seq_bytes)
 
     # Independent work units: a fixed-strand EST alone, or a forward EST
     # together with the RC copy appended right after it above.  Units
@@ -454,25 +544,24 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
             units.append([est_list[i]])
             i += 1
 
-    global _WORKER_CTX
-    _WORKER_CTX = (gen, tree, gen_seq_bytes, config)
-    try:
-        nworkers = int(os.environ.get("PINTRON_EST_WORKERS", "0")) \
-            or (os.cpu_count() or 1)
-        nworkers = min(nworkers, len(units))
-        results = None
-        if nworkers > 1:
-            import multiprocessing
-            try:
-                ctx = multiprocessing.get_context("fork")
-                with ctx.Pool(nworkers) as pool:
-                    results = pool.map(_process_unit, units, chunksize=1)
-            except (ValueError, OSError):
-                results = None  # fork unavailable: fall through
-        if results is None:
+    nworkers = int(os.environ.get("PINTRON_EST_WORKERS", "0")) \
+        or (os.cpu_count() or 1)
+    nworkers = min(nworkers, len(units))
+    results = None
+    if nworkers > 1:
+        try:
+            results = _get_pool(nworkers).run(gen, gen_seq_bytes, config,
+                                              units)
+        except (ValueError, OSError, RuntimeError):
+            results = None  # pool unavailable: fall through to sequential
+    if results is None:
+        global _WORKER_CTX
+        tree = SuffixTree(gen_seq_bytes)
+        _WORKER_CTX = (gen, tree, gen_seq_bytes, config)
+        try:
             results = [_process_unit(u) for u in units]
-    finally:
-        _WORKER_CTX = None
+        finally:
+            _WORKER_CTX = None
 
     with open(wpath("raw-multifasta-out.txt"), "w") as f_out, \
             open(wpath("megs.txt"), "w") as fmeg, \
