@@ -1,0 +1,141 @@
+"""Pallas TPU kernel for the batched banded (K-band) edit distance.
+
+Device counterpart of the reference's hottest inner loop
+(compute-alignments.c:319-453) and of the XLA version in
+``pintron_tpu.ops.align.banded_edit_distance``: one DP-row wavefront,
+the whole batch advancing in lockstep.  Layout is TPU-native —
+
+  * batch on sublanes (grid over batch tiles of 8 problems),
+  * the band (width 2*k_max+1) on lanes,
+  * rows as a ``fori_loop`` carrying the band vector in registers/VMEM,
+  * the in-row left-chain ``M2[o] = min_{j<=o}(cand[j] + (o-j))``
+    closed with a log2(W) shift-and-min prefix scan (pure VPU ops).
+
+Sequences are pre-padded on the host so every per-row read is a dynamic
+slice with static size: no gathers in the kernel.  Numerical contract:
+bit-identical to the host/C ``kband_core`` per problem (int32 DP, same
+band-boundary semantics) — checked by tests/test_ops.py in interpret
+mode and on real TPUs when available.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = jnp.int32(1 << 20)
+_TB = 8  # batch tile: int32 sublane count
+
+
+def _kband_kernel(seq1_ref, seq2_ref, len1_ref, len2_ref, band_ref,
+                  out_ref, *, max_rows: int, k_max: int):
+    W = 2 * k_max + 1
+    TB = out_ref.shape[0]
+    offs = jax.lax.broadcasted_iota(jnp.int32, (TB, W), 1)
+    len1 = len1_ref[:, 0][:, None]
+    len2 = len2_ref[:, 0][:, None]
+    band = band_ref[:, 0][:, None]
+
+    # |c - r| = |offs - k_max| is row-independent
+    in_band = jnp.abs(offs - k_max) <= band
+
+    # row 0: M[o] = c for 0 <= c <= band (c = offs - k_max at r = 0)
+    c0 = offs - k_max
+    M0 = jnp.where((c0 >= 0) & (c0 <= band), c0, BIG)
+
+    def row_step(r, M1):
+        c = offs + (r - k_max)
+        active = in_band & (c >= 1) & (c <= len1) & (r <= len2)
+        # chars for band cells: seq1 pre-padded with k_max+1 sentinels, so
+        # lane o of row r reads seq1[c-1] at padded column r + o
+        ch1 = seq1_ref[:, pl.ds(r, W)]
+        ch2 = seq2_ref[:, pl.ds(r - 1, 1)]
+        mism = (ch1 != ch2).astype(jnp.int32)
+
+        diag = M1 + mism
+        up = jnp.concatenate(
+            [M1[:, 1:], jnp.full((TB, 1), BIG, jnp.int32)], axis=1) + 1
+        cand = jnp.minimum(diag, up)
+        is_boundary = (c == 0) & (r <= band)
+        cand = jnp.where(is_boundary, r, cand)
+        cand = jnp.where(active | is_boundary, cand, BIG)
+
+        # left-chain prefix-min over lanes by doubling shifts
+        x = cand - offs
+        sh = 1
+        while sh < W:
+            shifted = jnp.concatenate(
+                [jnp.full((TB, sh), BIG, jnp.int32), x[:, :W - sh]], axis=1)
+            x = jnp.minimum(x, shifted)
+            sh *= 2
+        M2 = jnp.minimum(x + offs, BIG)
+        return jnp.where(r <= len2, M2, M1)
+
+    Mf = jax.lax.fori_loop(1, max_rows + 1, row_step, M0)
+
+    # out[b] = Mf[b, len1 - len2 + k_max]
+    final_off = jnp.clip(len1 - len2 + k_max, 0, W - 1)
+    picked = jnp.where(offs == final_off, Mf, BIG)
+    out_ref[:, 0] = jnp.min(picked, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_rows", "k_max",
+                                             "interpret"))
+def banded_edit_distance_pallas(seq1, len1, seq2, len2, band, *,
+                                max_rows: int, k_max: int,
+                                interpret: bool = False):
+    """Pallas version of ops.align.banded_edit_distance (same contract).
+
+    Args mirror the XLA op: seq1 (B, N) codes of the longer sequences,
+    seq2 (B, M) the shorter, len1/len2/band (B,) int32.  Returns (B,)
+    int32 final band cell values.
+    """
+    B = seq1.shape[0]
+    W = 2 * k_max + 1
+    Bp = ((B + _TB - 1) // _TB) * _TB
+
+    seq1 = seq1.astype(jnp.int32)
+    seq2 = seq2.astype(jnp.int32)
+    # host-side layout prep: sentinel-pad seq1 so row r's band slice is
+    # seq1p[:, r : r+W]; pad seq2 so column r-1 always exists; pad the
+    # batch to the tile size with trivially-inactive problems
+    n1p = max_rows + W + 1
+    seq1p = jnp.full((Bp, n1p), -1, jnp.int32)
+    seq1p = jax.lax.dynamic_update_slice(
+        seq1p, jnp.pad(seq1, ((0, Bp - B), (0, 0)),
+                       constant_values=-1)[:, :n1p - (k_max + 1)],
+        (0, k_max + 1))
+    m2p = max(max_rows, seq2.shape[1])
+    seq2p = jnp.pad(seq2, ((0, Bp - B), (0, m2p - seq2.shape[1])),
+                    constant_values=-2)
+
+    def pad1(v):
+        return jnp.pad(v.astype(jnp.int32), (0, Bp - B))[:, None]
+
+    grid = (Bp // _TB,)
+    out = pl.pallas_call(
+        functools.partial(_kband_kernel, max_rows=max_rows, k_max=k_max),
+        out_shape=jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TB, n1p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TB, m2p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TB, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TB, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TB, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TB, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(seq1p, seq2p, pad1(len1), pad1(len2), pad1(band))
+    return out[:B, 0]
