@@ -207,14 +207,16 @@ def build_meg_native(pattern: bytes, tree: SuffixTree, gen: bytes,
     """Full native MEG construction: vertex scan + edges + simplification
     + transitive reduction + compaction + complexity-retry ladder, all in
     one C pass per attempt (compute-est-fact.c:90-152 semantics).
-    Returns (V, inc_pairing_len) or (None, inc_pairing_len) if the native
-    library is unavailable."""
+    Returns (V, inc_pairing_len, flat_arrays) or (None, inc_pairing_len,
+    None) if the native library is unavailable.  flat_arrays is the
+    (p, t, l, col, adj_off, adj, nv, ncols) tuple consumed by the native
+    embedding enumerator (meg_factorizations)."""
     import numpy as np
 
     from pintron_tpu.native import get_lib
     lib = get_lib()
     if lib is None or not hasattr(lib, "meg_build"):
-        return None, inc_pairing_len
+        return None, inc_pairing_len, None
 
     plen = len(pattern)
     alphabet = sorted(set(gen))
@@ -227,7 +229,7 @@ def build_meg_native(pattern: bytes, tree: SuffixTree, gen: bytes,
         arrs = _native_scan_arrays(lib, pattern, tree, config, alph_index,
                                    alph_size)
         if arrs is None:
-            return None, inc_pairing_len
+            return None, inc_pairing_len, None
         in_p, in_t, in_l, n = arrs
 
         cap_v = n + 16
@@ -259,7 +261,7 @@ def build_meg_native(pattern: bytes, tree: SuffixTree, gen: bytes,
                 cap_e = int(flags[4]) + 1
                 continue
             if nv < 0:
-                return None, inc_pairing_len
+                return None, inc_pairing_len, None
             break
 
         too_complex = bool(flags[0])
@@ -268,15 +270,58 @@ def build_meg_native(pattern: bytes, tree: SuffixTree, gen: bytes,
             inc_pairing_len += 1
             continue
 
-        verts = [Pairing(int(out_p[k]), int(out_t[k]), int(out_l[k]))
-                 for k in range(nv)]
-        for k in range(nv):
-            a0, a1 = int(out_off[k]), int(out_off[k + 1])
-            verts[k].adjs = [verts[int(out_adj[e])] for e in range(a0, a1)]
-        V: MEG = [[] for _ in range(plen + 2)]
-        for k in range(nv):
-            V[int(out_col[k])].append(verts[k])
-        return V, inc_pairing_len
+        n_adj = int(out_off[nv]) if nv else 0
+        flat = (np.ascontiguousarray(out_p[:nv]),
+                np.ascontiguousarray(out_t[:nv]),
+                np.ascontiguousarray(out_l[:nv]),
+                np.ascontiguousarray(out_col[:nv]),
+                np.ascontiguousarray(out_off[:nv + 1]),
+                np.ascontiguousarray(out_adj[:n_adj]),
+                nv, plen + 2)
+        return MegFlat(flat), inc_pairing_len, flat
+
+
+class MegFlat:
+    """Flat-array MEG from the native builder: carries just enough
+    surface (len = #columns, stats, text writers) for the native per-EST
+    flow — no per-vertex Python objects are ever built."""
+
+    __slots__ = ("arrays",)
+
+    def __init__(self, arrays):
+        self.arrays = arrays
+
+    def __len__(self):
+        return self.arrays[7]
+
+    def stats(self):
+        _p, _t, _l, _col, off, _adj, nv, _ncols = self.arrays
+        return nv, (int(off[nv]) if nv else 0)
+
+    def _format(self, mode: int) -> str:
+        import ctypes
+
+        from pintron_tpu.native import get_lib
+        lib = get_lib()
+        vp, vt, vl, vcol, adj_off, adj, nv, ncols = self.arrays
+        n_adj = int(adj_off[nv]) if nv else 0
+        cap = (nv * 72 + 8 + n_adj * 46 if mode == 0 else n_adj * 224) + 16
+        while True:
+            buf = ctypes.create_string_buffer(cap)
+            n = lib.meg_format(
+                vp.ctypes.data, vt.ctypes.data, vl.ctypes.data,
+                vcol.ctypes.data, adj_off.ctypes.data, adj.ctypes.data,
+                nv, ncols, mode, buf, cap)
+            if n < 0:
+                cap = -int(n) + 16
+                continue
+            return buf.raw[:n].decode("latin1")
+
+    def write_meg(self, fh) -> None:
+        fh.write(self._format(0))
+
+    def write_intronic_edges(self, fh) -> None:
+        fh.write(self._format(1))
 
 
 def _append_sink_and_cleanup(V: MEG) -> None:
@@ -435,8 +480,10 @@ def build_edge_set(V: MEG, config: Config) -> None:
                 I.adjs.append(sink)
 
 
-def meg_stats(V: MEG):
+def meg_stats(V):
     """(tot_pairings, tot_edges) like meg-simplification.c:MEG_stats."""
+    if isinstance(V, MegFlat):
+        return V.stats()
     tot_p = 0
     tot_e = 0
     for Vi in V:

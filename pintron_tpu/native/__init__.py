@@ -97,6 +97,21 @@ def _build_and_load():
         + [ctypes.c_void_p] * 6                # out p t l col off adj
         + [ctypes.c_void_p]                    # flags
         + [ctypes.c_int64] * 2)                # cap_v, cap_e
+    lib.meg_factorizations.restype = ctypes.c_int64
+    lib.meg_factorizations.argtypes = (
+        [ctypes.c_void_p] * 6                  # vp vt vl vcol adj_off adj
+        + [ctypes.c_int64] * 2                 # nv, ncols
+        + [ctypes.c_char_p, ctypes.c_int64]    # gen, gen_len
+        + [ctypes.c_int64] * 2                 # min_factor, min_intron
+        + [ctypes.c_double]                    # deadline (monotonic s)
+        + [ctypes.c_void_p] * 2                # out_off, out_f
+        + [ctypes.c_int64] * 2                 # cap_facts, cap_factors
+        + [ctypes.c_void_p])                   # need2
+    lib.meg_format.restype = ctypes.c_int64
+    lib.meg_format.argtypes = (
+        [ctypes.c_void_p] * 6                  # vp vt vl vcol adj_off adj
+        + [ctypes.c_int64] * 3                 # nv, ncols, mode
+        + [ctypes.c_char_p, ctypes.c_int64])   # out, cap
     lib.scan_ag_after_right.restype = None
     lib.scan_ag_after_right.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,

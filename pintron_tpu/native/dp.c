@@ -1731,3 +1731,442 @@ int64_t scan_ag_before_right(const char *gen_al, int64_t alen,
     if (!stop) return -1;
     return intron_end_on_align - index - 1;
 }
+
+/* ======================================================================
+ * Embedding enumeration + factorization merge
+ * (est-factorizations.c:597-1460 get_subtree_embeddings/update_embedding/
+ * maximality, 1292-1356 embeddings->factorizations; exact semantics of
+ * the python mirror pintron_tpu/factorize/embeddings.py).
+ *
+ * Operates on the flat MEG arrays emitted by meg_build: vertices
+ * (p,t,l,col) plus CSR successor lists.  Enumerates maximal embeddings
+ * memoized per subtree root, in column order, and emits the merged
+ * factorizations as flat factor quadruples in exactly the order the
+ * host-side cascade consumes them.
+ * ====================================================================== */
+
+#include <time.h>
+
+typedef struct { int64_t off, len; } femb;
+
+typedef struct {
+    int64_t *pool;              /* triples: p,t,l per element */
+    int64_t pn, pcap;
+    femb *a; int64_t n, cap;    /* scratch embedding list of current root */
+} fe_arena;
+
+typedef struct { femb *a; int64_t n; unsigned char done; } fe_memo;
+
+typedef struct {
+    const int64_t *vp, *vt, *vl;
+    const int64_t *adj_off, *adj;
+    int64_t nv;
+    const char *gen; int64_t gen_len;
+    int64_t mfl, min_intron;
+    double deadline;            /* CLOCK_MONOTONIC seconds; 0 = none */
+    int64_t tick;
+    fe_arena ar;
+    fe_memo *memo;
+    int err;                    /* 0 ok, -1 timeout, -3 oom */
+} fe_ctx;
+
+static double fe_now(void) {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
+
+static int fe_expired(fe_ctx *c) {
+    return c->deadline > 0.0 && fe_now() > c->deadline;
+}
+
+static int64_t fe_pool_reserve(fe_ctx *c, int64_t triples) {
+    fe_arena *ar = &c->ar;
+    if (ar->pn + triples > ar->pcap) {
+        int64_t nc = ar->pcap ? ar->pcap : 4096;
+        while (nc < ar->pn + triples) nc *= 2;
+        int64_t *np = (int64_t *)realloc(ar->pool, (size_t)nc * 3 * sizeof(int64_t));
+        if (!np) { c->err = -3; return -1; }
+        ar->pool = np; ar->pcap = nc;
+    }
+    return 0;
+}
+
+/* update_embedding (embeddings.py:41-126).  Returns 1 and fills *out if
+ * a new embedding is produced, 0 otherwise, <0 on error. */
+static int fe_update(fe_ctx *c, femb emb, int64_t node_v, femb *out) {
+    int64_t *P = c->ar.pool;
+    int64_t hp = P[3 * emb.off], ht = P[3 * emb.off + 1], hl = P[3 * emb.off + 2];
+    int64_t np = c->vp[node_v], nt = c->vt[node_v], nl = c->vl[node_v];
+
+    if (hp == MEG_SINK_P) {
+        if (np >= 0) {
+            if (fe_pool_reserve(c, 1)) return -1;
+            P = c->ar.pool;
+            int64_t o = c->ar.pn++;
+            P[3 * o] = np; P[3 * o + 1] = nt; P[3 * o + 2] = nl;
+            out->off = o; out->len = 1;
+            return 1;
+        }
+        return 0;
+    }
+    if (np < 0) {               /* source: embedding passes through */
+        *out = emb;
+        return 1;
+    }
+
+    int64_t small_delta = (hp + hl) - np;
+    int64_t big_delta = (ht + hl) - nt;
+    int64_t fl = 2 * c->mfl;
+    if (!(small_delta >= fl && big_delta >= fl)) return 0;
+    if (!(small_delta - (nl + hl) <= fl)) return 0;
+    if (!(small_delta - big_delta <= fl)) return 0;
+
+    int64_t head_copy_p, head_copy_t, head_copy_l, node_copy_l;
+    if (small_delta >= nl + hl && big_delta >= nl + hl) {
+        head_copy_p = hp; head_copy_t = ht; head_copy_l = hl;
+        node_copy_l = nl;
+    } else {
+        int64_t ref_delta = small_delta < big_delta ? small_delta : big_delta;
+        int64_t tln = ref_delta / 2;
+        int64_t tlh = ref_delta - tln;
+        if (tln > nl) { tln = nl; tlh = ref_delta - tln; }
+        else if (tlh > hl) { tlh = hl; tln = ref_delta - tlh; }
+        head_copy_l = tlh;
+        head_copy_p = hp + hl - head_copy_l;
+        head_copy_t = ht + hl - head_copy_l;
+        node_copy_l = tln;
+    }
+
+    int is_overlap_on_p = small_delta < (nl + hl);
+    int64_t gap_p = head_copy_p - np - node_copy_l - 1;
+    int64_t gap_t = head_copy_t - nt - node_copy_l - 1;
+    int64_t pil = gap_t - (gap_p > 0 ? gap_p : 0);
+    int is_intron_on_t = (pil >= 0
+                          && (c->min_intron == 0 || pil >= c->min_intron));
+
+    if (is_overlap_on_p && is_intron_on_t) {
+        int64_t best_freq = -1, best_cut = 0;
+        int64_t min_cut = np + c->mfl > hp ? np + c->mfl : hp;
+        int64_t max_cut = hp + hl - c->mfl < np + nl ? hp + hl - c->mfl : np + nl;
+        for (int64_t cut = min_cut; cut <= max_cut; cut++) {
+            int f = burset_adaptor(c->gen, c->gen_len,
+                                   cut - np + nt, cut - hp + ht);
+            if (f >= best_freq) { best_freq = f; best_cut = cut; }
+        }
+        int64_t dH = best_cut - hp;
+        head_copy_l = hl - dH;
+        head_copy_p = hp + dH;
+        head_copy_t = ht + dH;
+        int64_t dN = np + nl - best_cut;
+        node_copy_l = nl - dN;
+    }
+
+    if (gap_t <= fl || is_intron_on_t) {
+        if (fe_pool_reserve(c, emb.len + 1)) return -1;
+        P = c->ar.pool;
+        int64_t o = c->ar.pn;
+        c->ar.pn += emb.len + 1;
+        P[3 * o] = np; P[3 * o + 1] = nt; P[3 * o + 2] = node_copy_l;
+        P[3 * (o + 1)] = head_copy_p;
+        P[3 * (o + 1) + 1] = head_copy_t;
+        P[3 * (o + 1) + 2] = head_copy_l;
+        if (emb.len > 1)
+            memcpy(P + 3 * (o + 2), P + 3 * (emb.off + 1),
+                   (size_t)(emb.len - 1) * 3 * sizeof(int64_t));
+        out->off = o; out->len = emb.len + 1;
+        return 1;
+    }
+    return 0;
+}
+
+/* maximality_relation (embeddings.py:129-175): 2 add maximal (cmp
+ * dominated), 1 both, 0 add dominated. */
+static int fe_maximality(const int64_t *P, femb add, femb cmp) {
+    int64_t la = add.len, lc = cmp.len;
+    const int64_t *A = P + 3 * add.off, *C = P + 3 * cmp.off;
+    int64_t k;
+    int check;
+    if (la > lc) {
+        check = 1;
+        for (k = 0; k < lc; k++) {
+            const int64_t *a = A + 3 * k, *c = C + 3 * k;
+            if (c[0] < a[0] || c[0] + c[2] > a[0] + a[2]
+                || c[1] < a[1] || c[1] + c[2] > a[1] + a[2]) {
+                check = 0; break;
+            }
+        }
+        return check ? 2 : 1;
+    }
+    if (la < lc) {
+        check = 1;
+        for (k = 0; k < la; k++) {
+            const int64_t *a = A + 3 * k, *c = C + 3 * k;
+            if (a[0] < c[0] || a[0] + a[2] > c[0] + c[2]
+                || a[1] < c[1] || a[1] + a[2] > c[1] + c[2]) {
+                check = 0; break;
+            }
+        }
+        return check ? 0 : 1;
+    }
+    check = 1;
+    for (k = 0; k < la; k++) {
+        const int64_t *a = A + 3 * k, *c = C + 3 * k;
+        if (a[0] < c[0] || a[0] + a[2] > c[0] + c[2]
+            || a[1] < c[1] || a[1] + a[2] > c[1] + c[2]) {
+            check = 0; break;
+        }
+    }
+    if (check) return 0;
+    check = 1;
+    for (k = 0; k < la; k++) {
+        const int64_t *a = A + 3 * k, *c = C + 3 * k;
+        if (c[0] < a[0] || c[0] + c[2] > a[0] + a[2]
+            || c[1] < a[1] || c[1] + c[2] > a[1] + a[2]) {
+            check = 0; break;
+        }
+    }
+    return check ? 2 : 1;
+}
+
+/* get_subtree_embeddings (embeddings.py:195-231), recursive + memoized. */
+static int fe_subtree(fe_ctx *c, int64_t v) {
+    if (c->memo[v].done) return 0;
+    if (fe_expired(c)) { c->err = -1; return -1; }
+
+    /* local embedding list for this root */
+    femb *lst = NULL; int64_t ln = 0, lcap = 0;
+
+    int64_t a0 = c->adj_off[v], a1 = c->adj_off[v + 1];
+    if (a0 == a1) {
+        lst = (femb *)malloc(sizeof(femb));
+        if (!lst) { c->err = -3; return -1; }
+        if (fe_pool_reserve(c, 1)) { free(lst); return -1; }
+        int64_t o = c->ar.pn++;
+        c->ar.pool[3 * o] = c->vp[v];
+        c->ar.pool[3 * o + 1] = c->vt[v];
+        c->ar.pool[3 * o + 2] = c->vl[v];
+        lst[0].off = o; lst[0].len = 1;
+        ln = 1;
+    } else {
+        for (int64_t e = a0; e < a1; e++) {
+            int64_t w = c->adj[e];
+            if (fe_subtree(c, w)) { free(lst); return -1; }
+            fe_memo *sub = &c->memo[w];
+            for (int64_t s = 0; s < sub->n; s++) {
+                femb add;
+                int r = fe_update(c, sub->a[s], v, &add);
+                if (r < 0) { free(lst); return -1; }
+                if (r == 0) continue;
+                /* throttled timeout check (every 1024 adds) */
+                if (c->tick == 0 && fe_expired(c)) {
+                    c->err = -1; free(lst); return -1;
+                }
+                c->tick = (c->tick + 1) & 1023;
+                int is_max = 2;
+                int64_t k = 0;
+                while (k < ln && is_max >= 1) {
+                    is_max = fe_maximality(c->ar.pool, add, lst[k]);
+                    if (is_max == 2) {
+                        memmove(lst + k, lst + k + 1,
+                                (size_t)(ln - k - 1) * sizeof(femb));
+                        ln--;
+                    } else {
+                        k++;
+                    }
+                }
+                if (is_max >= 1) {
+                    if (ln == lcap) {
+                        lcap = lcap ? 2 * lcap : 8;
+                        femb *nl = (femb *)realloc(lst,
+                                                   (size_t)lcap * sizeof(femb));
+                        if (!nl) { c->err = -3; free(lst); return -1; }
+                        lst = nl;
+                    }
+                    lst[ln++] = add;
+                }
+            }
+        }
+    }
+    c->memo[v].a = lst;
+    c->memo[v].n = ln;
+    c->memo[v].done = 1;
+    return 0;
+}
+
+/* Entry point.  Returns #factorizations and fills out_off (nf+1 offsets
+ * into the factor arrays) and out_f (4 int64 per factor: est_start,
+ * est_end, gen_start, gen_end).  Returns -1 on timeout, -2 if caps are
+ * too small (need2 = {nf_needed, nfactors_needed}), -3 on OOM. */
+int64_t meg_factorizations(
+    const int64_t *vp, const int64_t *vt, const int64_t *vl,
+    const int64_t *vcol, const int64_t *adj_off, const int64_t *adj,
+    int64_t nv, int64_t ncols,
+    const char *gen, int64_t gen_len,
+    int64_t min_factor_len, int64_t min_intron_length,
+    double deadline,
+    int64_t *out_off, int64_t *out_f,
+    int64_t cap_facts, int64_t cap_factors,
+    int64_t *need2) {
+
+    fe_ctx c;
+    memset(&c, 0, sizeof(c));
+    c.vp = vp; c.vt = vt; c.vl = vl;
+    c.adj_off = adj_off; c.adj = adj;
+    c.nv = nv; c.gen = gen; c.gen_len = gen_len;
+    c.mfl = min_factor_len; c.min_intron = min_intron_length;
+    c.deadline = deadline;
+    c.memo = (fe_memo *)calloc((size_t)nv, sizeof(fe_memo));
+    if (!c.memo) return -3;
+
+    /* column-order root iteration: stable counting sort by vcol */
+    int64_t *cnt = (int64_t *)calloc((size_t)ncols + 1, sizeof(int64_t));
+    int64_t *order = (int64_t *)malloc((size_t)nv * sizeof(int64_t));
+    if (!cnt || !order) {
+        free(c.memo); free(cnt); free(order);
+        return -3;
+    }
+    for (int64_t k = 0; k < nv; k++) cnt[vcol[k] + 1]++;
+    for (int64_t k = 1; k <= ncols; k++) cnt[k] += cnt[k - 1];
+    for (int64_t k = 0; k < nv; k++) order[cnt[vcol[k]]++] = k;
+
+    int64_t fl = 2 * min_factor_len;
+    int64_t nf = 0, nfac = 0;
+    int64_t ret = 0;
+
+    for (int64_t r = 0; r < nv; r++) {
+        int64_t root = order[r];
+        if (c.memo[root].done) continue;
+        if (fe_subtree(&c, root)) { ret = c.err; goto done; }
+        fe_memo *m = &c.memo[root];
+        for (int64_t s = 0; s < m->n; s++) {
+            femb emb = m->a[s];
+            const int64_t *P = c.ar.pool + 3 * emb.off;
+            if (nf < cap_facts) out_off[nf] = nfac;
+            int64_t last = -1; /* index into out_f rows of current factor */
+            for (int64_t k = 0; k < emb.len; k++) {
+                int64_t p = P[3 * k], t = P[3 * k + 1], l = P[3 * k + 2];
+                int start_new = 1;
+                if (last >= 0 && last < cap_factors) {
+                    if (t - out_f[4 * last + 3] - 1 <= fl) start_new = 0;
+                }
+                if (start_new) {
+                    if (nfac < cap_factors) {
+                        out_f[4 * nfac] = p;
+                        out_f[4 * nfac + 1] = p + l - 1;
+                        out_f[4 * nfac + 2] = t;
+                        out_f[4 * nfac + 3] = t + l - 1;
+                        last = nfac;
+                    } else {
+                        last = cap_factors; /* poison: counting only */
+                    }
+                    nfac++;
+                } else {
+                    out_f[4 * last + 1] = p + l - 1;
+                    out_f[4 * last + 3] = t + l - 1;
+                }
+            }
+            nf++;
+        }
+    }
+    if (nf <= cap_facts) {
+        /* final sentinel offset */
+        if (nf < cap_facts + 1) out_off[nf] = nfac;
+    }
+    if (nf + 1 > cap_facts + 1 || nfac > cap_factors) {
+        need2[0] = nf; need2[1] = nfac;
+        ret = -2;
+    } else {
+        ret = nf;
+    }
+done:
+    for (int64_t k = 0; k < nv; k++) free(c.memo[k].a);
+    free(c.memo); free(cnt); free(order); free(c.ar.pool);
+    return ret;
+}
+
+/* ======================================================================
+ * MEG text formatting (io-meg.c:meg_write and
+ * max-emb-graph.c:add_intronic_edges_to_file), straight from the flat
+ * arrays so the host never rebuilds per-vertex objects.
+ * mode 0: "(p,t,l)\n"* "#adj#\n" "id-id\n"*      (ids in column order)
+ * mode 1: intronic-edge rows (9 ints, optional " intronic").
+ * Returns bytes written, or -(needed) if cap is too small.
+ * ====================================================================== */
+
+static char *fmt_i64(char *w, int64_t x) {
+    char tmp[24];
+    int n = 0;
+    if (x < 0) { *w++ = '-'; do { tmp[n++] = (char)('0' - (x % 10)); x /= 10; } while (x); }
+    else { do { tmp[n++] = (char)('0' + (x % 10)); x /= 10; } while (x); }
+    while (n) *w++ = tmp[--n];
+    return w;
+}
+
+int64_t meg_format(
+    const int64_t *vp, const int64_t *vt, const int64_t *vl,
+    const int64_t *vcol, const int64_t *adj_off, const int64_t *adj,
+    int64_t nv, int64_t ncols, int64_t mode,
+    char *out, int64_t cap) {
+
+    /* column-order ids (stable counting sort, matches meg write order) */
+    int64_t *cnt = (int64_t *)calloc((size_t)ncols + 1, sizeof(int64_t));
+    int64_t *order = (int64_t *)malloc((size_t)nv * sizeof(int64_t));
+    int64_t *ids = (int64_t *)malloc((size_t)nv * sizeof(int64_t));
+    if (!cnt || !order || !ids) { free(cnt); free(order); free(ids); return -1; }
+    for (int64_t k = 0; k < nv; k++) cnt[vcol[k] + 1]++;
+    for (int64_t k = 1; k <= ncols; k++) cnt[k] += cnt[k - 1];
+    for (int64_t k = 0; k < nv; k++) order[cnt[vcol[k]]++] = k;
+    for (int64_t i = 0; i < nv; i++) ids[order[i]] = i;
+
+    /* worst-case line sizes: mode 0 vertex ~70, edge ~44; mode 1 ~220 */
+    int64_t need = mode == 0
+        ? nv * 72 + 8 + (nv ? adj_off[nv] : 0) * 46
+        : (nv ? adj_off[nv] : 0) * 224;
+    if (need + 1 > cap) {
+        free(cnt); free(order); free(ids);
+        return -(need + 1);
+    }
+
+    char *w = out;
+    if (mode == 0) {
+        for (int64_t i = 0; i < nv; i++) {
+            int64_t k = order[i];
+            *w++ = '(';
+            w = fmt_i64(w, vp[k]); *w++ = ',';
+            w = fmt_i64(w, vt[k]); *w++ = ',';
+            w = fmt_i64(w, vl[k]); *w++ = ')'; *w++ = '\n';
+        }
+        memcpy(w, "#adj#\n", 6); w += 6;
+        for (int64_t i = 0; i < nv; i++) {
+            int64_t k = order[i];
+            for (int64_t e = adj_off[k]; e < adj_off[k + 1]; e++) {
+                w = fmt_i64(w, ids[k]); *w++ = '-';
+                w = fmt_i64(w, ids[adj[e]]); *w++ = '\n';
+            }
+        }
+    } else {
+        for (int64_t i = 0; i < nv; i++) {
+            int64_t k = order[i];
+            if (vp[k] < 0 || vp[k] == MEG_SINK_P) continue;
+            for (int64_t e = adj_off[k]; e < adj_off[k + 1]; e++) {
+                int64_t a = adj[e];
+                if (vp[a] == MEG_SINK_P) continue;
+                int64_t dt = (vt[a] - vt[k]) - (vp[a] - vp[k]);
+                w = fmt_i64(w, vt[k] + vl[k]); *w++ = ' ';
+                w = fmt_i64(w, vt[a]); *w++ = ' ';
+                w = fmt_i64(w, vp[k] + vl[k]); *w++ = ' ';
+                w = fmt_i64(w, vp[a]); *w++ = ' ';
+                w = fmt_i64(w, vt[a] - vt[k] - vl[k]); *w++ = ' ';
+                w = fmt_i64(w, vp[a] - vp[k] - vl[k]); *w++ = ' ';
+                w = fmt_i64(w, dt); *w++ = ' ';
+                w = fmt_i64(w, vl[k]); *w++ = ' ';
+                w = fmt_i64(w, vl[a]);
+                if (dt >= 50) { memcpy(w, " intronic", 9); w += 9; }
+                *w++ = '\n';
+            }
+        }
+    }
+    free(cnt); free(order); free(ids);
+    return (int64_t)(w - out);
+}

@@ -40,9 +40,57 @@ class FactorizedEst:
         self.polyadenil_signals: List[bool] = []
 
 
+def _native_candidate_factorizations(meg_arrays, config: Config,
+                                     gen_seq_bytes: bytes,
+                                     deadline: Optional[float]):
+    """Run the native embedding enumeration + factorization merge
+    (meg_factorizations in native/dp.c).  Returns a list of candidate
+    factorizations, None if the native path is unavailable, or raises
+    TimeoutExpired."""
+    import numpy as np
+
+    from pintron_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "meg_factorizations"):
+        return None
+    vp, vt, vl, vcol, adj_off, adj, nv, ncols = meg_arrays
+    need2 = np.zeros(2, dtype=np.int64)
+    cap_facts, cap_factors = 1024, 8192
+    while True:
+        out_off = np.empty(cap_facts + 1, dtype=np.int64)
+        out_f = np.empty(4 * cap_factors, dtype=np.int64)
+        nf = lib.meg_factorizations(
+            vp.ctypes.data, vt.ctypes.data, vl.ctypes.data,
+            vcol.ctypes.data, adj_off.ctypes.data, adj.ctypes.data,
+            nv, ncols, gen_seq_bytes, len(gen_seq_bytes),
+            config.min_factor_len, config.min_intron_length,
+            deadline if deadline is not None else 0.0,
+            out_off.ctypes.data, out_f.ctypes.data,
+            cap_facts, cap_factors, need2.ctypes.data)
+        if nf == -2:
+            cap_facts = int(need2[0]) + 1
+            cap_factors = int(need2[1]) + 1
+            continue
+        if nf == -1:
+            raise TimeoutExpired()
+        if nf < 0:
+            return None
+        break
+    out: List[Factorization] = []
+    f = out_f
+    for i in range(nf):
+        a, b = int(out_off[i]), int(out_off[i + 1])
+        out.append([Factor(int(f[4 * k]), int(f[4 * k + 1]),
+                           int(f[4 * k + 2]), int(f[4 * k + 3]))
+                    for k in range(a, b)])
+    return out
+
+
 def get_est_factorizations(est_info: mf.EstInfo, V: MEG, config: Config,
                            gen_info: mf.EstInfo,
-                           deadline: Optional[float]
+                           deadline: Optional[float],
+                           meg_arrays=None,
+                           gen_seq_bytes: Optional[bytes] = None
                            ) -> Optional[FactorizedEst]:
     """est-factorizations.c:126-594.  Returns None on timeout."""
     est = FactorizedEst(est_info)
@@ -50,54 +98,63 @@ def get_est_factorizations(est_info: mf.EstInfo, V: MEG, config: Config,
     gen_seq = gen_info.seq
     est_seq = est_info.seq
 
-    for Vi in V:
-        for p in Vi:
-            p.number_of_visits = 0
-            p.visited = False
-
     def deadline_check():
         return deadline is not None and time.monotonic() > deadline
 
-    enum = EmbeddingEnumerator(config, gen_seq, deadline_check)
-    factorization_list: List[Factorization] = []
-
-    try:
+    def python_candidates():
+        for Vi in V:
+            for p in Vi:
+                p.number_of_visits = 0
+                p.visited = False
+        enum = EmbeddingEnumerator(config, gen_seq, deadline_check)
         for Vi in V:
             for next_pairing in Vi:
                 if next_pairing.visited:
                     continue
                 sub_embeddings = enum.get_subtree_embeddings(next_pairing)
-                subtree_facts = get_factorizations_from_embeddings(
+                yield from get_factorizations_from_embeddings(
                     sub_embeddings, config)
-                for add_f in subtree_facts:
-                    is_ok = flt.check_for_not_source_sink_factorization(
-                        add_f, est_length)
-                    if is_ok:
-                        is_ok = flt.check_exon_start_end(add_f)
-                    if is_ok:
-                        add_f = flt.handle_endpoints(add_f, gen_seq, est_seq)
-                        if not add_f:
-                            is_ok = False
-                    if is_ok:
-                        add_f = flt.clean_external_exons(add_f, gen_seq,
-                                                         est_seq)
-                        if not add_f:
-                            is_ok = False
-                    if is_ok:
-                        add_f = flt.clean_low_complexity_exons_2(
-                            add_f, gen_seq, est_seq, config)
-                        if not add_f:
-                            is_ok = False
-                    if is_ok:
-                        add_f = flt.clean_noisy_exons(add_f, gen_seq,
-                                                      est_seq, False)
-                        if not add_f:
-                            is_ok = False
-                    if is_ok:
-                        is_ok = flt.check_est_coverage(add_f, est_seq)
-                    if is_ok:
-                        factorization_list, _added = flt.add_if_not_exists(
-                            add_f, factorization_list, config)
+
+    factorization_list: List[Factorization] = []
+
+    try:
+        candidates = None
+        if meg_arrays is not None:
+            if gen_seq_bytes is None:
+                gen_seq_bytes = gen_seq.encode("latin1")
+            candidates = _native_candidate_factorizations(
+                meg_arrays, config, gen_seq_bytes, deadline)
+        if candidates is None:
+            candidates = python_candidates()
+        for add_f in candidates:
+            is_ok = flt.check_for_not_source_sink_factorization(
+                add_f, est_length)
+            if is_ok:
+                is_ok = flt.check_exon_start_end(add_f)
+            if is_ok:
+                add_f = flt.handle_endpoints(add_f, gen_seq, est_seq)
+                if not add_f:
+                    is_ok = False
+            if is_ok:
+                add_f = flt.clean_external_exons(add_f, gen_seq,
+                                                 est_seq)
+                if not add_f:
+                    is_ok = False
+            if is_ok:
+                add_f = flt.clean_low_complexity_exons_2(
+                    add_f, gen_seq, est_seq, config)
+                if not add_f:
+                    is_ok = False
+            if is_ok:
+                add_f = flt.clean_noisy_exons(add_f, gen_seq,
+                                              est_seq, False)
+                if not add_f:
+                    is_ok = False
+            if is_ok:
+                is_ok = flt.check_est_coverage(add_f, est_seq)
+            if is_ok:
+                factorization_list, _added = flt.add_if_not_exists(
+                    add_f, factorization_list, config)
     except TimeoutExpired:
         return None
 
@@ -175,13 +232,17 @@ def get_est_factorizations(est_info: mf.EstInfo, V: MEG, config: Config,
 
 def internal_get_est_factorizations(gen_info: mf.EstInfo,
                                     est_info: mf.EstInfo, config: Config,
-                                    V: MEG) -> Tuple[Optional[FactorizedEst],
-                                                     bool]:
+                                    V: MEG, meg_arrays=None,
+                                    gen_seq_bytes: Optional[bytes] = None
+                                    ) -> Tuple[Optional[FactorizedEst],
+                                               bool]:
     """compute-est-fact.c:154-190.  Returns (factorized, timeout_expired)."""
     deadline = None
     if config.max_single_factorization_time:
         deadline = time.monotonic() + config.max_single_factorization_time
-    fe = get_est_factorizations(est_info, V, config, gen_info, deadline)
+    fe = get_est_factorizations(est_info, V, config, gen_info, deadline,
+                                meg_arrays=meg_arrays,
+                                gen_seq_bytes=gen_seq_bytes)
     timeout = deadline is not None and time.monotonic() > deadline
     if fe is not None:
         fe.factorizations = refine_est_factorizations(
@@ -199,14 +260,14 @@ def build_meg(est_info: mf.EstInfo, tree: SuffixTree, gen_seq_bytes: bytes,
               shared_config: Config, inc_pairing_len: int
               ) -> Tuple[MEG, int]:
     """compute-est-fact.c:90-152 retry-on-complexity loop.  Returns
-    (V, inc_pairing_len)."""
+    (V, inc_pairing_len, flat_arrays)."""
     config = shared_config.clone()
     pattern = est_info.seq.encode("latin1")
-    V, inc = megmod.build_meg_native(pattern, tree, gen_seq_bytes,
-                                     shared_config, config,
-                                     inc_pairing_len)
+    V, inc, flat = megmod.build_meg_native(pattern, tree, gen_seq_bytes,
+                                           shared_config, config,
+                                           inc_pairing_len)
     if V is not None:
-        return V, inc
+        return V, inc, flat
     while True:
         config.min_factor_len = shared_config.min_factor_len + inc_pairing_len
         V = megmod.build_vertex_set(pattern, tree, gen_seq_bytes, config)
@@ -223,11 +284,14 @@ def build_meg(est_info: mf.EstInfo, tree: SuffixTree, gen_seq_bytes: bytes,
                     < len(V)):
                 inc_pairing_len += 1
                 continue
-        return V, inc_pairing_len
+        return V, inc_pairing_len, None
 
 
-def write_meg(fh: TextIO, V: MEG) -> None:
+def write_meg(fh: TextIO, V) -> None:
     """io-meg.c:meg_write."""
+    if isinstance(V, megmod.MegFlat):
+        V.write_meg(fh)
+        return
     index = 0
     for Vi in V:
         for p in Vi:
@@ -241,8 +305,11 @@ def write_meg(fh: TextIO, V: MEG) -> None:
                 fh.write(f"{p.id}-{a.id}\n")
 
 
-def write_intronic_edges(fh: TextIO, V: MEG) -> None:
+def write_intronic_edges(fh: TextIO, V) -> None:
     """max-emb-graph.c:add_intronic_edges_to_file."""
+    if isinstance(V, megmod.MegFlat):
+        V.write_intronic_edges(fh)
+        return
     INTRONIC_EDGE = 50
     for Vi in V:
         for p in Vi:
@@ -275,8 +342,8 @@ def compute_est_fact(gen_info: mf.EstInfo, est_info: mf.EstInfo,
     while True:
         t_meg0 = time.monotonic()
         while True:
-            V, inc_pairing_len = build_meg(est_info, tree, gen_seq_bytes,
-                                           config, inc_pairing_len)
+            V, inc_pairing_len, meg_arrays = build_meg(
+                est_info, tree, gen_seq_bytes, config, inc_pairing_len)
             tot_pairings, tot_edges = megmod.meg_stats(V)
             same = (prev_tot_pairings > 2 and prev_tot_edges > 0
                     and (prev_tot_pairings <= tot_pairings
@@ -290,7 +357,8 @@ def compute_est_fact(gen_info: mf.EstInfo, est_info: mf.EstInfo,
 
         t_fact0 = time.monotonic()
         factorized, timeout = internal_get_est_factorizations(
-            gen_info, est_info, config, V)
+            gen_info, est_info, config, V, meg_arrays=meg_arrays,
+            gen_seq_bytes=gen_seq_bytes)
         fact_time = time.monotonic() - t_fact0
 
         has_facts = factorized is not None and factorized.factorizations
