@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import numpy as np
+from pintron_tpu.native import get_lib, get_scratch
 
 
 class GapAlignment:
@@ -64,7 +65,6 @@ def _compute_gap_alignment_uncached(est_seq: str, gen_seq: str
     n = len(est_seq)
     m = len(gen_seq)
 
-    from pintron_tpu.native import get_lib, get_scratch
     lib = get_lib()
     if lib is not None:
         cap = n + m

@@ -14,6 +14,7 @@ from pintron_tpu.factorize.burset import get_burset_frequency_adaptor
 
 
 import functools
+from pintron_tpu.native import get_lib, get_scratch
 
 
 @functools.lru_cache(maxsize=1 << 16)
@@ -26,7 +27,6 @@ def general_refine_borders(p: str, min_p_cut: int, max_p_cut: int,
     len_p = len(p)
     len_t = len(t)
 
-    from pintron_tpu.native import get_lib, get_scratch
     lib = get_lib()
     if lib is not None:
         _, _, out = get_scratch(0)

@@ -28,12 +28,19 @@ def _al_char(s: str, idx: int) -> str:
     return "\0"
 
 
+_SCANNERS = None
+
+
 def _native_scanners():
-    from pintron_tpu.native import get_lib, get_scratch
-    lib = get_lib()
-    if lib is None or not hasattr(lib, "scan_ag_after_right"):
-        return None, None
-    return lib, get_scratch(0)[2]
+    global _SCANNERS
+    if _SCANNERS is None:
+        from pintron_tpu.native import get_lib, get_scratch
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "scan_ag_after_right"):
+            _SCANNERS = (None, None)
+        else:
+            _SCANNERS = (lib, get_scratch(0)[2])
+    return _SCANNERS
 
 
 def find_AG_after_on_the_right(al: GapAlignment, init: int

@@ -19,6 +19,9 @@ from pintron_tpu.factorize.filters import (add_if_not_exists,
                                            clean_noisy_exons)
 from pintron_tpu.factorize.refine import general_refine_borders, refine_borders
 from pintron_tpu.factorize.types import Factor, Factorization
+import ctypes
+
+from pintron_tpu.native import get_lib
 
 UB_VERY_SMALL_EXON_LENGTH = 2
 LB_SMALL_EXON_LENGTH = 6
@@ -117,10 +120,8 @@ def find_longest_common_factor_dp(s1: str, s2: str):
     l1, l2 = len(s1), len(s2)
     if l1 == 0 or l2 == 0:
         return 0, 0, 0
-    from pintron_tpu.native import get_lib
     lib = get_lib()
     if lib is not None:
-        import ctypes
         occ1 = ctypes.c_int64()
         occ2 = ctypes.c_int64()
         plen = lib.lcf_dp(s1.encode("latin1"), l1, s2.encode("latin1"), l2,

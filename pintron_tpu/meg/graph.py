@@ -13,8 +13,27 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import numpy as np
+
 from pintron_tpu.config import Config
 from pintron_tpu.index.gst import SuffixTree, MaximalPairingScanner
+
+# Per-genome alphabet maps (one genome per worker process): identity-keyed
+# single-slot cache, rebuilt only when the genome bytes object changes.
+_GEN_MAPS = None
+
+
+def _gen_maps(gen: bytes):
+    """(alph_index, alph_size, a256) for the genomic alphabet."""
+    global _GEN_MAPS
+    if _GEN_MAPS is None or _GEN_MAPS[0] is not gen:
+        alphabet = sorted(set(gen))
+        alph_index = {c: k for k, c in enumerate(alphabet)}
+        a256 = np.full(256, len(alphabet), dtype=np.int64)
+        for c, k in alph_index.items():
+            a256[c] = k
+        _GEN_MAPS = (gen, alph_index, len(alphabet), a256)
+    return _GEN_MAPS[1], _GEN_MAPS[2], _GEN_MAPS[3]
 
 INT_MIN = -(2 ** 31)
 INT_MAX = 2 ** 31 - 1
@@ -69,14 +88,12 @@ def build_vertex_set(pattern: bytes, tree: SuffixTree, gen: bytes,
     # Does the genomic alphabet allow emitting the t==0 occurrence?
     # (fill_list_pairings guard max-emb-graph.c:195: t==0 emitted at slice
     # k==0, or k==1 when the previous symbol IS alphabet char 0.)
-    alphabet = sorted(set(gen))
-    alph_index = {c: k for k, c in enumerate(alphabet)}
-    alph_size = len(alphabet)
+    alph_index, alph_size, a256 = _gen_maps(gen)
 
     from pintron_tpu.native import get_lib
     lib = get_lib()
     if lib is not None and hasattr(lib, "vertex_scan"):
-        cols = _native_vertex_scan(lib, pattern, tree, config, alph_index,
+        cols = _native_vertex_scan(lib, pattern, tree, config, a256,
                                    alph_size)
         if cols is not None:
             V.extend(cols)
@@ -150,14 +167,10 @@ def build_vertex_set(pattern: bytes, tree: SuffixTree, gen: bytes,
 
 
 def _native_scan_arrays(lib, pattern: bytes, tree: SuffixTree,
-                        config: Config, alph_index, alph_size):
+                        config: Config, a256, alph_size):
     """Invoke the C vertex scan; returns raw (p, t, l, n) arrays or None
     if the native call is unavailable/failed."""
-    import numpy as np
     flat = tree.flat_arrays()
-    a256 = np.full(256, alph_size, dtype=np.int64)
-    for c, k in alph_index.items():
-        a256[c] = k
     plen = len(pattern)
     cap = max(4096, 64 * plen)
     while True:
@@ -185,10 +198,10 @@ def _native_scan_arrays(lib, pattern: bytes, tree: SuffixTree,
 
 
 def _native_vertex_scan(lib, pattern: bytes, tree: SuffixTree,
-                        config: Config, alph_index, alph_size):
+                        config: Config, a256, alph_size):
     """Invoke the C vertex scan; returns per-position pairing columns or
     None if the native call is unavailable/failed."""
-    arrs = _native_scan_arrays(lib, pattern, tree, config, alph_index,
+    arrs = _native_scan_arrays(lib, pattern, tree, config, a256,
                                alph_size)
     if arrs is None:
         return None
@@ -211,22 +224,18 @@ def build_meg_native(pattern: bytes, tree: SuffixTree, gen: bytes,
     None) if the native library is unavailable.  flat_arrays is the
     (p, t, l, col, adj_off, adj, nv, ncols) tuple consumed by the native
     embedding enumerator (meg_factorizations)."""
-    import numpy as np
-
     from pintron_tpu.native import get_lib
     lib = get_lib()
     if lib is None or not hasattr(lib, "meg_build"):
         return None, inc_pairing_len, None
 
     plen = len(pattern)
-    alphabet = sorted(set(gen))
-    alph_index = {c: k for k, c in enumerate(alphabet)}
-    alph_size = len(alphabet)
+    alph_index, alph_size, a256 = _gen_maps(gen)
 
     while True:
         config.min_factor_len = (shared_config.min_factor_len
                                  + inc_pairing_len)
-        arrs = _native_scan_arrays(lib, pattern, tree, config, alph_index,
+        arrs = _native_scan_arrays(lib, pattern, tree, config, a256,
                                    alph_size)
         if arrs is None:
             return None, inc_pairing_len, None
