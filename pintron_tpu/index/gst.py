@@ -272,6 +272,12 @@ class SuffixTree:
 
     def flat_arrays(self):
         """Flattened numpy arrays for the native vertex scan (cached)."""
+        if self._flat is not None and "_ptrs" not in self._flat:
+            self._flat["_ptrs"] = tuple(
+                self._flat[k].ctypes.data
+                for k in ("start", "end", "parent", "slink", "depth",
+                          "single", "lo", "hi", "occ", "coff", "cchar",
+                          "cnode"))
         if self._flat is None:
             import numpy as np
             nn = len(self.start)
@@ -299,6 +305,11 @@ class SuffixTree:
                 "occ": np.asarray(self.leaf_occ, dtype=np.int64),
                 "coff": coff, "cchar": cchar, "cnode": cnode,
             }
+            self._flat["_ptrs"] = tuple(
+                self._flat[k].ctypes.data
+                for k in ("start", "end", "parent", "slink", "depth",
+                          "single", "lo", "hi", "occ", "coff", "cchar",
+                          "cnode"))
         return self._flat
 
 

@@ -32,8 +32,9 @@ def _gen_maps(gen: bytes):
         a256 = np.full(256, len(alphabet), dtype=np.int64)
         for c, k in alph_index.items():
             a256[c] = k
-        _GEN_MAPS = (gen, alph_index, len(alphabet), a256)
-    return _GEN_MAPS[1], _GEN_MAPS[2], _GEN_MAPS[3]
+        _GEN_MAPS = (gen, alph_index, len(alphabet), a256,
+                     a256.ctypes.data)
+    return _GEN_MAPS[1], _GEN_MAPS[2], _GEN_MAPS[3], _GEN_MAPS[4]
 
 INT_MIN = -(2 ** 31)
 INT_MAX = 2 ** 31 - 1
@@ -88,12 +89,12 @@ def build_vertex_set(pattern: bytes, tree: SuffixTree, gen: bytes,
     # Does the genomic alphabet allow emitting the t==0 occurrence?
     # (fill_list_pairings guard max-emb-graph.c:195: t==0 emitted at slice
     # k==0, or k==1 when the previous symbol IS alphabet char 0.)
-    alph_index, alph_size, a256 = _gen_maps(gen)
+    alph_index, alph_size, a256, a256_ptr = _gen_maps(gen)
 
     from pintron_tpu.native import get_lib
     lib = get_lib()
     if lib is not None and hasattr(lib, "vertex_scan"):
-        cols = _native_vertex_scan(lib, pattern, tree, config, a256,
+        cols = _native_vertex_scan(lib, pattern, tree, config, a256_ptr,
                                    alph_size)
         if cols is not None:
             V.extend(cols)
@@ -167,45 +168,45 @@ def build_vertex_set(pattern: bytes, tree: SuffixTree, gen: bytes,
 
 
 def _native_scan_arrays(lib, pattern: bytes, tree: SuffixTree,
-                        config: Config, a256, alph_size):
-    """Invoke the C vertex scan; returns raw (p, t, l, n) arrays or None
-    if the native call is unavailable/failed."""
+                        config: Config, a256_ptr, alph_size):
+    """Invoke the C vertex scan; returns ((p, t, l) scratch arrays with
+    cached base pointers, n) or None if the native call fails.  The
+    arrays are per-process scratch: valid until the next scan."""
+    from pintron_tpu.native import np_scratch
     flat = tree.flat_arrays()
+    ptrs = flat["_ptrs"]
     plen = len(pattern)
     cap = max(4096, 64 * plen)
     while True:
-        out_p = np.empty(cap, dtype=np.int64)
-        out_t = np.empty(cap, dtype=np.int64)
-        out_l = np.empty(cap, dtype=np.int64)
+        out_p, p_ptr = np_scratch("scan_p", cap)
+        out_t, t_ptr = np_scratch("scan_t", cap)
+        out_l, l_ptr = np_scratch("scan_l", cap)
+        cap = out_p.size
         n = lib.vertex_scan(
             tree.text, len(tree.text), pattern, plen,
-            flat["start"].ctypes.data, flat["end"].ctypes.data,
-            flat["parent"].ctypes.data, flat["slink"].ctypes.data,
-            flat["depth"].ctypes.data, flat["single"].ctypes.data,
-            flat["lo"].ctypes.data, flat["hi"].ctypes.data,
-            flat["occ"].ctypes.data, flat["coff"].ctypes.data,
-            flat["cchar"].ctypes.data, flat["cnode"].ctypes.data,
-            a256.ctypes.data, alph_size,
+            ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4], ptrs[5],
+            ptrs[6], ptrs[7], ptrs[8], ptrs[9], ptrs[10], ptrs[11],
+            a256_ptr, alph_size,
             config.min_string_depth_rate, config.min_factor_len,
-            out_p.ctypes.data, out_t.ctypes.data, out_l.ctypes.data, cap)
+            p_ptr, t_ptr, l_ptr, cap)
         if n == -1:
             return None
         if n < -1:
             cap = -n
             continue
         break
-    return out_p, out_t, out_l, int(n)
+    return (out_p, p_ptr), (out_t, t_ptr), (out_l, l_ptr), int(n)
 
 
 def _native_vertex_scan(lib, pattern: bytes, tree: SuffixTree,
-                        config: Config, a256, alph_size):
+                        config: Config, a256_ptr, alph_size):
     """Invoke the C vertex scan; returns per-position pairing columns or
     None if the native call is unavailable/failed."""
-    arrs = _native_scan_arrays(lib, pattern, tree, config, a256,
-                               alph_size)
+    arrs = _native_scan_arrays(lib, pattern, tree, config,
+                               a256_ptr, alph_size)
     if arrs is None:
         return None
-    out_p, out_t, out_l, n = arrs
+    (out_p, _), (out_t, _), (out_l, _), n = arrs
     plen = len(pattern)
     cols: List[List[Pairing]] = [[] for _ in range(plen)]
     for k in range(n):
@@ -229,30 +230,34 @@ def build_meg_native(pattern: bytes, tree: SuffixTree, gen: bytes,
     if lib is None or not hasattr(lib, "meg_build"):
         return None, inc_pairing_len, None
 
+    from pintron_tpu.native import np_scratch
+
     plen = len(pattern)
-    alph_index, alph_size, a256 = _gen_maps(gen)
+    alph_index, alph_size, a256, a256_ptr = _gen_maps(gen)
 
     while True:
         config.min_factor_len = (shared_config.min_factor_len
                                  + inc_pairing_len)
-        arrs = _native_scan_arrays(lib, pattern, tree, config, a256,
+        arrs = _native_scan_arrays(lib, pattern, tree, config, a256_ptr,
                                    alph_size)
         if arrs is None:
             return None, inc_pairing_len, None
-        in_p, in_t, in_l, n = arrs
+        (in_p, in_p_ptr), (in_t, in_t_ptr), (in_l, in_l_ptr), n = arrs
 
         cap_v = n + 16
         cap_e = max(8 * n, 1024)
-        flags = np.zeros(5, dtype=np.int64)
+        flags, flags_ptr = np_scratch("meg_flags", 5)
         while True:
-            out_p = np.empty(cap_v, dtype=np.int64)
-            out_t = np.empty(cap_v, dtype=np.int64)
-            out_l = np.empty(cap_v, dtype=np.int64)
-            out_col = np.empty(cap_v, dtype=np.int64)
-            out_off = np.empty(cap_v + 1, dtype=np.int64)
-            out_adj = np.empty(cap_e, dtype=np.int64)
+            out_p, p_ptr = np_scratch("meg_p", cap_v)
+            out_t, t_ptr = np_scratch("meg_t", cap_v)
+            out_l, l_ptr = np_scratch("meg_l", cap_v)
+            out_col, col_ptr = np_scratch("meg_col", cap_v)
+            out_off, off_ptr = np_scratch("meg_off", cap_v + 1)
+            out_adj, adj_ptr = np_scratch("meg_adj", cap_e)
+            cap_v = min(out_p.size, out_off.size - 1)
+            cap_e = out_adj.size
             nv = lib.meg_build(
-                in_p.ctypes.data, in_t.ctypes.data, in_l.ctypes.data,
+                in_p_ptr, in_t_ptr, in_l_ptr,
                 n, plen,
                 config.min_factor_len, config.max_intron_length,
                 config.min_intron_length,
@@ -262,9 +267,9 @@ def build_meg_native(pattern: bytes, tree: SuffixTree, gen: bytes,
                 config.max_freq_shortest_pairing,
                 1 if config.trans_red else 0,
                 1 if config.short_edge_comp else 0,
-                out_p.ctypes.data, out_t.ctypes.data, out_l.ctypes.data,
-                out_col.ctypes.data, out_off.ctypes.data,
-                out_adj.ctypes.data, flags.ctypes.data, cap_v, cap_e)
+                p_ptr, t_ptr, l_ptr,
+                col_ptr, off_ptr,
+                adj_ptr, flags_ptr, cap_v, cap_e)
             if nv == -2:
                 cap_v = int(flags[3]) + 1
                 cap_e = int(flags[4]) + 1
@@ -279,14 +284,11 @@ def build_meg_native(pattern: bytes, tree: SuffixTree, gen: bytes,
             inc_pairing_len += 1
             continue
 
-        n_adj = int(out_off[nv]) if nv else 0
-        flat = (np.ascontiguousarray(out_p[:nv]),
-                np.ascontiguousarray(out_t[:nv]),
-                np.ascontiguousarray(out_l[:nv]),
-                np.ascontiguousarray(out_col[:nv]),
-                np.ascontiguousarray(out_off[:nv + 1]),
-                np.ascontiguousarray(out_adj[:n_adj]),
-                nv, plen + 2)
+        # scratch-backed views (valid until the next MEG build in this
+        # process — strictly after this EST is fully processed)
+        flat = (out_p, out_t, out_l, out_col, out_off, out_adj,
+                nv, plen + 2,
+                (p_ptr, t_ptr, l_ptr, col_ptr, off_ptr, adj_ptr))
         return MegFlat(flat), inc_pairing_len, flat
 
 
@@ -304,7 +306,7 @@ class MegFlat:
         return self.arrays[7]
 
     def stats(self):
-        _p, _t, _l, _col, off, _adj, nv, _ncols = self.arrays
+        off, nv = self.arrays[4], self.arrays[6]
         return nv, (int(off[nv]) if nv else 0)
 
     def _format(self, mode: int) -> str:
@@ -312,14 +314,14 @@ class MegFlat:
 
         from pintron_tpu.native import get_lib
         lib = get_lib()
-        vp, vt, vl, vcol, adj_off, adj, nv, ncols = self.arrays
+        arrs = self.arrays
+        adj_off, nv, ncols, ptrs = arrs[4], arrs[6], arrs[7], arrs[8]
         n_adj = int(adj_off[nv]) if nv else 0
         cap = (nv * 72 + 8 + n_adj * 46 if mode == 0 else n_adj * 224) + 16
         while True:
             buf = ctypes.create_string_buffer(cap)
             n = lib.meg_format(
-                vp.ctypes.data, vt.ctypes.data, vl.ctypes.data,
-                vcol.ctypes.data, adj_off.ctypes.data, adj.ctypes.data,
+                ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4], ptrs[5],
                 nv, ncols, mode, buf, cap)
             if n < 0:
                 cap = -int(n) + 16

@@ -165,6 +165,24 @@ _SCRATCH_CAP = 0
 _SCRATCH = None
 
 
+# Grow-only numpy scratch arrays with cached base pointers: numpy's
+# ``arr.ctypes`` property builds a helper object per access (~µs), which
+# dominates small native calls; each worker process is single-threaded so
+# one keyed slot per use-site is safe.
+_NP_SCRATCH = {}
+
+
+def np_scratch(key: str, n: int):
+    """Return (int64 array of size >= n, base pointer)."""
+    import numpy as np
+    hit = _NP_SCRATCH.get(key)
+    if hit is None or hit[0].size < n:
+        arr = np.empty(max(n, 4096), dtype=np.int64)
+        hit = (arr, arr.ctypes.data)
+        _NP_SCRATCH[key] = hit
+    return hit
+
+
 def get_scratch(cap: int):
     """Return (est_buf, gen_buf, out8) char/int64 scratch with at least
     ``cap`` writable chars in each char buffer."""

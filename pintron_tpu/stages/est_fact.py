@@ -47,26 +47,25 @@ def _native_candidate_factorizations(meg_arrays, config: Config,
     (meg_factorizations in native/dp.c).  Returns a list of candidate
     factorizations, None if the native path is unavailable, or raises
     TimeoutExpired."""
-    import numpy as np
-
-    from pintron_tpu.native import get_lib
+    from pintron_tpu.native import get_lib, np_scratch
     lib = get_lib()
     if lib is None or not hasattr(lib, "meg_factorizations"):
         return None
-    vp, vt, vl, vcol, adj_off, adj, nv, ncols = meg_arrays
-    need2 = np.zeros(2, dtype=np.int64)
+    nv, ncols, ptrs = meg_arrays[6], meg_arrays[7], meg_arrays[8]
+    need2, need2_ptr = np_scratch("fact_need2", 2)
     cap_facts, cap_factors = 1024, 8192
     while True:
-        out_off = np.empty(cap_facts + 1, dtype=np.int64)
-        out_f = np.empty(4 * cap_factors, dtype=np.int64)
+        out_off, off_ptr = np_scratch("fact_off", cap_facts + 1)
+        out_f, f_ptr = np_scratch("fact_f", 4 * cap_factors)
+        cap_facts = out_off.size - 1
+        cap_factors = out_f.size // 4
         nf = lib.meg_factorizations(
-            vp.ctypes.data, vt.ctypes.data, vl.ctypes.data,
-            vcol.ctypes.data, adj_off.ctypes.data, adj.ctypes.data,
+            ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4], ptrs[5],
             nv, ncols, gen_seq_bytes, len(gen_seq_bytes),
             config.min_factor_len, config.min_intron_length,
             deadline if deadline is not None else 0.0,
-            out_off.ctypes.data, out_f.ctypes.data,
-            cap_facts, cap_factors, need2.ctypes.data)
+            off_ptr, f_ptr,
+            cap_facts, cap_factors, need2_ptr)
         if nf == -2:
             cap_facts = int(need2[0]) + 1
             cap_factors = int(need2[1]) + 1
