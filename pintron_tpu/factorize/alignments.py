@@ -175,6 +175,10 @@ def edit_distance_full(s1: str, s2: str) -> np.ndarray:
 def edit_distance(s1: str, s2: str) -> int:
     """Final cell of edit_distance_full (used like the reference's
     M[(l1+1)*(l2+1)-1])."""
+    lib = _get_native_lib()
+    if lib is not None:
+        return int(lib.edit_total(s1.encode("latin1"), len(s1),
+                                  s2.encode("latin1"), len(s2)))
     return int(edit_distance_full(s1, s2)[len(s2), len(s1)])
 
 
@@ -187,7 +191,7 @@ def edit_distance_matrix(s1: str, s2: str) -> np.ndarray:
 def compute_edit_distance(s1: str, s2: str) -> int:
     if s1 == s2:
         return 0
-    return int(edit_distance_matrix(s1, s2)[len(s1), len(s2)])
+    return edit_distance(s1, s2)
 
 
 def compute_best_suffix_cut(s1: str, s2: str) -> Tuple[int, int, int]:

@@ -51,6 +51,9 @@ def _build_and_load():
     lib.nw_align.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                              ctypes.c_char_p, ctypes.c_int64,
                              ctypes.c_void_p]
+    lib.edit_total.restype = ctypes.c_int64
+    lib.edit_total.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                               ctypes.c_char_p, ctypes.c_int64]
     lib.edit_matrix.restype = None
     lib.edit_matrix.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                 ctypes.c_char_p, ctypes.c_int64,

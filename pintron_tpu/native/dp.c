@@ -2170,3 +2170,31 @@ int64_t meg_format(
     free(cnt); free(order); free(ids);
     return (int64_t)(w - out);
 }
+
+/* Final-cell unit-cost edit distance with rolling rows (the full-matrix
+ * edit_matrix is only needed when callers read interior cells; most call
+ * sites use just the total).  Same literal-char semantics as edit_matrix. */
+int64_t edit_total(const char *s1, int64_t l1, const char *s2, int64_t l2) {
+    if (l1 == 0) return l2;
+    if (l2 == 0) return l1;
+    int64_t *row = (int64_t *)malloc((size_t)(l1 + 1) * sizeof(int64_t));
+    if (!row) return -1;
+    for (int64_t j = 0; j <= l1; j++) row[j] = j;
+    for (int64_t i = 1; i <= l2; i++) {
+        int64_t diag = row[0];
+        row[0] = i;
+        char c2 = s2[i - 1];
+        for (int64_t j = 1; j <= l1; j++) {
+            int64_t up = row[j];
+            int64_t sub = diag + (s1[j - 1] != c2);
+            int64_t del = up + 1;
+            int64_t ins = row[j - 1] + 1;
+            int64_t m = sub < del ? sub : del;
+            row[j] = m < ins ? m : ins;
+            diag = up;
+        }
+    }
+    int64_t r = row[l1];
+    free(row);
+    return r;
+}
