@@ -19,7 +19,7 @@ class GapAlignment:
     __slots__ = ("est", "gen", "factor_cut", "intron_start", "intron_end",
                  "intron_start_on_align", "intron_end_on_align",
                  "new_acceptor_factor_left", "new_donor_right_on_gen",
-                 "new_acceptor_left_on_gen")
+                 "new_acceptor_left_on_gen", "_est_b", "_gen_b")
 
     def __init__(self):
         self.est = ""
@@ -32,6 +32,17 @@ class GapAlignment:
         self.new_acceptor_factor_left = 0
         self.new_donor_right_on_gen = 0
         self.new_acceptor_left_on_gen = 0
+        self._est_b = None
+        self._gen_b = None
+
+    def bytes_pair(self):
+        """Cached latin-1 encodings of (est, gen); the alignment strings
+        are never mutated after construction (callers only touch the
+        new_* fields), so the cache is safe."""
+        if self._est_b is None:
+            self._est_b = self.est.encode("latin1")
+            self._gen_b = self.gen.encode("latin1")
+        return self._est_b, self._gen_b
 
     def copy(self) -> "GapAlignment":
         c = GapAlignment()

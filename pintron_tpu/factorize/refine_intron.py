@@ -49,8 +49,8 @@ def find_AG_after_on_the_right(al: GapAlignment, init: int
     est_cut_dim); dims are -1 when no 'AG' is found."""
     lib, out = _native_scanners()
     if lib is not None:
-        lib.scan_ag_after_right(al.est.encode("latin1"),
-                                al.gen.encode("latin1"), len(al.gen),
+        eb, gb = al.bytes_pair()
+        lib.scan_ag_after_right(eb, gb, len(gb),
                                 init, al.intron_end_on_align, out)
         return int(out[0]), int(out[1]), int(out[2])
     if init < 2:
@@ -91,8 +91,9 @@ def find_ACCEPTOR_before_on_the_left(al: GapAlignment, init: int,
     """refine-intron.c:942-990."""
     lib, out = _native_scanners()
     if lib is not None:
+        eb, gb = al.bytes_pair()
         lib.scan_acceptor_before_left(
-            al.est.encode("latin1"), al.gen.encode("latin1"), len(al.gen),
+            eb, gb, len(gb),
             init, ord(acceptor_str[0]), ord(acceptor_str[1]),
             al.intron_start_on_align, out)
         return int(out[0]), int(out[1]), int(out[2])
@@ -129,7 +130,7 @@ def find_ACCEPTOR_after_on_the_left(al: GapAlignment, init: int,
     lib, _ = _native_scanners()
     if lib is not None:
         return int(lib.scan_acceptor_after_left(
-            al.gen.encode("latin1"), len(al.gen), init,
+            al.bytes_pair()[1], len(al.gen), init,
             ord(acceptor_str[0]), ord(acceptor_str[1]),
             al.intron_start_on_align, al.intron_end_on_align))
     index = init
@@ -150,7 +151,7 @@ def find_AG_before_on_the_right(al: GapAlignment, init: int) -> int:
     lib, _ = _native_scanners()
     if lib is not None:
         return int(lib.scan_ag_before_right(
-            al.gen.encode("latin1"), len(al.gen), init,
+            al.bytes_pair()[1], len(al.gen), init,
             al.intron_start_on_align, al.intron_end_on_align))
     index = init
     stop = False

@@ -24,23 +24,29 @@ _SRC = os.path.join(os.path.dirname(__file__), "dp.c")
 def _build_and_load():
     with open(_SRC, "rb") as f:
         src = f.read()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    tag = hashlib.sha256(src + b"|O3native").hexdigest()[:16]
     cache = os.path.join(tempfile.gettempdir(),
                          f"pintron-native-{os.getuid()}")
     os.makedirs(cache, exist_ok=True)
     so_path = os.path.join(cache, f"libpintron_dp-{tag}.so")
     if not os.path.exists(so_path):
         tmp = so_path + f".tmp{os.getpid()}"
-        for cc in ("cc", "gcc", "clang"):
-            try:
-                subprocess.run([cc, "-O2", "-fPIC", "-shared", _SRC,
-                                "-o", tmp], check=True,
-                               capture_output=True)
-                os.replace(tmp, so_path)
+        built = False
+        for flags in (["-O3", "-march=native", "-funroll-loops"],
+                      ["-O2"]):
+            for cc in ("cc", "gcc", "clang"):
+                try:
+                    subprocess.run([cc, *flags, "-fPIC", "-shared", _SRC,
+                                    "-o", tmp], check=True,
+                                   capture_output=True)
+                    os.replace(tmp, so_path)
+                    built = True
+                    break
+                except (subprocess.CalledProcessError, FileNotFoundError):
+                    continue
+            if built:
                 break
-            except (subprocess.CalledProcessError, FileNotFoundError):
-                continue
-        else:
+        if not built:
             return None
     lib = ctypes.CDLL(so_path)
     lib.kband_core.restype = ctypes.c_int64

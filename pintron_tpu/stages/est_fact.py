@@ -436,6 +436,7 @@ def _worker_main(conn) -> None:
     import sys as _sys
     _sys.setrecursionlimit(1_000_000)
     global _WORKER_CTX
+    tree_cache = {}
     while True:
         try:
             msg = conn.recv()
@@ -445,7 +446,11 @@ def _worker_main(conn) -> None:
             return
         gen, gen_seq_bytes, config, units = msg
         try:
-            tree = SuffixTree(gen_seq_bytes)
+            tree = tree_cache.get(gen_seq_bytes)
+            if tree is None:
+                tree_cache.clear()  # one locus at a time; don't hold old indexes
+                tree = SuffixTree(gen_seq_bytes)
+                tree_cache[gen_seq_bytes] = tree
             _WORKER_CTX = (gen, tree, gen_seq_bytes, config)
             conn.send([_process_unit(u) for u in units])
         except Exception:
