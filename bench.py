@@ -48,11 +48,14 @@ def main():
         shutil.copy(os.path.join(src, fn), work)
     run_est_fact(work)
 
-    reps = 5
-    t0 = time.perf_counter()
+    # best-of-N: the box is shared and small workloads are noisy; the
+    # minimum is the least-contended measurement of the same fixed work.
+    reps = 9
+    dt = float("inf")
     for _ in range(reps):
+        t0 = time.perf_counter()
         run_est_fact(work)
-    dt = (time.perf_counter() - t0) / reps
+        dt = min(dt, time.perf_counter() - t0)
 
     ests_per_s = n_ests / dt
     print(json.dumps({

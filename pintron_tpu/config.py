@@ -138,5 +138,5 @@ class Config:
             lines.append("no-transitive-reduction")
         if not self.short_edge_comp:
             lines.append("no-short-edge-compaction")
-        with open(path, "w", encoding="utf-8") as f:
-            f.write("\n".join(lines) + "\n")
+        from pintron_tpu.utils import write_text
+        write_text(path, "\n".join(lines) + "\n")

@@ -111,26 +111,48 @@ def remove_duplicated_factorizations(factorizations: List[Factorization]
             k1 += 1
 
 
-def find_longest_common_factor_dp(s1: str, s2: str):
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _enc(s: str) -> bytes:
+    """Cached latin-1 encoding for the (large, repeatedly-sliced) genomic
+    sequence; the LCF kernel takes (pointer, length), so a prefix is just
+    a shorter length over the same bytes."""
+    return s.encode("latin1")
+
+
+def find_longest_common_factor_dp(s1: str, s2: str, s1_b: bytes = None,
+                                  l1: int = None):
     """factorization-refinement.c:253-316 (Ns always match).
-    Returns (occ1, occ2, length)."""
+    Returns (occ1, occ2, length).  ``s1_b``/``l1`` optionally supply a
+    pre-encoded buffer whose first ``l1`` bytes are s1 (avoids slicing
+    and re-encoding genomic prefixes)."""
     # NOTE: the reference recurses when l2 > l1 but then falls through and
     # re-runs the DP with the original argument order, overwriting the
     # recursion's results — so the answer is always the plain DP below.
-    l1, l2 = len(s1), len(s2)
+    if s1_b is None:
+        l1 = len(s1)
+        s1_b = None
+    l2 = len(s2)
     if l1 == 0 or l2 == 0:
         return 0, 0, 0
     lib = get_lib()
     if lib is not None:
         occ1 = ctypes.c_int64()
         occ2 = ctypes.c_int64()
-        plen = lib.lcf_dp(s1.encode("latin1"), l1, s2.encode("latin1"), l2,
+        if s1_b is None:
+            s1_b = s1.encode("latin1")
+        plen = lib.lcf_dp(s1_b, l1, s2.encode("latin1"), l2,
                           ctypes.byref(occ1), ctypes.byref(occ2))
         if plen >= 0:
             return int(occ1.value), int(occ2.value), int(plen)
     import numpy as np
 
-    a1 = np.frombuffer(s1.encode("latin1"), dtype=np.uint8)
+    if s1_b is not None:
+        a1 = np.frombuffer(s1_b[:l1], dtype=np.uint8)
+    else:
+        a1 = np.frombuffer(s1.encode("latin1"), dtype=np.uint8)
     a2 = np.frombuffer(s2.encode("latin1"), dtype=np.uint8)
     wild1 = (a1 == ord("n")) | (a1 == ord("N"))
     wild2 = (a2 == ord("n")) | (a2 == ord("N"))
@@ -189,8 +211,8 @@ def search_small_exon_at_prefix(p1: Factor, pfact: Factorization,
     e1pfact = est_seq[p1.est_start:p1.est_start + e1plen]
     g1pfact = gen_seq[p1.gen_start:p1.gen_start + e1plen]
 
-    pg, pe, cflen = find_longest_common_factor_dp(gen_seq[:p1.gen_start],
-                                                  epfact)
+    pg, pe, cflen = find_longest_common_factor_dp(
+        "", epfact, s1_b=_enc(gen_seq), l1=p1.gen_start)
     if cflen < LB_SMALL_EXON_LENGTH:
         return False
     edp = compute_edit_distance(e1pfact, g1pfact)
@@ -451,6 +473,16 @@ def find_longest_affix(est: str, genomic: str):
     estl, genomicl = len(est), len(genomic)
     if estl == 0 or genomicl == 0:
         return False, 0, 0
+    lib = get_lib()
+    if lib is not None:
+        out2 = (ctypes.c_int64 * 2)()
+        found = lib.longest_affix(est.encode("latin1"), estl,
+                                  genomic.encode("latin1"), genomicl,
+                                  MAX_ERROR_RATE, out2)
+        if found >= 0:
+            if not found:
+                return False, 0, 0
+            return True, int(out2[0]), int(out2[1])
     matrix = edit_distance_full(genomic, est)  # rows over est
     e = np.frombuffer(est.encode("latin1"), dtype=np.uint8)
     g = np.frombuffer(genomic.encode("latin1"), dtype=np.uint8)

@@ -57,6 +57,11 @@ def _build_and_load():
     lib.nw_align.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                              ctypes.c_char_p, ctypes.c_int64,
                              ctypes.c_void_p]
+    lib.longest_affix.restype = ctypes.c_int64
+    lib.longest_affix.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                  ctypes.c_char_p, ctypes.c_int64,
+                                  ctypes.c_double,
+                                  ctypes.POINTER(ctypes.c_int64)]
     lib.edit_total.restype = ctypes.c_int64
     lib.edit_total.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                ctypes.c_char_p, ctypes.c_int64]

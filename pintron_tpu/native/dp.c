@@ -2198,3 +2198,45 @@ int64_t edit_total(const char *s1, int64_t l1, const char *s2, int64_t l2) {
     free(row);
     return r;
 }
+
+/* Longest-affix recovery scan (factorization-refinement.c:1134-1172).
+ * Unit-cost edit matrix of (gen, est) — literal char comparison — with
+ * rolling rows; among cells where est[i-1]==gen[j-1] and the weight
+ * w = 2*M[i][j]/(i+j) is <= max_rate (and <= 1.0), select the LAST cell
+ * in row-major order achieving the minimum weight.  Returns 1 if such a
+ * cell exists (out[0]=i, out[1]=j), else 0; -1 on alloc failure. */
+int64_t longest_affix(const char *est, int64_t n, const char *gen,
+                      int64_t m, double max_rate, int64_t *out) {
+    if (n == 0 || m == 0) return 0;
+    int64_t *row = (int64_t *)malloc((size_t)(m + 1) * sizeof(int64_t));
+    if (!row) return -1;
+    for (int64_t j = 0; j <= m; j++) row[j] = j;
+    double best = 2.0;  /* above any eligible weight */
+    int64_t bi = 0, bj = 0;
+    int found = 0;
+    for (int64_t i = 1; i <= n; i++) {
+        int64_t diag = row[0];
+        row[0] = i;
+        char ce = est[i - 1];
+        for (int64_t j = 1; j <= m; j++) {
+            int64_t up = row[j];
+            int64_t sub = diag + (gen[j - 1] != ce);
+            int64_t del = up + 1;
+            int64_t ins = row[j - 1] + 1;
+            int64_t v = sub < del ? sub : del;
+            v = v < ins ? v : ins;
+            row[j] = v;
+            diag = up;
+            if (ce == gen[j - 1]) {
+                double w = 2.0 * (double)v / (double)(i + j);
+                if (w <= max_rate && w <= 1.0 && w <= best) {
+                    best = w; bi = i; bj = j; found = 1;
+                }
+            }
+        }
+    }
+    free(row);
+    out[0] = bi;
+    out[1] = bj;
+    return found;
+}

@@ -635,16 +635,9 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
         finally:
             _WORKER_CTX = None
 
-    with open(wpath("raw-multifasta-out.txt"), "w") as f_out, \
-            open(wpath("megs.txt"), "w") as fmeg, \
-            open(wpath("processed-megs.txt"), "w") as fpmeg, \
-            open(wpath("processed-megs-info.txt"), "w") as ftmeg, \
-            open(wpath("processed-ests.txt"), "w") as f_est_out, \
-            open(wpath("meg-edges.txt"), "w") as fintronic:
-        for raw, megs, pmegs, tmeg, est_out, intronic in results:
-            f_out.write(raw)
-            fmeg.write(megs)
-            fpmeg.write(pmegs)
-            ftmeg.write(tmeg)
-            f_est_out.write(est_out)
-            fintronic.write(intronic)
+    from pintron_tpu.utils import write_text
+    names = ("raw-multifasta-out.txt", "megs.txt", "processed-megs.txt",
+             "processed-megs-info.txt", "processed-ests.txt",
+             "meg-edges.txt")
+    for k, name in enumerate(names):
+        write_text(wpath(name), "".join(r[k] for r in results))
