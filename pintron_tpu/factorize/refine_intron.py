@@ -545,10 +545,81 @@ def try_burset_after_match(est_sequence: str, genomic_sequence: str,
     return frequency, upd_afl, upd_drg, upd_alg
 
 
+# refine_intron is a pure function of (sequences, factor coords, config
+# windows); candidate factorizations of the same EST repeat adjacent
+# factor pairs, so memoize the outcome (str hashes are cached by the
+# interpreter, so key construction is cheap after the first call).
+_RI_CACHE: dict = {}
+_RI_CACHE_MAX = 1 << 15
+
+
 def refine_intron(config: Config, gen_seq: str, est_seq: str,
                   donor: Factor, acceptor: Factor,
                   first_intron: bool) -> bool:
-    """refine-intron.c:47-265.  Mutates donor/acceptor on success."""
+    """refine-intron.c:47-265.  Mutates donor/acceptor on success.
+    The whole refinement (windows, gap alignment, splice-site shifts,
+    Burset fallback) runs in one native call when available; the python
+    body below is the numerically-identical reference implementation."""
+    key = (est_seq, gen_seq, donor.est_start, donor.est_end,
+           donor.gen_start, donor.gen_end, acceptor.est_start,
+           acceptor.est_end, acceptor.gen_start, acceptor.gen_end,
+           first_intron, config.suffpref_length_on_est,
+           config.suffpref_length_for_intron,
+           config.suffpref_length_on_gen, config.min_intron_length)
+    hit = _RI_CACHE.get(key)
+    if hit is not None:
+        (ret, donor.est_start, donor.est_end, donor.gen_start,
+         donor.gen_end, acceptor.est_start, acceptor.est_end,
+         acceptor.gen_start, acceptor.gen_end) = hit
+        return ret
+    ret = _refine_intron_dispatch(config, gen_seq, est_seq, donor,
+                                  acceptor, first_intron)
+    if len(_RI_CACHE) >= _RI_CACHE_MAX:
+        _RI_CACHE.clear()
+    _RI_CACHE[key] = (ret, donor.est_start, donor.est_end,
+                      donor.gen_start, donor.gen_end, acceptor.est_start,
+                      acceptor.est_end, acceptor.gen_start,
+                      acceptor.gen_end)
+    return ret
+
+
+def _refine_intron_dispatch(config: Config, gen_seq: str, est_seq: str,
+                            donor: Factor, acceptor: Factor,
+                            first_intron: bool) -> bool:
+    lib, out = _native_scanners()
+    if lib is not None and hasattr(lib, "refine_intron_core"):
+        from pintron_tpu.factorize.refinement import _enc
+        gen_b = _enc(gen_seq)
+        est_b = _enc(est_seq)
+        ret = lib.refine_intron_core(
+            gen_b, len(gen_b), est_b, len(est_b),
+            donor.est_start, donor.est_end, donor.gen_start, donor.gen_end,
+            acceptor.est_start, acceptor.est_end, acceptor.gen_start,
+            acceptor.gen_end,
+            config.suffpref_length_on_est,
+            config.suffpref_length_for_intron,
+            config.suffpref_length_on_gen,
+            config.min_intron_length, 1 if first_intron else 0, out)
+        if ret >= 0:
+            if ret == 0:
+                return False
+            if ret == 1:
+                acceptor.est_start = int(out[2])
+                acceptor.gen_start = int(out[1])
+                return True
+            donor.gen_end = int(out[0])
+            acceptor.gen_start = int(out[1])
+            acceptor.est_start = int(out[2])
+            donor.est_end = acceptor.est_start - 1
+            return True
+    return _refine_intron_py(config, gen_seq, est_seq, donor, acceptor,
+                             first_intron)
+
+
+def _refine_intron_py(config: Config, gen_seq: str, est_seq: str,
+                      donor: Factor, acceptor: Factor,
+                      first_intron: bool) -> bool:
+    """refine-intron.c:47-265 (host reference path)."""
     sp_est = config.suffpref_length_on_est
     sp_intron = config.suffpref_length_for_intron
     sp_gen = config.suffpref_length_on_gen

@@ -57,6 +57,13 @@ def _build_and_load():
     lib.nw_align.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                              ctypes.c_char_p, ctypes.c_int64,
                              ctypes.c_void_p]
+    lib.refine_intron_core.restype = ctypes.c_int64
+    lib.refine_intron_core.argtypes = (
+        [ctypes.c_char_p, ctypes.c_int64,      # gen
+         ctypes.c_char_p, ctypes.c_int64]      # est
+        + [ctypes.c_int64] * 8                 # donor/acceptor factors
+        + [ctypes.c_int64] * 5                 # sp_est/intron/gen, min_intron, first
+        + [ctypes.POINTER(ctypes.c_int64)])    # out4
     lib.longest_affix.restype = ctypes.c_int64
     lib.longest_affix.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                   ctypes.c_char_p, ctypes.c_int64,

@@ -2240,3 +2240,463 @@ int64_t longest_affix(const char *est, int64_t n, const char *gen,
     out[1] = bj;
     return found;
 }
+
+/* ======================================================================
+ * Full intron refinement (refine-intron.c:47-265 + Shift_* helpers;
+ * exact semantics of the python mirror
+ * pintron_tpu/factorize/refine_intron.py:refine_intron).
+ *
+ * Returns -1 on alloc failure (caller falls back to the python path),
+ * 0 = no change, 1 = first-intron early accept (out4[1]=acceptor.est
+ * _start, out4[2]=acceptor.gen_start), 2 = full accept (out4[0]=donor.
+ * gen_end, out4[1]=acceptor.gen_start, out4[2]=acceptor.est_start).
+ * ====================================================================== */
+
+/* clamped substring append (util.c:real_substring semantics) — returns
+ * number of chars appended */
+static int64_t ri_substr(char *dst, const char *src, int64_t srclen,
+                         int64_t index, int64_t length) {
+    int64_t k, n = 0;
+    if (index < 0) { length += index; index = 0; }
+    if (length <= 0) return 0;
+    for (k = index; k < index + length && k < srclen; k++) dst[n++] = src[k];
+    return n;
+}
+
+static char ri_at(const char *s, int64_t len, int64_t i) {
+    return (i >= 0 && i < len) ? s[i] : '\0';
+}
+
+/* check_burset_patterns (refine-intron.c:346-360) */
+static int ri_check_burset(const char *gen, int64_t glen,
+                           int64_t drg, int64_t arg) {
+    char d[2], a[2];
+    if (ri_substr(d, gen, glen, drg + 1, 2) < 2) return 0;
+    if (ri_substr(a, gen, glen, arg - 2, 2) < 2) return 0;
+    return burset_pair(d[0], d[1], a[0], a[1]);
+}
+
+/* get_est/genomic_substring_from_alignment (refine-intron.c:1878-1948).
+ * Returns substring length (>=0) with *err set, or -1 for the python
+ * None case (init out of range). */
+static int64_t ri_sub_from_align(const char *keep, const char *other,
+                                 int64_t alen, int64_t init, int64_t length,
+                                 char *dst, int64_t *err) {
+    int64_t actual, index, n = 0, e = 0;
+    if (init < 0 || init >= alen) return -1;
+    actual = alen - init < length ? alen - init : length;
+    for (index = init; index < init + actual; index++) {
+        if (keep[index] != '-') dst[n++] = keep[index];
+        if (keep[index] != other[index]) e++;
+    }
+    *err = e;
+    return n;
+}
+
+typedef struct {
+    const char *est_al, *gen_al;
+    int64_t alen;
+    int64_t isa, iea;      /* intron_{start,end}_on_align */
+    int64_t nafl, ndrg, nalg;
+} ri_al_t;
+
+/* _shift_ext_error */
+static void ri_ext_error(const ri_al_t *al, int right_to_left,
+                         char *ext_est, int64_t *ext_est_len,
+                         char *ext_gen, int64_t *ext_gen_len,
+                         int64_t *ext_error) {
+    int64_t e1, e2, n1, n2;
+    *ext_error = -1;
+    if (right_to_left) {
+        int64_t l_substr = 8, start = al->isa - 8;
+        if (start < 0) { l_substr = 8 - start; start = 0; }
+        n1 = ri_sub_from_align(al->est_al, al->gen_al, al->alen, start,
+                               l_substr, ext_est, &e1);
+        n2 = ri_sub_from_align(al->gen_al, al->est_al, al->alen, start,
+                               l_substr, ext_gen, &e2);
+    } else {
+        int64_t init = al->iea + 1;
+        n1 = ri_sub_from_align(al->est_al, al->gen_al, al->alen, init, 8,
+                               ext_est, &e1);
+        n2 = ri_sub_from_align(al->gen_al, al->est_al, al->alen, init, 8,
+                               ext_gen, &e2);
+    }
+    *ext_est_len = n1;
+    *ext_gen_len = n2;
+    if (n1 >= 0) *ext_error = e1;
+    if (n2 >= 0) *ext_error = e2;
+}
+
+#define RI_CYCLE 2
+#define RI_STR_CAP 4096
+
+/* one shift-candidate table row */
+typedef struct {
+    int64_t gen_cut, est_cut, gen_substr;
+    char cut_factor[RI_STR_CAP]; int64_t cf_len;   /* -1 = None */
+    char match_str[RI_STR_CAP];  int64_t ms_len;
+    char prev_match[RI_STR_CAP]; int64_t pm_len;
+    char ext_cut[2 * RI_STR_CAP];   int64_t ec_len;
+    char ext_match[2 * RI_STR_CAP]; int64_t em_len;
+} ri_row_t;
+
+static void ri_rows_init(ri_row_t *rows) {
+    int i;
+    for (i = 0; i < RI_CYCLE; i++) {
+        rows[i].gen_cut = rows[i].est_cut = rows[i].gen_substr = 0;
+        rows[i].cf_len = rows[i].ms_len = rows[i].pm_len = -1;
+        rows[i].ec_len = rows[i].em_len = -1;
+    }
+}
+
+/* variant 1 (GT): first (i,j) with unsigned error <= 1 wins.
+ * variant 2 (GC): minimize signed edit, stop only at 0.
+ * right_to_left selects the scan direction pair. */
+static int ri_shift(const char *est, int64_t est_len,
+                    const char *gen, int64_t gen_len,
+                    const ri_al_t *al, char acc0, char acc1,
+                    int variant, int right_to_left, int64_t *out3) {
+    ri_row_t rows[RI_CYCLE];
+    char ext_est[64], ext_gen[64];
+    int64_t ext_est_len, ext_gen_len, ext_error;
+    int64_t init_right, init_left;
+    int64_t i, j;
+    int stop = 0;
+    int64_t o3[3];
+
+    ri_rows_init(rows);
+    ri_ext_error(al, right_to_left, ext_est, &ext_est_len,
+                 ext_gen, &ext_gen_len, &ext_error);
+
+    if (right_to_left) {
+        init_right = al->iea + 1;
+        init_left = al->isa;
+    } else {
+        init_right = al->iea;
+        init_left = al->isa - 1;
+    }
+
+    for (i = 0; i < RI_CYCLE; i++) {
+        ri_row_t *r = &rows[i];
+        if (right_to_left) {
+            scan_ag_after_right(al->est_al, al->gen_al, al->alen,
+                                init_right, al->iea, o3);
+            r->gen_cut = o3[1]; r->est_cut = o3[2];
+            if (r->est_cut > -1) {
+                if (variant == 1)
+                    r->pm_len = ri_substr(r->prev_match, gen, gen_len,
+                                          al->nalg, r->gen_cut);
+                r->cf_len = ri_substr(r->cut_factor, est, est_len,
+                                      al->nafl, r->est_cut);
+                init_right = o3[0] + 1;
+                if (ext_error > 0 && ext_est_len >= 0) {
+                    memcpy(r->ext_cut, ext_est, (size_t)ext_est_len);
+                    memcpy(r->ext_cut + ext_est_len, r->cut_factor,
+                           (size_t)r->cf_len);
+                    r->ec_len = ext_est_len + r->cf_len;
+                }
+            }
+            r->gen_substr = scan_acceptor_after_left(al->gen_al, al->alen,
+                                                     init_left, acc0, acc1,
+                                                     al->isa, al->iea);
+            if (r->gen_substr > -1) {
+                r->ms_len = ri_substr(r->match_str, gen, gen_len,
+                                      al->ndrg + 1, r->gen_substr);
+                init_left = al->isa + r->gen_substr + 1;
+                if (r->cf_len >= 0 && ext_error > 0 && ext_gen_len >= 0) {
+                    memcpy(r->ext_match, ext_gen, (size_t)ext_gen_len);
+                    memcpy(r->ext_match + ext_gen_len, r->match_str,
+                           (size_t)r->ms_len);
+                    r->em_len = ext_gen_len + r->ms_len;
+                }
+            }
+        } else {
+            scan_acceptor_before_left(al->est_al, al->gen_al, al->alen,
+                                      init_left, acc0, acc1, al->isa, o3);
+            r->gen_cut = o3[1]; r->est_cut = o3[2];
+            if (r->est_cut > -1) {
+                if (variant == 1)
+                    r->pm_len = ri_substr(r->prev_match, gen, gen_len,
+                                          al->ndrg - r->gen_cut + 1,
+                                          r->gen_cut);
+                r->cf_len = ri_substr(r->cut_factor, est, est_len,
+                                      al->nafl - r->est_cut, r->est_cut);
+                init_left = o3[0] - 1;
+                if (ext_error > 0 && ext_est_len >= 0) {
+                    memcpy(r->ext_cut, r->cut_factor, (size_t)r->cf_len);
+                    memcpy(r->ext_cut + r->cf_len, ext_est,
+                           (size_t)ext_est_len);
+                    r->ec_len = r->cf_len + ext_est_len;
+                }
+            }
+            r->gen_substr = scan_ag_before_right(al->gen_al, al->alen,
+                                                 init_right, al->isa,
+                                                 al->iea);
+            if (r->gen_substr > -1) {
+                r->ms_len = ri_substr(r->match_str, gen, gen_len,
+                                      al->nalg - r->gen_substr,
+                                      r->gen_substr);
+                init_right = al->iea - r->gen_substr - 1;
+                if (r->cf_len >= 0 && ext_error > 0 && ext_gen_len >= 0) {
+                    memcpy(r->ext_match, r->match_str, (size_t)r->ms_len);
+                    memcpy(r->ext_match + r->ms_len, ext_gen,
+                           (size_t)ext_gen_len);
+                    r->em_len = r->ms_len + ext_gen_len;
+                }
+            }
+        }
+    }
+
+    if (variant == 1) {
+        int64_t error = 1000, edit_prev = 1000;
+        for (i = 0; i < RI_CYCLE && !stop; i++) {
+            for (j = 0; j < RI_CYCLE && !stop; j++) {
+                if (rows[i].cf_len >= 0 && rows[j].ms_len >= 0) {
+                    edit_prev = edit_total(rows[i].cut_factor,
+                                           rows[i].cf_len,
+                                           rows[i].prev_match,
+                                           rows[i].pm_len);
+                    if (edit_prev <= 5) {
+                        int64_t ed;
+                        if (rows[i].ec_len >= 0 && rows[j].em_len >= 0) {
+                            ed = edit_total(rows[i].ext_cut, rows[i].ec_len,
+                                            rows[j].ext_match,
+                                            rows[j].em_len);
+                            error = (int64_t)(uint32_t)(ed - edit_prev
+                                                        - ext_error);
+                        } else {
+                            ed = edit_total(rows[i].cut_factor,
+                                            rows[i].cf_len,
+                                            rows[j].match_str,
+                                            rows[j].ms_len);
+                            error = (int64_t)(uint32_t)(ed - edit_prev);
+                        }
+                    }
+                }
+                if (error <= 1) {
+                    if (right_to_left) {
+                        out3[0] = al->ndrg + rows[j].gen_substr;
+                        out3[1] = al->nalg + rows[i].gen_cut;
+                        out3[2] = al->nafl + rows[i].est_cut;
+                    } else {
+                        out3[0] = al->ndrg - rows[i].gen_cut;
+                        out3[1] = al->nalg - rows[j].gen_substr;
+                        out3[2] = al->nafl - rows[i].est_cut;
+                    }
+                    stop = 1;
+                }
+            }
+        }
+    } else {
+        int64_t error = 1000;
+        for (i = 0; i < RI_CYCLE && !stop; i++) {
+            for (j = 0; j < RI_CYCLE && !stop; j++) {
+                int64_t edit;
+                if (rows[i].ec_len >= 0 && rows[j].em_len >= 0) {
+                    edit = edit_total(rows[i].ext_cut, rows[i].ec_len,
+                                      rows[j].ext_match, rows[j].em_len)
+                           - ext_error;
+                } else if (rows[i].cf_len >= 0 && rows[j].ms_len >= 0) {
+                    edit = edit_total(rows[i].cut_factor, rows[i].cf_len,
+                                      rows[j].match_str, rows[j].ms_len);
+                } else {
+                    edit = 1000;
+                }
+                if (edit < error) {
+                    error = edit;
+                    if (right_to_left) {
+                        out3[0] = al->ndrg + rows[j].gen_substr;
+                        out3[1] = al->nalg + rows[i].gen_cut;
+                        out3[2] = al->nafl + rows[i].est_cut;
+                    } else {
+                        out3[0] = al->ndrg - rows[i].gen_cut;
+                        out3[1] = al->nalg - rows[j].gen_substr;
+                        out3[2] = al->nafl - rows[i].est_cut;
+                    }
+                }
+                if (error == 0) stop = 1;
+            }
+        }
+    }
+    return stop;
+}
+
+/* try_burset_after_match (refine-intron.c:267-343) */
+static void ri_try_burset(const char *est, int64_t est_len,
+                          const char *gen, int64_t gen_len,
+                          int64_t afl, int64_t drg, int64_t alg,
+                          int64_t sdfl, int64_t safr, int64_t *out3) {
+    int64_t s_afl = afl, s_alg = alg, s_drg = drg;
+    int64_t upd_afl = s_afl, upd_alg = s_alg, upd_drg = s_drg;
+    int64_t frequency = 0;
+    int right_to_left = 0, stop = 0;
+
+    while (!stop && ri_at(est, est_len, s_afl) == ri_at(gen, gen_len, s_alg)
+           && s_afl > sdfl + 1) {
+        if (s_afl == 0 || s_drg == -1) { stop = 1; }
+        else {
+            int64_t tmp = ri_check_burset(gen, gen_len, s_drg, s_alg);
+            if (tmp > frequency) {
+                frequency = tmp;
+                upd_afl = s_afl; upd_alg = s_alg; upd_drg = s_drg;
+            }
+            s_afl--; s_drg--; s_alg--;
+        }
+    }
+
+    s_afl = afl; s_alg = alg + 1; s_drg = drg + 1;
+    stop = 0;
+    while (!stop && ri_at(est, est_len, s_afl) == ri_at(gen, gen_len, s_drg)
+           && s_afl < safr) {
+        if (s_afl == est_len || s_alg == gen_len) { stop = 1; }
+        else {
+            int64_t tmp = ri_check_burset(gen, gen_len, s_drg, s_alg);
+            if (tmp > frequency) {
+                frequency = tmp;
+                upd_afl = s_afl; upd_alg = s_alg; upd_drg = s_drg;
+                right_to_left = 1;
+            }
+            s_afl++; s_drg++; s_alg++;
+        }
+    }
+    if (right_to_left) upd_afl++;
+    out3[0] = upd_drg;
+    out3[1] = upd_alg;
+    out3[2] = upd_afl;
+}
+
+int64_t refine_intron_core(
+    const char *gen, int64_t gen_len, const char *est, int64_t est_len,
+    int64_t d_es, int64_t d_ee, int64_t d_gs, int64_t d_ge,
+    int64_t a_es, int64_t a_ee, int64_t a_gs, int64_t a_ge,
+    int64_t sp_est, int64_t sp_intron, int64_t sp_gen,
+    int64_t min_intron_length, int64_t first_intron, int64_t *out4) {
+    static char *seq_est = NULL, *seq_gen = NULL;
+    static char *est_al = NULL, *gen_al = NULL;
+    static int64_t cap_e = 0, cap_g = 0, cap_al = 0;
+    int64_t n = 0, m = 0;
+    int64_t dsl_gen, dsl_est, apr_gen, apr_est;
+    int64_t deleted_intron_dim;
+    int64_t need_e, need_g;
+    int64_t out7[8], o3[3];
+    ri_al_t al;
+    int64_t final0, final1, final2;
+    int ok;
+
+    /* window bounds */
+    dsl_gen = d_gs;
+    if (d_ge - sp_gen + 1 >= dsl_gen) dsl_gen = d_ge - sp_gen + 1;
+    dsl_est = d_es;
+    if (d_ee - sp_est + 1 >= dsl_est) dsl_est = d_ee - sp_est + 1;
+    apr_gen = a_ge;
+    if (a_gs + sp_gen - 1 <= apr_gen) apr_gen = a_gs + sp_gen - 1;
+    apr_est = a_ee;
+    if (a_es + sp_est - 1 <= apr_est) apr_est = a_es + sp_est - 1;
+
+    {
+        int64_t t1 = d_ee - dsl_est + 1, t2 = a_es - d_ee - 1,
+                t3 = apr_est - a_es + 1;
+        if (t1 < 0) t1 = 0;
+        if (t2 < 0) t2 = 0;
+        if (t3 < 0) t3 = 0;
+        need_e = t1 + t2 + t3 + 16;
+        t1 = d_ge - dsl_gen + 1; t3 = apr_gen - a_gs + 1;
+        if (t1 < 0) t1 = 0;
+        if (t3 < 0) t3 = 0;
+        need_g = t1 + 2 * sp_intron + t3 + 16;
+    }
+    if (need_e > cap_e) {
+        char *nb = (char *)realloc(seq_est, (size_t)(2 * need_e));
+        if (!nb) return -1;
+        seq_est = nb; cap_e = 2 * need_e;
+    }
+    if (need_g > cap_g) {
+        char *nb = (char *)realloc(seq_gen, (size_t)(2 * need_g));
+        if (!nb) return -1;
+        seq_gen = nb; cap_g = 2 * need_g;
+    }
+
+    /* sequence_on_est = donor suffix + gap + acceptor prefix */
+    n += ri_substr(seq_est + n, est, est_len, dsl_est,
+                   d_ee - dsl_est + 1);
+    if (d_ee != a_es - 1)
+        n += ri_substr(seq_est + n, est, est_len, d_ee + 1,
+                       a_es - d_ee - 1);
+    n += ri_substr(seq_est + n, est, est_len, a_es, apr_est - a_es + 1);
+
+    /* sequence_on_gen = donor suffix + intron prefix + intron suffix +
+     * acceptor prefix */
+    m += ri_substr(seq_gen + m, gen, gen_len, dsl_gen, d_ge - dsl_gen + 1);
+    m += ri_substr(seq_gen + m, gen, gen_len, d_ge + 1, sp_intron);
+    m += ri_substr(seq_gen + m, gen, gen_len, a_gs - sp_intron, sp_intron);
+    m += ri_substr(seq_gen + m, gen, gen_len, a_gs, apr_gen - a_gs + 1);
+
+    deleted_intron_dim = a_gs - d_ge - 1 - 2 * sp_intron;
+
+    if (n + m + 8 > cap_al) {
+        char *na = (char *)realloc(est_al, (size_t)(2 * (n + m) + 64));
+        char *ng = (char *)realloc(gen_al, (size_t)(2 * (n + m) + 64));
+        if (!na || !ng) { free(na); return -1; }
+        est_al = na; gen_al = ng; cap_al = 2 * (n + m) + 64;
+    }
+
+    gap_align_run(seq_est, n, seq_gen, m, est_al, gen_al, out7);
+    if (out7[0] < 0) return -1;
+    /* the shift-table rows hold alignment-derived substrings in fixed
+     * buffers; outsized alignments fall back to the python path */
+    if (out7[0] >= RI_STR_CAP) return -1;
+
+    al.est_al = est_al; al.gen_al = gen_al; al.alen = out7[0];
+    al.isa = out7[4]; al.iea = out7[5];
+    al.nafl = dsl_est + out7[1];
+    al.ndrg = dsl_gen + out7[2] - 1;
+    al.nalg = dsl_gen + out7[3] + deleted_intron_dim + 1;
+
+    if (al.nafl == d_es) {
+        if (first_intron) {
+            out4[1] = al.nalg;
+            out4[2] = al.nafl;
+            return 1;
+        }
+        return 0;
+    }
+
+    if (al.nalg - al.ndrg < min_intron_length) return 0;
+
+    {
+        int64_t drs = al.ndrg - d_ge; if (drs < 0) drs = -drs;
+        int64_t als = al.nalg - a_gs; if (als < 0) als = -als;
+        if (drs > 20 || als > 20) return 0;
+    }
+
+    scan_acceptor_before_left(est_al, gen_al, al.alen, al.isa - 1,
+                              'G', 'T', al.isa, o3);
+    {
+        int64_t left_gcd = o3[1];
+        scan_ag_after_right(est_al, gen_al, al.alen, al.iea + 1,
+                            al.iea, o3);
+        if (left_gcd == 0 && o3[1] == 0) {
+            final0 = al.ndrg; final1 = al.nalg; final2 = al.nafl;
+            goto mutate;
+        }
+    }
+
+    ok = ri_shift(est, est_len, gen, gen_len, &al, 'G', 'T', 1, 1, o3);
+    if (!ok) ok = ri_shift(est, est_len, gen, gen_len, &al, 'G', 'T',
+                           1, 0, o3);
+    if (!ok) ok = ri_shift(est, est_len, gen, gen_len, &al, 'G', 'C',
+                           2, 1, o3);
+    if (!ok) ok = ri_shift(est, est_len, gen, gen_len, &al, 'G', 'C',
+                           2, 0, o3);
+    if (!ok)
+        ri_try_burset(est, est_len, gen, gen_len, al.nafl, al.ndrg,
+                      al.nalg, d_es, a_ee, o3);
+    final0 = o3[0]; final1 = o3[1]; final2 = o3[2];
+    if (final1 > a_ge || final0 < d_gs) return 0;
+
+mutate:
+    out4[0] = final0;
+    out4[1] = final1;
+    out4[2] = final2;
+    return 2;
+}
