@@ -24,6 +24,10 @@ _SRC = os.path.join(os.path.dirname(__file__), "dp.c")
 def _build_and_load():
     with open(_SRC, "rb") as f:
         src = f.read()
+    hdr = os.path.join(os.path.dirname(__file__), "pwm_tables.h")
+    if os.path.exists(hdr):
+        with open(hdr, "rb") as f:
+            src += f.read()
     tag = hashlib.sha256(src + b"|O3native").hexdigest()[:16]
     cache = os.path.join(tempfile.gettempdir(),
                          f"pintron-native-{os.getuid()}")
@@ -37,7 +41,7 @@ def _build_and_load():
             for cc in ("cc", "gcc", "clang"):
                 try:
                     subprocess.run([cc, *flags, "-fPIC", "-shared", _SRC,
-                                    "-o", tmp], check=True,
+                                    "-o", tmp, "-lm"], check=True,
                                    capture_output=True)
                     os.replace(tmp, so_path)
                     built = True
@@ -163,6 +167,22 @@ def _build_and_load():
     lib.nw_align_run.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.est_process.restype = ctypes.c_int64
+    lib.est_process.argtypes = (
+        [ctypes.c_void_p] * 6                  # vp vt vl vcol adj_off adj
+        + [ctypes.c_int64] * 2                 # nv, ncols
+        + [ctypes.c_char_p, ctypes.c_int64]    # gen
+        + [ctypes.c_char_p, ctypes.c_int64]    # est (masked)
+        + [ctypes.c_char_p, ctypes.c_int64]    # est original
+        + [ctypes.c_int64, ctypes.c_int64, ctypes.c_double]
+        #   min_factor_len, min_intron_length, deadline
+        + [ctypes.c_double, ctypes.c_int64, ctypes.c_double,
+           ctypes.c_int64, ctypes.c_int64]
+        #   complexity, max_site_diff, max_cov_diff, max_gap_diff, max_nf
+        + [ctypes.c_int64] * 3                 # sp_est, sp_intron, sp_gen
+        + [ctypes.c_void_p] * 4                # out off, f, polya, polyad
+        + [ctypes.c_int64] * 2                 # cap_facts, cap_factors
+        + [ctypes.c_void_p])                   # counts
     return lib
 
 

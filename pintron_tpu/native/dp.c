@@ -2700,3 +2700,2161 @@ mutate:
     out4[2] = final2;
     return 2;
 }
+
+/* ======================================================================
+ * Full per-EST post-MEG processing: candidate enumeration -> filter
+ * cascade -> coverage/gap filters -> intron refinement -> polyA ->
+ * refinement pass -> final dedup, all in one native call.
+ *
+ * Exact semantics of the host pipeline modules (which in turn rebuild
+ * the reference):
+ *   pintron_tpu/stages/est_fact.py:get_est_factorizations
+ *     (est-factorizations.c:126-594)
+ *   pintron_tpu/factorize/filters.py (est-factorizations.c:1136-2330)
+ *   pintron_tpu/factorize/refinement.py (factorization-refinement.c)
+ *   pintron_tpu/factorize/polya.py (detect-polya.c)
+ *   pintron_tpu/factorize/classify.py (classify-intron.c:95-229)
+ * ====================================================================== */
+
+#include <math.h>
+
+#include "pwm_tables.h"
+
+/* ---- dynamic factor containers ---------------------------------------- */
+
+typedef struct { int64_t es, ee, gs, ge; } efac;
+typedef struct {
+    efac *f; int64_t n, cap;
+    int64_t polya, polyad;
+} efct;
+typedef struct { efct *a; int64_t n, cap; } eflst;
+
+static int efct_reserve(efct *v, int64_t need) {
+    if (need <= v->cap) return 1;
+    {
+        int64_t nc = v->cap ? v->cap : 8;
+        efac *nd;
+        while (nc < need) nc *= 2;
+        nd = (efac *)realloc(v->f, (size_t)nc * sizeof(efac));
+        if (!nd) return 0;
+        v->f = nd; v->cap = nc;
+    }
+    return 1;
+}
+
+static int efct_push(efct *v, efac x) {
+    if (!efct_reserve(v, v->n + 1)) return 0;
+    v->f[v->n++] = x;
+    return 1;
+}
+
+static int efct_insert(efct *v, int64_t at, efac x) {
+    if (!efct_reserve(v, v->n + 1)) return 0;
+    memmove(v->f + at + 1, v->f + at, (size_t)(v->n - at) * sizeof(efac));
+    v->f[at] = x;
+    v->n++;
+    return 1;
+}
+
+static void efct_del(efct *v, int64_t at) {
+    memmove(v->f + at, v->f + at + 1, (size_t)(v->n - at - 1) * sizeof(efac));
+    v->n--;
+}
+
+static void efct_free(efct *v) { free(v->f); v->f = NULL; v->n = v->cap = 0; }
+
+static int eflst_push(eflst *l, efct v) {      /* moves ownership */
+    if (l->n == l->cap) {
+        int64_t nc = l->cap ? l->cap * 2 : 8;
+        efct *nd = (efct *)realloc(l->a, (size_t)nc * sizeof(efct));
+        if (!nd) return 0;
+        l->a = nd; l->cap = nc;
+    }
+    l->a[l->n++] = v;
+    return 1;
+}
+
+static void eflst_del(eflst *l, int64_t at) {  /* frees the entry */
+    efct_free(&l->a[at]);
+    memmove(l->a + at, l->a + at + 1, (size_t)(l->n - at - 1) * sizeof(efct));
+    l->n--;
+}
+
+static void eflst_free(eflst *l) {
+    int64_t k;
+    for (k = 0; k < l->n; k++) efct_free(&l->a[k]);
+    free(l->a);
+    l->a = NULL; l->n = l->cap = 0;
+}
+
+/* ---- string helpers ---------------------------------------------------- */
+
+/* python s[a:b] semantics (negative indices wrap); the result is always a
+ * contiguous span, returned as (pointer, length) */
+static int64_t py_slice(const char *s, int64_t len, int64_t a, int64_t b,
+                        const char **out) {
+    if (a < 0) { a += len; if (a < 0) a = 0; }
+    if (b < 0) { b += len; if (b < 0) b = 0; }
+    if (a > len) a = len;
+    if (b > len) b = len;
+    *out = s + a;
+    return b > a ? b - a : 0;
+}
+
+/* util.c real_substring semantics as (pointer, length) */
+static int64_t rs_sub(const char *s, int64_t slen, int64_t index,
+                      int64_t length, const char **out) {
+    if (index < 0) { length += index; index = 0; }
+    if (length <= 0) { *out = s; return 0; }
+    if (index > slen) index = slen;
+    if (index + length > slen) length = slen - index;
+    *out = s + index;
+    return length > 0 ? length : 0;
+}
+
+/* grow-once char scratch keyed by slot (single-threaded per process) */
+static char *ep_cbuf(int slot, int64_t need) {
+    static char *bufs[8];
+    static int64_t caps[8];
+    if (need > caps[slot]) {
+        char *nb = (char *)realloc(bufs[slot], (size_t)(2 * need + 64));
+        if (!nb) return NULL;
+        bufs[slot] = nb;
+        caps[slot] = 2 * need + 64;
+    }
+    return bufs[slot];
+}
+
+/* ---- per-call coordinate-keyed memo ------------------------------------
+ * Within one est_process call the gen/est sequences are fixed, so pure
+ * helpers keyed by factor coordinates (NW endpoint handling, k-band,
+ * dust, intron refinement, intron classification) can be memoized across
+ * candidate factorizations -- the same role the host path's lru_caches
+ * play.  Open addressing, generation-stamped clearing. */
+
+#define EPM_BITS 18
+#define EPM_CAP (1LL << EPM_BITS)
+
+typedef struct {
+    uint64_t k[5];
+    int64_t v[5];
+    uint32_t gen;
+    uint8_t used;
+} epm_ent;
+
+static epm_ent *epm_tab = NULL;
+static uint32_t epm_gen = 0;
+static int64_t epm_fill = 0;
+
+static void epm_wipe(void) {
+    epm_gen++;
+    epm_fill = 0;
+}
+
+/* ---- persistent sequence registry --------------------------------------
+ * The memo survives across est_process calls: entries are keyed by an
+ * exact (est, est_orig) identity id, valid for the current genomic
+ * sequence (a gen change wipes everything).  Identity is exact -- a hash
+ * prefilter plus full memcmp against a stored copy -- so cache hits are
+ * guaranteed bit-identical to recomputation.  This mirrors the host
+ * path's lru_caches, which key on the sequence strings themselves. */
+
+#define EPS_BITS 13
+#define EPS_CAP (1LL << EPS_BITS)
+
+typedef struct { uint64_t h; int64_t len; char *copy; uint32_t gen; } eps_ent;
+static eps_ent eps_tab[EPS_CAP];
+static int64_t eps_fill = 0;
+static uint32_t eps_gen = 0;
+
+static const char *epm_gen_ptr = NULL;
+static int64_t epm_gen_len = -1;
+static uint64_t epm_gen_hash = 0;
+
+static uint64_t ep_hash_bytes(const char *s, int64_t n, uint64_t h) {
+    int64_t i;
+    for (i = 0; i < n; i++) {
+        h ^= (unsigned char)s[i];
+        h *= 1099511628211ULL;
+    }
+    return h;
+}
+
+static void eps_wipe(void) {
+    int64_t i;
+    for (i = 0; i < EPS_CAP; i++) {
+        if (eps_tab[i].gen == eps_gen && eps_tab[i].copy) {
+            free(eps_tab[i].copy);
+            eps_tab[i].copy = NULL;
+        }
+    }
+    eps_gen++;
+    eps_fill = 0;
+}
+
+/* Returns a stable id (1..) for the (est, est_orig) pair, registering it
+ * on first sight; wipes all caches when the genomic sequence changes or
+ * the registry fills.  Returns 0 when the memo must be bypassed. */
+static uint64_t epm_begin(const char *gen, int64_t glen,
+                          const char *est, int64_t elen,
+                          const char *est_orig, int64_t eolen) {
+    uint64_t h, idx;
+    if (!epm_tab)
+        epm_tab = (epm_ent *)calloc(EPM_CAP, sizeof(epm_ent));
+    if (!epm_tab) return 0;
+    if (gen != epm_gen_ptr || glen != epm_gen_len) {
+        uint64_t gh = ep_hash_bytes(gen, glen, 1469598103934665603ULL);
+        if (glen != epm_gen_len || gh != epm_gen_hash) {
+            epm_wipe();
+            eps_wipe();
+            epm_gen_hash = gh;
+        }
+        epm_gen_ptr = gen;
+        epm_gen_len = glen;
+    }
+    if (eps_fill > (EPS_CAP * 3) / 4) {
+        epm_wipe();
+        eps_wipe();
+    }
+    h = ep_hash_bytes(est, elen, 1469598103934665603ULL);
+    h = ep_hash_bytes(est_orig, eolen, h ^ 0x9e3779b97f4a7c15ULL);
+    if (h == 0) h = 1;
+    idx = h & (EPS_CAP - 1);
+    for (;;) {
+        eps_ent *e = &eps_tab[idx];
+        if (e->gen != eps_gen || !e->copy) {
+            char *copy = (char *)malloc((size_t)(elen + eolen + 1));
+            if (!copy) return 0;
+            memcpy(copy, est, (size_t)elen);
+            memcpy(copy + elen, est_orig, (size_t)eolen);
+            copy[elen + eolen] = 0;
+            if (e->gen == eps_gen && e->copy) free(e->copy);
+            e->h = h;
+            e->len = elen + eolen;
+            e->copy = copy;
+            e->gen = eps_gen;
+            eps_fill++;
+            return idx + 1;
+        }
+        if (e->h == h && e->len == elen + eolen
+            && memcmp(e->copy, est, (size_t)elen) == 0
+            && memcmp(e->copy + elen, est_orig, (size_t)eolen) == 0)
+            return idx + 1;
+        idx = (idx + 1) & (EPS_CAP - 1);
+    }
+}
+
+/* id of the (est, est_orig) pair for the current est_process call; 0
+ * disables the memo for this call */
+static uint64_t epm_seq_id = 0;
+
+/* Returns the entry for key k; *found = 1 when it holds a cached value.
+ * Returns NULL when the table is unavailable/full (caller just
+ * recomputes without caching). */
+static epm_ent *epm_find(const uint64_t k[5], int *found) {
+    uint64_t h = 1469598103934665603ULL, idx;
+    int i;
+    if (!epm_tab || epm_seq_id == 0) { *found = 0; return NULL; }
+    if (epm_fill > (EPM_CAP * 3) / 4) epm_wipe();
+    for (i = 0; i < 5; i++) { h ^= k[i]; h *= 1099511628211ULL; }
+    idx = h & (EPM_CAP - 1);
+    for (;;) {
+        epm_ent *e = &epm_tab[idx];
+        if (!e->used || e->gen != epm_gen) {
+            memcpy(e->k, k, sizeof(e->k));
+            e->gen = epm_gen;
+            e->used = 1;
+            epm_fill++;
+            *found = 0;
+            return e;
+        }
+        if (memcmp(e->k, k, sizeof(e->k)) == 0) { *found = 1; return e; }
+        idx = (idx + 1) & (EPM_CAP - 1);
+    }
+}
+
+static void epm_key4(uint64_t *k, uint64_t tag, const efac *f) {
+    k[0] = tag | (epm_seq_id << 16);
+    k[1] = ((uint64_t)(uint32_t)f->es << 32) | (uint32_t)f->ee;
+    k[2] = ((uint64_t)(uint32_t)f->gs << 32) | (uint32_t)f->ge;
+    k[3] = 0;
+    k[4] = 0;
+}
+
+/* ---- cascade: per-candidate checks (filters.py) ------------------------ */
+
+static int ep_check_not_ss(const efct *f, int64_t est_length) {
+    if (f->n > 1) return 1;
+    return !(f->f[0].es < 0 || f->f[0].es >= est_length);
+}
+
+static int ep_check_exon_start_end(const efct *f) {
+    int64_t prev_ee = -1, prev_ge = -1, k;
+    for (k = 0; k < f->n; k++) {
+        const efac *e = &f->f[k];
+        if (e->es > e->ee || e->gs > e->ge) return 0;
+        if (e->es < prev_ee || e->gs < prev_ge) return 0;
+        prev_ee = e->ee;
+        prev_ge = e->ge;
+    }
+    return 1;
+}
+
+/* filters.py:handle_endpoints (est-factorizations.c:2127-2301).
+ * Returns 0 on allocation failure. */
+static int ep_handle_endpoints(efct *f, const char *gen, int64_t glen,
+                               const char *est, int64_t elen) {
+    const char *ge, *ee;
+    int64_t gel, eel, alen, j, matches, cut_factor, cut_exon;
+    int stop;
+    char *est_al, *gen_al;
+    int64_t out_len[1];
+    efac *head = &f->f[0];
+
+    {
+        uint64_t mk[5];
+        int found;
+        epm_ent *me;
+        epm_key4(mk, 1, head);
+        me = epm_find(mk, &found);
+        if (found) {
+            if (me->v[0] == 0) efct_del(f, 0);
+            else { head->es = me->v[1]; head->gs = me->v[2]; }
+        } else {
+            gel = rs_sub(gen, glen, head->gs, head->ge - head->gs + 1, &ge);
+            eel = rs_sub(est, elen, head->es, head->ee - head->es + 1, &ee);
+            est_al = ep_cbuf(0, eel + gel + 8);
+            gen_al = ep_cbuf(1, eel + gel + 8);
+            if (!est_al || !gen_al) return 0;
+            if (nw_align_run(ee, eel, ge, gel, est_al, gen_al, out_len) < 0)
+                return 0;
+            alen = out_len[0];
+
+            j = 0; matches = 0;
+            cut_factor = head->es;
+            cut_exon = head->gs;
+            stop = 0;
+            while (j < alen && !stop) {
+                if (matches > 5) stop = 1;
+                else {
+                    if (est_al[j] == gen_al[j]) {
+                        cut_factor++; cut_exon++; matches++;
+                    } else {
+                        if (est_al[j] != '-') cut_factor++;
+                        if (gen_al[j] != '-') cut_exon++;
+                        matches = 0;
+                    }
+                    j++;
+                }
+            }
+            if (!stop) {
+                if (me) me->v[0] = 0;
+                efct_del(f, 0);
+            } else {
+                head->es = cut_factor - matches;
+                head->gs = cut_exon - matches;
+                if (me) { me->v[0] = 1; me->v[1] = head->es; me->v[2] = head->gs; }
+            }
+        }
+    }
+    if (f->n == 0) return 1;
+
+    {
+        efac *tail = &f->f[f->n - 1];
+        int64_t est_cleav, gen_cleav, cursor, dim;
+        int stop2;
+        uint64_t mk[5];
+        int found;
+        epm_ent *me;
+        epm_key4(mk, 2, tail);
+        me = epm_find(mk, &found);
+        if (found) {
+            if (me->v[0] == 0) f->n--;
+            else { tail->ee = me->v[1]; tail->ge = me->v[2]; }
+            return 1;
+        }
+        gel = rs_sub(gen, glen, tail->gs, tail->ge - tail->gs + 1, &ge);
+        eel = rs_sub(est, elen, tail->es, tail->ee - tail->es + 1, &ee);
+        est_al = ep_cbuf(0, eel + gel + 8);
+        gen_al = ep_cbuf(1, eel + gel + 8);
+        if (!est_al || !gen_al) return 0;
+        if (nw_align_run(ee, eel, ge, gel, est_al, gen_al, out_len) < 0)
+            return 0;
+        alen = out_len[0];
+
+        j = alen - 1; matches = 0;
+        cut_factor = tail->ee;
+        cut_exon = tail->ge;
+        stop = 0;
+        while (j >= 0 && !stop) {
+            if (matches > 10) stop = 1;
+            else {
+                if (est_al[j] == gen_al[j]) {
+                    cut_factor--; cut_exon--; matches++;
+                } else {
+                    if (est_al[j] != '-') cut_factor--;
+                    if (gen_al[j] != '-') cut_exon--;
+                    matches = 0;
+                }
+                j--;
+            }
+        }
+        est_cleav = cut_factor + matches;
+        gen_cleav = cut_exon + matches;
+
+        cursor = j + matches + 1;
+        stop2 = 0;
+        dim = alen;
+        while (cursor < dim - 1
+               && (est_al[cursor] == '-' || gen_al[cursor] == '-')
+               && !stop2) {
+            if (est_al[cursor] == '-') {
+                int64_t t = cursor + 1;
+                while (t < dim && est_al[t] == '-') t++;
+                if (t < dim) {
+                    if (est_al[t] == gen_al[cursor]) {
+                        est_al[cursor] = est_al[t];
+                        est_al[t] = '-';
+                        est_cleav++; gen_cleav++;
+                    } else stop2 = 1;
+                } else stop2 = 1;
+            } else {
+                int64_t t = cursor + 1;
+                while (t < dim && gen_al[t] == '-') t++;
+                if (t < dim) {
+                    if (gen_al[t] == est_al[cursor]) {
+                        gen_al[cursor] = gen_al[t];
+                        gen_al[t] = '-';
+                        est_cleav++; gen_cleav++;
+                    } else stop2 = 1;
+                } else stop2 = 1;
+            }
+            cursor++;
+        }
+        if (gen_cleav >= tail->gs) {
+            tail->ee = est_cleav;
+            tail->ge = gen_cleav;
+            if (me) { me->v[0] = 1; me->v[1] = tail->ee; me->v[2] = tail->ge; }
+        } else {
+            if (me) me->v[0] = 0;
+            f->n--;     /* pop the tail */
+        }
+    }
+    return 1;
+}
+
+static int ep_upper_is(char c, char up) {
+    return c == up || c == (char)(up - 'A' + 'a');
+}
+
+static char ep_gch(const char *gen, int64_t glen, int64_t idx) {
+    return (idx >= 0 && idx < glen) ? gen[idx] : '\0';
+}
+
+/* filters.py:clean_external_exons (est-factorizations.c:1706-1825) */
+static void ep_clean_external(efct *f, const char *gen, int64_t glen,
+                              const char *est, int64_t elen) {
+    if (f->n == 0) return;
+    {
+        efac head = f->f[0];
+        int64_t head_length = head.ge - head.gs + 1;
+        int head_ok = 1;
+        efct_del(f, 0);
+        if (head_length < 10) head_ok = 0;
+        if (head_ok && head_length < 20) {
+            if (!ep_upper_is(ep_gch(gen, glen, head.ge + 1), 'G'))
+                head_ok = 0;
+            else {
+                char c2 = ep_gch(gen, glen, head.ge + 2);
+                if (!(ep_upper_is(c2, 'T') || ep_upper_is(c2, 'C')))
+                    head_ok = 0;
+                else {
+                    if (f->n >= 1) {
+                        efac *nxt = &f->f[0];
+                        if (!ep_upper_is(ep_gch(gen, glen, nxt->gs - 2), 'A'))
+                            head_ok = 0;
+                        else if (!ep_upper_is(ep_gch(gen, glen, nxt->gs - 1),
+                                              'G'))
+                            head_ok = 0;
+                    } else head_ok = 0;
+                }
+            }
+            if (head_ok) {
+                const char *gx, *ex;
+                int64_t gl = rs_sub(gen, glen, head.gs, head_length, &gx);
+                int64_t el = rs_sub(est, elen, head.es,
+                                    head.ee - head.es + 1, &ex);
+                if (edit_total(gx, gl, ex, el) > 0) head_ok = 0;
+            }
+        }
+        if (head_ok) efct_insert(f, 0, head);
+    }
+    if (f->n == 0) return;
+    {
+        efac tail = f->f[f->n - 1];
+        int64_t tail_length = tail.ge - tail.gs + 1;
+        int tail_ok = 1;
+        f->n--;
+        if (tail_length < 10) tail_ok = 0;
+        if (tail_ok && tail_length < 20) {
+            if (!ep_upper_is(ep_gch(gen, glen, tail.gs - 2), 'A'))
+                tail_ok = 0;
+            else if (!ep_upper_is(ep_gch(gen, glen, tail.gs - 1), 'G'))
+                tail_ok = 0;
+            else {
+                if (f->n >= 1) {
+                    efac *prev = &f->f[f->n - 1];
+                    if (!ep_upper_is(ep_gch(gen, glen, prev->ge + 1), 'G'))
+                        tail_ok = 0;
+                    else {
+                        char c2 = ep_gch(gen, glen, prev->ge + 2);
+                        if (!(ep_upper_is(c2, 'T') || ep_upper_is(c2, 'C')))
+                            tail_ok = 0;
+                    }
+                } else tail_ok = 0;
+            }
+            if (tail_ok) {
+                const char *gx, *ex;
+                int64_t gl = rs_sub(gen, glen, tail.gs, tail_length, &gx);
+                int64_t el = rs_sub(est, elen, tail.es,
+                                    tail.ee - tail.es + 1, &ex);
+                if (edit_total(gx, gl, ex, el) > 0) tail_ok = 0;
+            }
+        }
+        if (tail_ok) efct_push(f, tail);
+    }
+}
+
+/* filters.py:update_with_subfact_with_best_coverage
+ * (est-factorizations.c:1900-1987); split entries are 1-based indices. */
+static void ep_update_best_cov(efct *f, const int64_t *split,
+                               int64_t nsplit) {
+    int64_t best_left = -1, best_right = -1, best_cover = -1;
+    int64_t size = f->n, pos = 0, left_index = 1, si;
+    if (nsplit == 0) return;
+    for (si = 0; si < nsplit; si++) {
+        int64_t right_index = split[si];
+        efac *left_exon = &f->f[pos];
+        efac *right_exon;
+        pos++;
+        right_exon = left_exon;
+        if (left_index < right_index) {
+            int64_t times = right_index - left_index - 1;
+            int64_t cover;
+            while (times > 0) {
+                right_exon = &f->f[pos];
+                pos++;
+                times--;
+            }
+            cover = right_exon->ee - left_exon->es + 1;
+            if (cover > best_cover) {
+                best_left = left_index;
+                best_right = right_index - 1;
+                best_cover = cover;
+            }
+            pos++;  /* skip the bad exon */
+        }
+        left_index = right_index + 1;
+    }
+    if (left_index <= size) {
+        efac *left_exon = &f->f[pos];
+        efac *right_exon = left_exon;
+        int64_t times = size - left_index, cover;
+        pos++;
+        while (times > 0) {
+            right_exon = &f->f[pos];
+            pos++;
+            times--;
+        }
+        cover = right_exon->ee - left_exon->es + 1;
+        if (cover > best_cover) {
+            best_left = left_index;
+            best_right = size;
+            best_cover = cover;
+        }
+    }
+    if (best_left == -1 || best_right == -1) {
+        f->n = 0;
+    } else {
+        /* del f[:best_left-1]; del f[best_right-(best_left-1):] */
+        int64_t drop_head = best_left - 1;
+        int64_t keep = best_right - drop_head;
+        memmove(f->f, f->f + drop_head,
+                (size_t)(f->n - drop_head) * sizeof(efac));
+        f->n -= drop_head;
+        if (keep < f->n) f->n = keep;
+    }
+}
+
+/* filters.py:clean_low_complexity_exons_2 */
+static void ep_clean_low_complexity(efct *f, const char *gen, int64_t glen,
+                                    const char *est, int64_t elen,
+                                    double thr) {
+    int64_t *split = (int64_t *)malloc((size_t)(f->n + 1) * sizeof(int64_t));
+    int64_t nsplit = 0, k;
+    if (!split) return;
+    for (k = 0; k < f->n; k++) {
+        efac *e = &f->f[k];
+        uint64_t mk[5];
+        int found, bad;
+        epm_ent *me;
+        epm_key4(mk, 5, e);
+        me = epm_find(mk, &found);
+        if (found) bad = (int)me->v[0];
+        else {
+            double gd = 0.0, ed = 0.0;
+            if (e->gs <= e->ge) {
+                const char *sub;
+                int64_t sl = py_slice(gen, glen, e->gs, e->ge + 1, &sub);
+                gd = dust_score_c(sub, sl);
+                sl = py_slice(est, elen, e->es, e->ee + 1, &sub);
+                ed = dust_score_c(sub, sl);
+            }
+            bad = (gd > thr || ed > thr);
+            if (me) me->v[0] = bad;
+        }
+        if (bad) split[nsplit++] = k + 1;
+    }
+    ep_update_best_cov(f, split, nsplit);
+    free(split);
+}
+
+/* alignments.py:k_band_edit_distance wrapper semantics; returns the edit
+ * (or a value > ub when the early-exits fire), *ok set. */
+static int64_t ep_kband(const char *s1, int64_t l1, const char *s2,
+                        int64_t l2, int64_t ub, int *ok) {
+    const char *a = s1, *b = s2;
+    int64_t n = l1, m = l2, r;
+    if (l1 == l2 && memcmp(s1, s2, (size_t)l1) == 0) { *ok = 1; return 0; }
+    if (ub == 0) { *ok = 0; return 1; }
+    if (n < m) { a = s2; b = s1; n = l2; m = l1; }
+    if (n - m > ub) { *ok = 0; return n - m; }
+    if (2 * ub + 1 >= n) {
+        r = edit_total(a, n, b, m);
+        *ok = r <= ub;
+        return r;
+    }
+    r = kband_core(a, n, b, m, ub);
+    *ok = (r >= 0 && r <= ub);
+    return r;
+}
+
+/* filters.py:compute_max_edit_for_exon */
+static int64_t ep_max_edit(int64_t exon_length) {
+    double rate;
+    double v;
+    if (exon_length > 100) rate = 0.030;
+    else if (exon_length > 50) rate = 0.035;
+    else rate = 0.040;
+    v = (double)exon_length * rate;
+    v = ceil(v);
+    if (v < 1.0) v = 1.0;
+    return (int64_t)v;
+}
+
+/* filters.py:clean_noisy_exons (only_internals always 0 in the flow) */
+static void ep_clean_noisy(efct *f, const char *gen, int64_t glen,
+                           const char *est, int64_t elen, int seqtag) {
+    int64_t *split = (int64_t *)malloc((size_t)(f->n + 1) * sizeof(int64_t));
+    int64_t nsplit = 0, k;
+    if (!split) return;
+    for (k = 0; k < f->n; k++) {
+        efac *e = &f->f[k];
+        uint64_t mk[5];
+        int found, ok = 0;
+        epm_ent *me;
+        epm_key4(mk, 4 | ((uint64_t)seqtag << 8), e);
+        me = epm_find(mk, &found);
+        if (found) ok = (int)me->v[0];
+        else {
+            int64_t exon_length = e->ge - e->gs + 1;
+            int64_t max_err = ep_max_edit(exon_length);
+            if (e->gs <= e->ge) {
+                const char *gx, *ex;
+                int64_t gl = rs_sub(gen, glen, e->gs, exon_length, &gx);
+                int64_t el = rs_sub(est, elen, e->es, e->ee - e->es + 1, &ex);
+                ep_kband(gx, gl, ex, el, max_err, &ok);
+            }
+            if (me) me->v[0] = ok;
+        }
+        if (!ok) split[nsplit++] = k + 1;
+    }
+    ep_update_best_cov(f, split, nsplit);
+    free(split);
+}
+
+static int ep_check_coverage(const efct *f, int64_t est_len) {
+    double coverage = (double)(f->f[f->n - 1].ee - f->f[0].es + 1)
+                      / (double)est_len;
+    return coverage >= 0.35;
+}
+
+/* ---- relaxed comparisons (filters.py:359-541; list.c) ------------------ */
+
+static int64_t ep_iabs(int64_t x) { return x < 0 ? -x : x; }
+
+/* filters.py:relaxed_factor_compare.  0 == equal under the mode. */
+static int ep_relaxed_factor_cmp(const efac *p1, const efac *p2,
+                                 int cfr_type, int64_t allowed_diff,
+                                 const efct *l1) {
+    int64_t max_unconf_diff = 20;
+    if (p1->gs < p2->gs && p1->ge < p2->gs) return 1;
+    if (p2->gs < p1->gs && p2->ge < p1->gs) return 1;
+
+    if (cfr_type == 0) {
+        if (ep_iabs(p1->ge - p2->ge) <= allowed_diff
+            && ep_iabs(p1->gs - p2->gs) <= allowed_diff)
+            return 0;
+    }
+    if (cfr_type == 2 || cfr_type == -2) {
+        if (ep_iabs(p1->ge - p2->ge) <= allowed_diff) {
+            if (cfr_type == 2) {
+                if (p1->gs - p2->gs > max_unconf_diff) return 1;
+                if (p1->gs - p2->gs > 0) {
+                    int64_t tot_l = 0, k;
+                    for (k = 0; k < l1->n; k++) {
+                        if (p1->gs == l1->f[k].gs) break;
+                        tot_l += l1->f[k].ge - l1->f[k].gs + 1;
+                    }
+                    if (ep_iabs(p1->gs - p2->gs - tot_l) < 10) return 1;
+                }
+            }
+            return 0;
+        }
+    }
+    if (cfr_type == 1 || cfr_type == -1) {
+        if (ep_iabs(p1->gs - p2->gs) <= allowed_diff) {
+            if (cfr_type == 1) {
+                if (p2->ge - p1->ge > max_unconf_diff) return 1;
+                if (p2->ge - p1->ge > 0) {
+                    int64_t tot_l = 0, k;
+                    for (k = l1->n - 1; k >= 0; k--) {
+                        if (p1->gs == l1->f[k].gs) break;
+                        tot_l += l1->f[k].ge - l1->f[k].gs + 1;
+                    }
+                    if (ep_iabs(p2->ge - p1->ge - tot_l) < 20) return 1;
+                }
+            }
+            return 0;
+        }
+    }
+    return 1;
+}
+
+/* filters.py:relaxed_list_compare.  -2 == equal, else 0. */
+static int ep_relaxed_list_cmp(const efct *l1, const efct *l2,
+                               int64_t allowed_diff) {
+    int64_t size = l1->n, k;
+    if (l1->n != l2->n || l1->n == 1) return 0;
+    for (k = 0; k < size; k++) {
+        int cfr_type;
+        int64_t actual;
+        if (allowed_diff == -1) { cfr_type = 0; actual = 0; }
+        else {
+            actual = allowed_diff;
+            if (k == 0) cfr_type = -2;
+            else if (k == size - 1) cfr_type = -1;
+            else cfr_type = 0;
+        }
+        if (ep_relaxed_factor_cmp(&l1->f[k], &l2->f[k], cfr_type, actual,
+                                  l1) != 0)
+            return 0;
+    }
+    return -2;
+}
+
+/* filters.py:relaxed_list_contained.  -2 equal; -1 l1 in l2; 1 l2 in l1;
+ * 0 neither. */
+static int ep_relaxed_contained(const efct *l1, const efct *l2,
+                                int64_t allowed_diff) {
+    const efct *longer, *shorter;
+    int sign;
+    int64_t actual, i_long, count_long, i_short, count_factors;
+    int cfr_type, found, stop;
+    if (l1->n == l2->n) return ep_relaxed_list_cmp(l1, l2, allowed_diff);
+    if (l1->n == 1 || l2->n == 1) return 0;
+    actual = allowed_diff == -1 ? 0 : allowed_diff;
+    if (l1->n > l2->n) { longer = l1; shorter = l2; sign = 1; }
+    else { longer = l2; shorter = l1; sign = -1; }
+
+    cfr_type = allowed_diff == -1 ? 0 : -2;
+    found = 0;
+    count_long = 1;
+    i_long = 0;
+    while (i_long < longer->n && !found) {
+        if (ep_relaxed_factor_cmp(&longer->f[i_long], &shorter->f[0],
+                                  cfr_type, actual, longer) == 0)
+            found = 1;
+        else
+            count_long++;
+        i_long++;
+        if (cfr_type == -2) cfr_type = 2;
+    }
+    if (!found) return 0;
+
+    i_short = 1;
+    count_factors = 1;
+    stop = 0;
+    while (i_long < longer->n && i_short < shorter->n && !stop) {
+        if (allowed_diff == -1) cfr_type = 0;
+        else {
+            if (count_factors + 1 == shorter->n)
+                cfr_type = (count_long + 1 == longer->n) ? -1 : 1;
+            else
+                cfr_type = 0;
+        }
+        if (ep_relaxed_factor_cmp(&longer->f[i_long], &shorter->f[i_short],
+                                  cfr_type, actual, longer) == 0) {
+            i_long++;
+            i_short++;
+        } else stop = 1;
+        count_factors++;
+        count_long++;
+    }
+    if (stop) return 0;
+    if (count_factors == shorter->n) return sign;
+    return 0;
+}
+
+/* filters.py:add_if_not_exists.  On *added the efct moves into the list;
+ * otherwise the caller still owns it.  Returns 0 on alloc failure. */
+static int ep_add_if_not_exists(eflst *lst, efct *fact,
+                                int64_t allowed_diff, int *added) {
+    int found = 0;
+    int64_t k = 0;
+    while (k < lst->n && !found) {
+        efct *cmp_f = &lst->a[k];
+        int cont_result;
+        if (cmp_f->n == 1 && fact->n == 1) {
+            const efac *h1 = &fact->f[0], *h2 = &cmp_f->f[0];
+            if (h1->gs == h2->gs && h1->ge == h2->ge) cont_result = -2;
+            else if (h1->gs >= h2->gs && h1->ge <= h2->ge) cont_result = -1;
+            else if (h1->gs <= h2->gs && h1->ge >= h2->ge) cont_result = 1;
+            else cont_result = 0;
+        } else {
+            cont_result = ep_relaxed_contained(fact, cmp_f, allowed_diff);
+        }
+        if (cont_result < 0) {
+            if (cont_result == -2) {
+                const efac *h1 = &fact->f[0];
+                efac *h2 = &cmp_f->f[0];
+                const efac *t1 = &fact->f[fact->n - 1];
+                efac *t2 = &cmp_f->f[cmp_f->n - 1];
+                if (h1->es < h2->es) { h2->es = h1->es; h2->gs = h1->gs; }
+                if (t1->ee > t2->ee) { t2->ee = t1->ee; t2->ge = t1->ge; }
+            }
+            found = 1;
+        } else {
+            if (cont_result == 1) {
+                eflst_del(lst, k);
+                continue;
+            }
+        }
+        k++;
+    }
+    if (!found) {
+        if (!eflst_push(lst, *fact)) return 0;
+        fact->f = NULL; fact->n = fact->cap = 0;   /* moved */
+        *added = 1;
+    } else {
+        *added = 0;
+    }
+    return 1;
+}
+
+/* ---- coverage / gap-length helpers -------------------------------------- */
+
+static double ep_coverage(const efct *f, int64_t length) {
+    int64_t cover = length - (f->f[0].es + (length - f->f[f->n - 1].ee - 1));
+    return (double)cover / (double)length;
+}
+
+static int64_t ep_gap_length(const efct *f) {
+    int64_t total = 0, k;
+    if (f->n == 1) return 0;
+    for (k = 0; k < f->n - 1; k++)
+        total += f->f[k + 1].es - f->f[k].ee - 1;
+    return total;
+}
+
+/* filters.py:check_gap_errors (est-factorizations.c:1462-1545) */
+static int ep_check_gap_errors(efct *f, const char *est, int64_t elen,
+                               const char *gen, int64_t glen) {
+    int64_t threshold_ed = 20, tot_ed = 0, k = 0;
+    int ok = 1;
+    while (k < f->n - 1 && ok) {
+        efac *donor = &f->f[k];
+        efac *accept = &f->f[k + 1];
+        int64_t gap_p = accept->es - donor->ee - 1;
+        if (gap_p > 0) {
+            int64_t gap_t = accept->gs - donor->ge - 1;
+            const char *p, *t;
+            int64_t lp = rs_sub(est, elen, donor->ee + 1, gap_p, &p);
+            int64_t lt = rs_sub(gen, glen, donor->ge + 1, gap_t, &t);
+            int64_t out6[6];
+            refine_borders_core(p, lp, 0, lp, t, lt, gap_p, out6);
+            ok = out6[0] == 1;
+            if (ok) {
+                tot_ed += out6[4];
+                donor->ee += out6[1];
+                accept->es = donor->ee + 1;
+                donor->ge += out6[2];
+                accept->gs -= gap_t - out6[3];
+            }
+        }
+        k++;
+    }
+    if (ok && tot_ed > threshold_ed) ok = 0;
+    if (ok) {
+        k = 0;
+        while (k < f->n - 1) {
+            efac *d = &f->f[k];
+            efac *a = &f->f[k + 1];
+            if (a->gs - d->ge - 1 <= 3) {
+                d->ee = a->ee;
+                d->ge = a->ge;
+                efct_del(f, k + 1);
+            } else k++;
+        }
+    }
+    return ok;
+}
+
+/* refine_intron.py:refine_intron application (mutation rules of
+ * _refine_intron_dispatch).  Returns -1 when the native core needs the
+ * python fallback (outsized window). */
+static int ep_refine_intron(const char *gen, int64_t glen,
+                            const char *est, int64_t elen,
+                            efac *donor, efac *accept,
+                            int64_t sp_est, int64_t sp_intron,
+                            int64_t sp_gen, int64_t min_intron,
+                            int first_intron) {
+    int64_t out4[4];
+    int64_t ret;
+    uint64_t mk[5];
+    int found;
+    epm_ent *me;
+    mk[0] = 3 | ((uint64_t)(first_intron ? 1 : 0) << 8)
+            | (epm_seq_id << 16);
+    mk[1] = ((uint64_t)(uint32_t)donor->es << 32) | (uint32_t)donor->ee;
+    mk[2] = ((uint64_t)(uint32_t)donor->gs << 32) | (uint32_t)donor->ge;
+    mk[3] = ((uint64_t)(uint32_t)accept->es << 32) | (uint32_t)accept->ee;
+    mk[4] = ((uint64_t)(uint32_t)accept->gs << 32) | (uint32_t)accept->ge;
+    me = epm_find(mk, &found);
+    if (found) {
+        ret = me->v[0];
+        out4[0] = me->v[1];
+        out4[1] = me->v[2];
+        out4[2] = me->v[3];
+    } else {
+        ret = refine_intron_core(
+            gen, glen, est, elen,
+            donor->es, donor->ee, donor->gs, donor->ge,
+            accept->es, accept->ee, accept->gs, accept->ge,
+            sp_est, sp_intron, sp_gen, min_intron,
+            first_intron ? 1 : 0, out4);
+        if (me) {
+            me->v[0] = ret;
+            me->v[1] = out4[0];
+            me->v[2] = out4[1];
+            me->v[3] = out4[2];
+        }
+    }
+    if (ret < 0) return -1;
+    if (ret == 1) {
+        accept->es = out4[2];
+        accept->gs = out4[1];
+    } else if (ret == 2) {
+        donor->ge = out4[0];
+        accept->gs = out4[1];
+        accept->es = out4[2];
+        donor->ee = accept->es - 1;
+    }
+    return 0;
+}
+
+/* ---- polyA (polya.py; detect-polya.c) ----------------------------------- */
+
+static void ep_correct_tail(efct *f, const char *gen, int64_t glen,
+                            const char *est_orig, int64_t eolen) {
+    efac *tail = &f->f[f->n - 1];
+    int64_t i = tail->ee + 1, j = tail->ge + 1;
+    while (i < eolen && j < glen && gen[j] == est_orig[i]) { i++; j++; }
+    tail->ee = i - 1;
+    tail->ge = j - 1;
+}
+
+static int ep_is_a(char c) { return c == 'a' || c == 'A'; }
+
+static void ep_detect_polya(const efct *f, const char *gen, int64_t glen,
+                            const char *est_orig, int64_t eolen,
+                            int64_t *polya, int64_t *polyad) {
+    const efac *tail = &f->f[f->n - 1];
+    const char *cleav;
+    int64_t n = py_slice(est_orig, eolen, tail->ee + 1, eolen, &cleav);
+    int64_t i = 0, matches = 0;
+    int stop = 0, pdl = 0;
+
+    while (i < n && !stop) {
+        if (ep_is_a(cleav[i])) {
+            if (matches >= 8) stop = 1;
+            else { matches++; i++; }
+        } else {
+            if (matches >= 8) stop = 1;
+            else i = n;
+        }
+    }
+
+    if (stop) {
+        i = tail->ge - 39;
+        if (i < 0) i = 0;
+        while (i <= tail->ge && !pdl) {
+            if (i < glen && ep_is_a(gen[i])) {
+                const char *pas;
+                int64_t pl = py_slice(gen, glen, i, i + 6, &pas);
+                if (pl == 6
+                    && (memcmp(pas, "aataaa", 6) == 0
+                        || memcmp(pas, "AATAAA", 6) == 0
+                        || memcmp(pas, "attaaa", 6) == 0
+                        || memcmp(pas, "ATTAAA", 6) == 0))
+                    pdl = 1;
+            }
+            i++;
+        }
+    }
+
+    if (stop) {
+        i = tail->ge - 9;
+        if (i < 0) i = 0;
+        matches = 0;
+        while (i <= tail->ge + 10 && stop && i < glen) {
+            if (matches >= 6) stop = 0;
+            else {
+                if (ep_is_a(gen[i])) matches++;
+                else matches = 0;
+                i++;
+            }
+        }
+        if (stop) {
+            int64_t count = 0;
+            i = tail->ge + 1;
+            while (i <= tail->ge + 10 && stop && i < glen) {
+                if (count >= 7) stop = 0;
+                else {
+                    if (ep_is_a(gen[i])) count++;
+                    i++;
+                }
+            }
+        }
+    }
+    *polya = stop ? 1 : 0;
+    *polyad = pdl ? 1 : 0;
+}
+
+/* ---- refinement pass (refinement.py; factorization-refinement.c) ------- */
+
+#define EP_UB_VERY_SMALL 2
+#define EP_LB_SMALL 6
+#define EP_UB_SMALL 23
+#define EP_UB_MED 100
+#define EP_AFFIXES 5
+#define EP_MAX_ERROR_RATE 0.17
+#define EP_MIN_PERFECT_BORDER 6
+#define EP_MAX_ERR_SMALL 2
+
+static void ep_remove_very_small(eflst *lst) {
+    int64_t k = 0;
+    while (k < lst->n) {
+        efct *f = &lst->a[k];
+        int64_t j;
+        int hit = 0;
+        for (j = 0; j < f->n; j++)
+            if (f->f[j].ee + 1 - f->f[j].es <= EP_UB_VERY_SMALL) {
+                hit = 1;
+                break;
+            }
+        if (hit) eflst_del(lst, k);
+        else k++;
+    }
+}
+
+static void ep_remove_invalid(eflst *lst) {
+    int64_t k = 0;
+    while (k < lst->n) {
+        efct *f = &lst->a[k];
+        int invalid = 0;
+        int64_t j;
+        const efac *prev = NULL;
+        for (j = 0; j < f->n; j++) {
+            const efac *e = &f->f[j];
+            if (e->es > e->ee || e->gs > e->ge) { invalid = 1; break; }
+            if (prev && (prev->ee >= e->es || prev->ge >= e->gs)) {
+                invalid = 1;
+                break;
+            }
+            prev = e;
+        }
+        if (invalid) eflst_del(lst, k);
+        else k++;
+    }
+}
+
+/* refinement.py:_fact_hash (32-bit rotate; shift 0 keeps h) */
+static uint32_t ep_fact_hash(const efct *f) {
+    uint32_t h = 1;
+    int64_t k;
+    for (k = 0; k < f->n; k++) {
+        const efac *e = &f->f[k];
+        int64_t s = (e->es + e->ee + e->gs + e->ge) % 32;
+        uint32_t shift = (uint32_t)(s < 0 ? s + 32 : s);
+        if (shift) h = (h >> shift) | (h << (32 - shift));
+    }
+    return h;
+}
+
+static int ep_fact_equal(const efct *a, const efct *b) {
+    int64_t k;
+    if (a->n != b->n) return 0;
+    for (k = 0; k < a->n; k++) {
+        if (a->f[k].es != b->f[k].es || a->f[k].ee != b->f[k].ee
+            || a->f[k].gs != b->f[k].gs || a->f[k].ge != b->f[k].ge)
+            return 0;
+    }
+    return 1;
+}
+
+static void ep_remove_dup(eflst *lst) {
+    uint32_t members = 0;
+    int has_possible = 0;
+    int64_t k, k1;
+    for (k = 0; k < lst->n; k++) {
+        uint32_t h = ep_fact_hash(&lst->a[k]);
+        if (members & h) { has_possible = 1; break; }
+        members |= h;
+    }
+    if (!has_possible) return;
+    k1 = 0;
+    while (k1 < lst->n) {
+        int dup = 0;
+        int64_t k2;
+        for (k2 = 0; k2 < k1; k2++) {
+            if (ep_fact_equal(&lst->a[k1], &lst->a[k2])) { dup = 1; break; }
+        }
+        if (dup) eflst_del(lst, k1);
+        else k1++;
+    }
+}
+
+/* refinement.py:recover_lost_prefixes_and_suffixes */
+static int ep_recover_affixes(eflst *lst, const char *gen, int64_t glen,
+                              const char *est, int64_t elen) {
+    int64_t k;
+    for (k = 0; k < lst->n; k++) {
+        efct *f = &lst->a[k];
+        if (f->n == 0) continue;
+        {
+            efac *pff = &f->f[0];
+            if (pff->es > 0 && pff->gs > 0) {
+                int64_t flen = pff->es < pff->gs ? pff->es : pff->gs;
+                int64_t el = (int64_t)((1.0 + EP_MAX_ERROR_RATE)
+                                       * (double)flen);
+                int64_t gl = el;
+                const char *ef, *gf;
+                int64_t efl, gfl, i;
+                char *rb_e, *rb_g;
+                if (el > pff->es) el = pff->es;
+                if (gl > pff->gs) gl = pff->gs;
+                efl = py_slice(est, elen, pff->es - el, pff->es, &ef);
+                gfl = py_slice(gen, glen, pff->gs - gl, pff->gs, &gf);
+                rb_e = ep_cbuf(2, efl + 1);
+                rb_g = ep_cbuf(3, gfl + 1);
+                if (!rb_e || !rb_g) return 0;
+                for (i = 0; i < efl; i++) rb_e[i] = ef[efl - 1 - i];
+                for (i = 0; i < gfl; i++) rb_g[i] = gf[gfl - 1 - i];
+                {
+                    char c1 = efl > 0 ? rb_e[0] : '\0';
+                    char c2 = gfl > 0 ? rb_g[0] : '\0';
+                    int differ = (efl > 0) != (gfl > 0)
+                                 || (efl > 0 && c1 != c2);
+                    if (differ && efl > 0 && gfl > 0) {
+                        int64_t out2[2];
+                        int64_t found = longest_affix(rb_e, efl, rb_g, gfl,
+                                                      EP_MAX_ERROR_RATE,
+                                                      out2);
+                        if (found > 0) {
+                            pff->es -= out2[0];
+                            pff->gs -= out2[1];
+                        }
+                    } else if (differ) {
+                        /* one side empty: python find_longest_affix
+                         * returns False on empty input */
+                    }
+                }
+            }
+        }
+        {
+            efac *pfl = &f->f[f->n - 1];
+            if ((elen - pfl->ee) > 1 && (glen - pfl->ge) > 1) {
+                int64_t flen = elen - pfl->ee - 1 < glen - pfl->ge - 1
+                               ? elen - pfl->ee - 1 : glen - pfl->ge - 1;
+                /* (int)(1.0+RATE) * flen truncates to 1*flen */
+                int64_t el = elen - pfl->ee - 1 < flen
+                             ? elen - pfl->ee - 1 : flen;
+                int64_t gl = glen - pfl->ge - 1 < flen
+                             ? glen - pfl->ge - 1 : flen;
+                const char *ef, *gf;
+                int64_t efl = py_slice(est, elen, pfl->ee, pfl->ee + el, &ef);
+                int64_t gfl = py_slice(gen, glen, pfl->ge, pfl->ge + gl, &gf);
+                char c1 = efl > 0 ? ef[0] : '\0';
+                char c2 = gfl > 0 ? gf[0] : '\0';
+                int differ = (efl > 0) != (gfl > 0)
+                             || (efl > 0 && c1 != c2);
+                if (differ && efl > 0 && gfl > 0) {
+                    int64_t out2[2];
+                    int64_t found = longest_affix(ef, efl, gf, gfl,
+                                                  EP_MAX_ERROR_RATE, out2);
+                    if (found > 0) {
+                        pfl->ee += out2[0];
+                        pfl->ge += out2[1];
+                    }
+                }
+            }
+        }
+    }
+    return 1;
+}
+
+/* ---- native itype classification (classify.py:95-229) ------------------ */
+
+static const int *ep_base_idx(void) {
+    static int tab[256];
+    static int done = 0;
+    if (!done) {
+        int i;
+        for (i = 0; i < 256; i++) tab[i] = 3;
+        tab['A'] = tab['a'] = 0;
+        tab['C'] = tab['c'] = 1;
+        tab['G'] = tab['g'] = 2;
+        tab['T'] = tab['t'] = 3;
+        tab['N'] = tab['n'] = 0;
+        done = 1;
+    }
+    return tab;
+}
+
+/* classify.py:mat_inspector_score, same accumulation order */
+static double ep_matins(const char *seq, int64_t slen, const double *pwm,
+                        const double *cv, const double *maxv, int64_t L) {
+    const int *bidx = ep_base_idx();
+    double num = 0.0, den = 0.0;
+    int64_t i;
+    for (i = 0; i < L; i++) {
+        char ch = i < slen ? seq[i] : '\0';
+        int idx = bidx[(unsigned char)ch];
+        if (ch == '\0') idx = 3;
+        num += cv[i] * pwm[idx * L + i];
+        den += cv[i] * maxv[i];
+    }
+    return num / den;
+}
+
+/* classify.py:search_bps via the bps_search kernel (weighted tables built
+ * once, products in the same order as the python tables) */
+static int64_t ep_search_bps(const char *iseq, int64_t ilen, int which,
+                             int64_t range_start, int64_t range_end,
+                             double *score) {
+    static double w9[4 * PWM_BPS_9_L], w10[4 * PWM_BPS_10_L];
+    static double den9 = 0.0, den10 = 0.0;
+    static int done = 0;
+    int64_t start_w, end_w;
+    if (!done) {
+        int r, i;
+        for (r = 0; r < 4; r++)
+            for (i = 0; i < PWM_BPS_9_L; i++)
+                w9[r * PWM_BPS_9_L + i] = CV_BPS_9[i] * PWM_BPS_9[r][i];
+        for (i = 0; i < PWM_BPS_9_L; i++)
+            den9 += CV_BPS_9[i] * MAXV_BPS_9[i];
+        for (r = 0; r < 4; r++)
+            for (i = 0; i < PWM_BPS_10_L; i++)
+                w10[r * PWM_BPS_10_L + i] = CV_BPS_10[i] * PWM_BPS_10[r][i];
+        for (i = 0; i < PWM_BPS_10_L; i++)
+            den10 += CV_BPS_10[i] * MAXV_BPS_10[i];
+        done = 1;
+    }
+    if (ilen < range_start) { *score = 0.0; return -1; }
+    start_w = ilen - range_end;
+    end_w = ilen - range_start;
+    if (start_w < 0) start_w = 0;
+    if (which == 9)
+        return bps_search(iseq, ilen, w9, PWM_BPS_9_L, CV_BPS_9, den9,
+                          start_w, end_w, score);
+    return bps_search(iseq, ilen, w10, PWM_BPS_10_L, CV_BPS_10, den10,
+                      start_w, end_w, score);
+}
+
+/* classify.py:exists_good_bps */
+static int64_t ep_exists_good_bps(const char *iseq, int64_t ilen,
+                                  int64_t range_start, int64_t range_end,
+                                  double *score) {
+    int64_t bps_9, bps_10;
+    double s9, s10;
+    if (range_end > ilen) { *score = 0.0; return -1; }
+    bps_9 = ep_search_bps(iseq, ilen, 9, range_start, range_end, &s9);
+    bps_10 = ep_search_bps(iseq, ilen, 10, range_start, range_end, &s10);
+    if (s9 > s10) {
+        if (s9 > 0.75) { *score = s9; return bps_9; }
+    } else {
+        if (s10 > 0.75) { *score = s10; return bps_10; }
+    }
+    *score = 0.0;
+    return -1;
+}
+
+static double ep_score5(const char *gen, int64_t glen, int64_t start,
+                        const double *pwm, const double *cv,
+                        const double *maxv, int64_t L, int64_t length) {
+    const char *sub;
+    int64_t sl = rs_sub(gen, glen, start - 3, length, &sub);
+    (void)length;
+    return ep_matins(sub, sl, pwm, cv, maxv, L);
+}
+
+/* exact-case 2-char pattern compare: all-lower or all-upper form only */
+static int ep_is_pt(const char *pt, int64_t ptl, char a, char b) {
+    if (ptl != 2) return 0;
+    if (pt[0] == a && pt[1] == b) return 1;
+    return pt[0] == (char)(a - 'a' + 'A') && pt[1] == (char)(b - 'a' + 'A');
+}
+
+/* classify.py:classify_genomic_intron_start_end, itype only (the 3'
+ * scores never feed the type decision) */
+static int ep_classify_itype_uncached(const char *gen, int64_t glen,
+                                      int64_t start, int64_t end) {
+    const char *iseq;
+    int64_t ilen = rs_sub(gen, glen, start, end - start + 1, &iseq);
+    double bscore;
+    int64_t bps_position = ep_exists_good_bps(iseq, ilen, 14, 30, &bscore);
+    const char *pt5, *pt3;
+    int64_t pt5l = rs_sub(iseq, ilen, 0, 2, &pt5);
+    int64_t pt3l = rs_sub(iseq, ilen, ilen - 2, 2, &pt3);
+    double scoreU12_5 = 0.0, scoreU2_5 = 0.0, s2;
+    int pt_type = 1;
+    int itype = 2;
+
+    if (ep_is_pt(pt5, pt5l, 'g', 't') && ep_is_pt(pt3, pt3l, 'a', 'g')) {
+        pt_type = 0;
+        scoreU12_5 = ep_score5(gen, glen, start, &PWM_P5_GTAG_U12[0][0],
+                               CV_P5_GTAG_U12, MAXV_P5_GTAG_U12,
+                               PWM_P5_GTAG_U12_L, 14);
+        scoreU2_5 = ep_score5(gen, glen, start, &PWM_P5_GTAG_U2[0][0],
+                              CV_P5_GTAG_U2, MAXV_P5_GTAG_U2,
+                              PWM_P5_GTAG_U2_L, 13);
+    } else if (ep_is_pt(pt5, pt5l, 'g', 'c')
+               && ep_is_pt(pt3, pt3l, 'a', 'g')) {
+        pt_type = 0;
+        scoreU2_5 = ep_score5(gen, glen, start, &PWM_P5_GCAG_U2[0][0],
+                              CV_P5_GCAG_U2, MAXV_P5_GCAG_U2,
+                              PWM_P5_GCAG_U2_L, 14);
+        scoreU12_5 = ep_score5(gen, glen, start, &PWM_P5_GTAG_U12[0][0],
+                               CV_P5_GTAG_U12, MAXV_P5_GTAG_U12,
+                               PWM_P5_GTAG_U12_L, 14);
+        s2 = ep_score5(gen, glen, start, &PWM_P5_ATAC_U12[0][0],
+                       CV_P5_ATAC_U12, MAXV_P5_ATAC_U12,
+                       PWM_P5_ATAC_U12_L, 14);
+        if (s2 > scoreU12_5) scoreU12_5 = s2;
+    } else if (ep_is_pt(pt5, pt5l, 'a', 't')
+               && ep_is_pt(pt3, pt3l, 'a', 'c')) {
+        scoreU12_5 = ep_score5(gen, glen, start, &PWM_P5_ATAC_U12[0][0],
+                               CV_P5_ATAC_U12, MAXV_P5_ATAC_U12,
+                               PWM_P5_ATAC_U12_L, 14);
+        scoreU2_5 = ep_score5(gen, glen, start, &PWM_P5_GTAG_U2[0][0],
+                              CV_P5_GTAG_U2, MAXV_P5_GTAG_U2,
+                              PWM_P5_GTAG_U2_L, 13);
+        s2 = ep_score5(gen, glen, start, &PWM_P5_GCAG_U2[0][0],
+                       CV_P5_GCAG_U2, MAXV_P5_GCAG_U2,
+                       PWM_P5_GCAG_U2_L, 14);
+        if (s2 > scoreU2_5) scoreU2_5 = s2;
+    } else {
+        scoreU12_5 = ep_score5(gen, glen, start, &PWM_P5_GTAG_U12[0][0],
+                               CV_P5_GTAG_U12, MAXV_P5_GTAG_U12,
+                               PWM_P5_GTAG_U12_L, 14);
+        s2 = ep_score5(gen, glen, start, &PWM_P5_ATAC_U12[0][0],
+                       CV_P5_ATAC_U12, MAXV_P5_ATAC_U12,
+                       PWM_P5_ATAC_U12_L, 14);
+        if (s2 > scoreU12_5) scoreU12_5 = s2;
+        scoreU2_5 = ep_score5(gen, glen, start, &PWM_P5_GTAG_U2[0][0],
+                              CV_P5_GTAG_U2, MAXV_P5_GTAG_U2,
+                              PWM_P5_GTAG_U2_L, 13);
+        s2 = ep_score5(gen, glen, start, &PWM_P5_GCAG_U2[0][0],
+                       CV_P5_GCAG_U2, MAXV_P5_GCAG_U2,
+                       PWM_P5_GCAG_U2_L, 14);
+        if (s2 > scoreU2_5) scoreU2_5 = s2;
+    }
+
+    if (bps_position != -1) {
+        itype = scoreU12_5 > scoreU2_5 ? 0 : 1;
+    } else {
+        if (pt_type == 0) itype = 1;
+        else if (scoreU12_5 - scoreU2_5 > 0.25 && scoreU12_5 >= 0.75)
+            itype = 0;
+    }
+    return itype;
+}
+
+static int ep_classify_itype(const char *gen, int64_t glen, int64_t start,
+                             int64_t end) {
+    uint64_t mk[5];
+    int found, itype;
+    epm_ent *me;
+    mk[0] = 6;
+    mk[1] = (uint64_t)start;
+    mk[2] = (uint64_t)end;
+    mk[3] = 0;
+    mk[4] = 0;
+    me = epm_find(mk, &found);
+    if (found) return (int)me->v[0];
+    itype = ep_classify_itype_uncached(gen, glen, start, end);
+    if (me) me->v[0] = itype;
+    return itype;
+}
+
+static int ep_is_canonical(const char *gen, int64_t glen, int64_t is,
+                           int64_t ie) {
+    char a = ep_gch(gen, glen, is);
+    char b = ep_gch(gen, glen, is + 1);
+    char c = ep_gch(gen, glen, ie - 1);
+    char d = ep_gch(gen, glen, ie);
+    return (a == 'G' && b == 'T' && c == 'A' && d == 'G')
+           || (a == 'g' && b == 't' && c == 'a' && d == 'g');
+}
+
+/* refinement.py:analyze_possibly_small_exon.  Returns 1 if removed. */
+static int ep_analyze_small(efct *f, int64_t i, const char *gen,
+                            int64_t glen, const char *est, int64_t elen) {
+    efac *pprev = &f->f[i - 1];
+    efac *pcurr = &f->f[i];
+    efac *pnext = &f->f[i + 1];
+    int64_t el = pcurr->ee + 1 - pcurr->es;
+    int64_t gl = pcurr->ge + 1 - pcurr->gs;
+    const char *efa, *gfa;
+    int64_t efl, gfl, orig_ed;
+    int64_t estart, eend, epreflen, esufflen, allelen;
+    int64_t gstart, gend, gpreflen, gsufflen, allglen;
+    const char *allef, *allgf, *sp, *sg;
+    int64_t orig_ed_pref, orig_ed_suff, spl, sgl;
+    int64_t out6[6];
+    double prev_avg;
+    int64_t new_freq;
+
+    if (el > EP_UB_MED) return 0;
+    efl = py_slice(est, elen, pcurr->es, pcurr->es + el, &efa);
+    gfl = py_slice(gen, glen, pcurr->gs, pcurr->gs + gl, &gfa);
+    orig_ed = (efl == gfl && memcmp(efa, gfa, (size_t)efl) == 0)
+              ? 0 : edit_total(efa, efl, gfa, gfl);
+
+    estart = pprev->es + 1 > pprev->ee + 1 - EP_AFFIXES
+             ? pprev->es + 1 : pprev->ee + 1 - EP_AFFIXES;
+    eend = pnext->ee < pnext->es + EP_AFFIXES
+           ? pnext->ee : pnext->es + EP_AFFIXES;
+    epreflen = pprev->ee + 1 - estart;
+    esufflen = eend - pnext->es;
+    allelen = eend - estart;
+    gstart = pprev->gs + 1 > pprev->ge + 1 - EP_AFFIXES
+             ? pprev->gs + 1 : pprev->ge + 1 - EP_AFFIXES;
+    gend = pnext->ge < pnext->gs + EP_AFFIXES
+           ? pnext->ge : pnext->gs + EP_AFFIXES;
+    gpreflen = pprev->ge + 1 - gstart;
+    gsufflen = gend - pnext->gs;
+    allglen = gend - gstart;
+    efl = py_slice(est, elen, estart, estart + allelen, &allef);
+    gfl = py_slice(gen, glen, gstart, gstart + allglen, &allgf);
+
+    spl = py_slice(est, elen, estart, estart + epreflen, &sp);
+    sgl = py_slice(gen, glen, gstart, gstart + gpreflen, &sg);
+    orig_ed_pref = (spl == sgl && memcmp(sp, sg, (size_t)spl) == 0)
+                   ? 0 : edit_total(sp, spl, sg, sgl);
+    spl = py_slice(est, elen, estart - esufflen, estart, &sp);
+    sgl = py_slice(gen, glen, gstart - gsufflen, gstart, &sg);
+    orig_ed_suff = (spl == sgl && memcmp(sp, sg, (size_t)spl) == 0)
+                   ? 0 : edit_total(sp, spl, sg, sgl);
+
+    refine_borders_core(allef, efl, 0, efl, allgf, gfl,
+                        orig_ed + orig_ed_pref + orig_ed_suff, out6);
+    if (out6[0] != 1) return 0;
+    prev_avg = ((double)burset_adaptor(gen, glen, pprev->ge + 1, pcurr->gs)
+                + (double)burset_adaptor(gen, glen, pcurr->ge + 1,
+                                         pnext->gs)) / 2.0;
+    new_freq = burset_adaptor(gen, glen, gstart + out6[2],
+                              gend - allglen + out6[3]);
+    if ((double)new_freq >= prev_avg) {
+        pprev->ee = estart + out6[1] - 1;
+        pnext->es = eend + out6[1] - allelen;
+        pprev->ge = gstart + out6[2] - 1;
+        pnext->gs = gend + out6[3] - allglen;
+        efct_del(f, i);
+        return 1;
+    }
+    return 0;
+}
+
+static void ep_remove_false_small(eflst *lst, const char *gen, int64_t glen,
+                                  const char *est, int64_t elen) {
+    int64_t k;
+    for (k = 0; k < lst->n; k++) {
+        efct *f = &lst->a[k];
+        int64_t i = 1;
+        while (i <= f->n - 2) {
+            if (ep_analyze_small(f, i, gen, glen, est, elen)) {
+                i -= 1;
+                if (i < 1) i = 1;
+            } else i++;
+        }
+    }
+}
+
+/* refinement.py:search_small_exon_at_prefix */
+static int ep_search_small_prefix(efct *f, const char *gen, int64_t glen,
+                                  const char *est, int64_t elen,
+                                  int64_t min_intron_length) {
+    efac *p1 = &f->f[0];
+    int64_t e1len = p1->ee + 1 - p1->es;
+    int64_t g1len = p1->ge + 1 - p1->gs;
+    int64_t eplen, e1plen, pg, pe, cflen, edp, allelen, allglen;
+    const char *epfact, *e1p, *g1p, *pp, *tt;
+    int64_t e1l, g1l, ppl, ttl;
+    int64_t out6[6];
+    int64_t occ1, occ2;
+    efac pnew;
+
+    if ((e1len + p1->es) < (EP_LB_SMALL + EP_UB_SMALL)) return 0;
+    eplen = p1->es < p1->gs ? p1->es : p1->gs;
+    if (eplen > 2 * EP_UB_SMALL) eplen = 2 * EP_UB_SMALL;
+    (void)py_slice(est, elen, p1->es - eplen, p1->es, &epfact);
+    {
+        int64_t epl = py_slice(est, elen, p1->es - eplen, p1->es, &epfact);
+        int64_t gpre = p1->gs < glen ? p1->gs : glen;
+        cflen = lcf_dp(gen, gpre, epfact, epl, &occ1, &occ2);
+        pg = occ1;
+        pe = occ2;
+    }
+    if (cflen < EP_LB_SMALL) return 0;
+
+    e1plen = e1len < g1len ? e1len : g1len;
+    if (e1plen > EP_UB_SMALL) e1plen = EP_UB_SMALL;
+    e1l = py_slice(est, elen, p1->es, p1->es + e1plen, &e1p);
+    g1l = py_slice(gen, glen, p1->gs, p1->gs + e1plen, &g1p);
+    edp = (e1l == g1l && memcmp(e1p, g1p, (size_t)e1l) == 0)
+          ? 0 : edit_total(e1p, e1l, g1p, g1l);
+
+    allelen = (p1->ee + 1 < p1->es + EP_UB_SMALL
+               ? p1->ee + 1 : p1->es + EP_UB_SMALL) - pe;
+    allglen = (p1->ge + 1 < p1->gs + EP_UB_SMALL
+               ? p1->ge + 1 : p1->gs + EP_UB_SMALL) - pg;
+    ppl = py_slice(est, elen, pe, pe + allelen, &pp);
+    ttl = py_slice(gen, glen, pg, pg + allglen, &tt);
+    refine_borders_core(pp, ppl, EP_LB_SMALL, allelen - EP_LB_SMALL,
+                        tt, ttl, edp, out6);
+    if (out6[0] != 1) return 0;
+    if (out6[3] - out6[2] < min_intron_length) return 0;
+    if (!ep_is_canonical(gen, glen, pg + out6[2], pg + out6[3] - 1))
+        return 0;
+    if (out6[1] - pe < EP_LB_SMALL) return 0;
+    pnew.es = pe;
+    pnew.ee = pe + out6[1] - 1;
+    pnew.gs = pg;
+    pnew.ge = pg + out6[2] - 1;
+    p1->es = pe + out6[1];
+    p1->gs = pg + out6[3];
+    return efct_insert(f, 0, pnew) ? 1 : 0;
+}
+
+/* python str.find(needle, start) over a bounded haystack */
+static int64_t ep_find(const char *hay, int64_t hl, const char *nd,
+                       int64_t nl, int64_t start) {
+    int64_t pos;
+    if (start < 0) start = 0;
+    if (nl == 0) return start <= hl ? start : -1;
+    for (pos = start; pos + nl <= hl; pos++)
+        if (memcmp(hay + pos, nd, (size_t)nl) == 0) return pos;
+    return -1;
+}
+
+/* refinement.py:search_small_exon.  insert_at = index of p2. */
+static int ep_search_small(efct *f, int64_t i1, const char *gen,
+                           int64_t glen, const char *est, int64_t elen,
+                           int64_t min_intron_cfg) {
+    efac *p1 = &f->f[i1];
+    efac *p2 = &f->f[i1 + 1];
+    int64_t e1len = p1->ee + 1 - p1->es;
+    int64_t g1len = p1->ge + 1 - p1->gs;
+    int64_t e2len = p2->ee + 1 - p2->es;
+    int64_t g2len = p2->ge + 1 - p2->gs;
+    int64_t e1slen, e1sstart, g1sstart, e2plen, e2pstart, g2pstart;
+    const char *e1s, *g1s, *e2p, *g2p;
+    int64_t e1sl, g1sl, e2pl, g2pl;
+    int64_t sed, ped, prev_ed;
+    int continue_search = 0;
+    int orig_cls;
+    int64_t e1socc = 0, g1socc = 0, f1slen, e2pocc = 0, g2pocc = 0, f2plen;
+    int64_t eln, estart, allgstart, allglen2, MIN_IL;
+    const char *efact, *allgfact;
+    int64_t efactl, allgfactl;
+    int64_t max_sexon_len = 0, ecut1 = 0, ecut2 = 0;
+    int64_t gcut1_1 = 0, gcut1_2 = 0, gcut2_1 = 0, gcut2_2 = 0;
+    int64_t max_offstart, offstart;
+
+    if ((e1len + e2len) < (EP_LB_SMALL + 2 * EP_UB_SMALL)) return 0;
+    e1slen = e1len < g1len ? e1len : g1len;
+    if (e1slen > EP_UB_SMALL) e1slen = EP_UB_SMALL;
+    e1sstart = p1->ee + 1 - e1slen;
+    e1sl = py_slice(est, elen, e1sstart, e1sstart + e1slen, &e1s);
+    g1sstart = p1->ge + 1 - e1slen;
+    g1sl = py_slice(gen, glen, g1sstart, g1sstart + e1slen, &g1s);
+
+    e2plen = e2len < g2len ? e2len : g2len;
+    if (e2plen > EP_UB_SMALL) e2plen = EP_UB_SMALL;
+    e2pstart = p2->es;
+    e2pl = py_slice(est, elen, e2pstart, e2pstart + e2plen, &e2p);
+    g2pstart = p2->gs;
+    g2pl = py_slice(gen, glen, g2pstart, g2pstart + e2plen, &g2p);
+
+    sed = (e1sl == g1sl && memcmp(e1s, g1s, (size_t)e1sl) == 0)
+          ? 0 : edit_total(e1s, e1sl, g1s, g1sl);
+    ped = (e2pl == g2pl && memcmp(e2p, g2p, (size_t)e2pl) == 0)
+          ? 0 : edit_total(e2p, e2pl, g2p, g2pl);
+    prev_ed = sed + ped;
+    orig_cls = ep_classify_itype(gen, glen, p1->ge + 1, p2->gs - 1);
+    if (prev_ed > EP_MAX_ERR_SMALL) continue_search = 1;
+    if (orig_cls == 2) continue_search = 1;
+    if (!continue_search) return 0;
+
+    f1slen = e1slen;
+    if (sed > 0) {
+        int64_t o1, o2;
+        f1slen = lcf_dp(e1s, e1sl, g1s, g1sl, &o1, &o2);
+        e1socc = o1; g1socc = o2;
+    }
+    f2plen = e2plen;
+    if (ped > 0) {
+        int64_t o1, o2;
+        f2plen = lcf_dp(e2p, e2pl, g2p, g2pl, &o1, &o2);
+        e2pocc = o1; g2pocc = o2;
+    }
+
+    if (f1slen == e1slen && e2pocc > 0) {
+        int64_t new_f1slen = f1slen + 1;
+        for (;;) {
+            char ce, cg;
+            if (!((new_f1slen - f1slen) < e2pocc)) break;
+            ce = (e1sstart + e1socc + f1slen < elen
+                  && e1sstart + e1socc + f1slen >= 0)
+                 ? est[e1sstart + e1socc + f1slen] : '\0';
+            cg = (g2pstart + new_f1slen - f1slen < glen
+                  && g2pstart + new_f1slen - f1slen >= 0)
+                 ? gen[g2pstart + new_f1slen - f1slen] : '\0';
+            if (ce != cg) break;
+            new_f1slen++;
+        }
+        if (new_f1slen - 1 > f1slen) f1slen = new_f1slen - 1;
+    }
+
+    eln = (e1slen - e1socc) + (e2pocc + f2plen) - 2 * EP_MIN_PERFECT_BORDER;
+    estart = e1sstart + e1socc + EP_MIN_PERFECT_BORDER;
+    allgstart = g1sstart + g1socc + EP_MIN_PERFECT_BORDER;
+    allglen2 = (g2pstart + g2pocc + f2plen - EP_MIN_PERFECT_BORDER)
+               - allgstart;
+    MIN_IL = min_intron_cfg > 4 ? min_intron_cfg : 4;
+    if (f1slen < EP_MIN_PERFECT_BORDER) return 0;
+    if (f2plen < EP_MIN_PERFECT_BORDER) return 0;
+    if (allglen2 < 2 * MIN_IL + EP_LB_SMALL) return 0;
+    if (eln < EP_LB_SMALL) return 0;
+
+    efactl = py_slice(est, elen, estart, estart + eln, &efact);
+    allgfactl = py_slice(gen, glen, allgstart, allgstart + allglen2,
+                         &allgfact);
+
+    max_offstart = f1slen + 1 - EP_MIN_PERFECT_BORDER;
+    if (eln + 1 - EP_LB_SMALL < max_offstart)
+        max_offstart = eln + 1 - EP_LB_SMALL;
+    if (allglen2 + 1 - 2 * MIN_IL - EP_LB_SMALL < max_offstart)
+        max_offstart = allglen2 + 1 - 2 * MIN_IL - EP_LB_SMALL;
+    for (offstart = 0; offstart < max_offstart; offstart++) {
+        int64_t max_offend = f2plen + 1 - EP_MIN_PERFECT_BORDER;
+        int64_t offend;
+        if (eln + 1 - offstart - EP_LB_SMALL < max_offend)
+            max_offend = eln + 1 - offstart - EP_LB_SMALL;
+        if (allglen2 + 1 - 2 * MIN_IL - EP_LB_SMALL - offstart < max_offend)
+            max_offend = allglen2 + 1 - 2 * MIN_IL - EP_LB_SMALL - offstart;
+        for (offend = 0; offend < max_offend; offend++) {
+            const char *needle, *hay;
+            int64_t ndl, hl, search_from, pos;
+            ndl = py_slice(efact, efactl, offstart, eln - offend, &needle);
+            hl = py_slice(allgfact, allgfactl, 0,
+                          allglen2 - offend - MIN_IL, &hay);
+            search_from = offstart + MIN_IL;
+            pos = ep_find(hay, hl, needle, ndl, search_from);
+            while (pos != -1) {
+                int64_t i1start = allgstart + offstart;
+                int64_t i1end = allgstart + pos - 1;
+                int64_t i2start = i1end + 1 + eln - offstart - offend;
+                int64_t i2end = allgstart + allglen2 - offend - 1;
+                int it1 = ep_classify_itype(gen, glen, i1start, i1end);
+                int it2 = ep_classify_itype(gen, glen, i2start, i2end);
+                if (it1 != 2 && it2 != 2) {
+                    int64_t sexon_len = eln - offstart - offend;
+                    if (sexon_len > max_sexon_len) {
+                        max_sexon_len = sexon_len;
+                        ecut1 = estart + offstart;
+                        ecut2 = estart + offstart + sexon_len;
+                        gcut1_1 = i1start;
+                        gcut1_2 = i1end + 1;
+                        gcut2_1 = i2start;
+                        gcut2_2 = i2end + 1;
+                    }
+                }
+                pos = ep_find(hay, hl, needle, ndl, pos + 1);
+            }
+        }
+    }
+    if (max_sexon_len >= EP_LB_SMALL) {
+        efac pnew;
+        pnew.es = ecut1;
+        pnew.ee = ecut2 - 1;
+        pnew.gs = gcut1_2;
+        pnew.ge = gcut2_1 - 1;
+        p2->es = ecut2;
+        p2->gs = gcut2_2;
+        p1->ee = ecut1 - 1;
+        p1->ge = gcut1_1 - 1;
+        return efct_insert(f, i1 + 1, pnew) ? 1 : 0;
+    }
+    return 0;
+}
+
+static void ep_search_new_small_exons(eflst *lst, const char *gen,
+                                      int64_t glen, const char *est,
+                                      int64_t elen,
+                                      int64_t min_intron_length) {
+    int64_t k;
+    for (k = 0; k < lst->n; k++) {
+        efct *f = &lst->a[k];
+        int64_t idx = 0, i;
+        if (f->n == 0) continue;
+        if (f->f[0].es > EP_LB_SMALL) {
+            if (ep_search_small_prefix(f, gen, glen, est, elen,
+                                       min_intron_length))
+                idx = 1;
+        }
+        i = idx;
+        while (i + 1 < f->n) {
+            if (ep_search_small(f, i, gen, glen, est, elen,
+                                min_intron_length))
+                i += 2;
+            else
+                i += 1;
+        }
+    }
+}
+
+/* refinement.py:clean_factorizations (uses the UNMASKED est sequence);
+ * moves survivors from *lst into a fresh list returned in *out.
+ * Returns 0 on alloc failure. */
+static int ep_clean_facts(eflst *lst, const char *gen, int64_t glen,
+                          const char *est_orig, int64_t eolen,
+                          int64_t allowed_diff, eflst *out) {
+    int64_t k = 0;
+    while (k < lst->n) {
+        efct *f = &lst->a[k];
+        int added = 0;
+        ep_clean_noisy(f, gen, glen, est_orig, eolen, 1);
+        ep_clean_external(f, gen, glen, est_orig, eolen);
+        if (f->n == 0) {
+            eflst_del(lst, k);
+            continue;
+        }
+        if (!ep_add_if_not_exists(out, f, allowed_diff, &added)) return 0;
+        if (!added) {
+            eflst_del(lst, k);
+            continue;
+        }
+        /* moved into out; remove the (now empty) slot without freeing */
+        memmove(lst->a + k, lst->a + k + 1,
+                (size_t)(lst->n - k - 1) * sizeof(efct));
+        lst->n--;
+    }
+    return 1;
+}
+
+/* ---- candidate collection (meg_factorizations with growable output) ---- */
+
+static int64_t fe_collect(
+    const int64_t *vp, const int64_t *vt, const int64_t *vl,
+    const int64_t *vcol, const int64_t *adj_off, const int64_t *adj,
+    int64_t nv, int64_t ncols, const char *gen, int64_t gen_len,
+    int64_t min_factor_len, int64_t min_intron_length, double deadline,
+    int64_t **out_off, int64_t **out_f, int64_t *out_nf) {
+
+    fe_ctx c;
+    int64_t *cnt = NULL, *order = NULL;
+    int64_t *coff = NULL, *cf = NULL;
+    int64_t coff_cap = 256, cf_cap = 1024;
+    int64_t fl = 2 * min_factor_len;
+    int64_t nf = 0, nfac = 0, ret = 0;
+
+    memset(&c, 0, sizeof(c));
+    c.vp = vp; c.vt = vt; c.vl = vl;
+    c.adj_off = adj_off; c.adj = adj;
+    c.nv = nv; c.gen = gen; c.gen_len = gen_len;
+    c.mfl = min_factor_len; c.min_intron = min_intron_length;
+    c.deadline = deadline;
+    c.memo = (fe_memo *)calloc((size_t)nv, sizeof(fe_memo));
+    cnt = (int64_t *)calloc((size_t)ncols + 1, sizeof(int64_t));
+    order = (int64_t *)malloc((size_t)nv * sizeof(int64_t));
+    coff = (int64_t *)malloc((size_t)coff_cap * sizeof(int64_t));
+    cf = (int64_t *)malloc((size_t)cf_cap * 4 * sizeof(int64_t));
+    if (!c.memo || !cnt || !order || !coff || !cf) { ret = -3; goto done; }
+    for (int64_t k = 0; k < nv; k++) cnt[vcol[k] + 1]++;
+    for (int64_t k = 1; k <= ncols; k++) cnt[k] += cnt[k - 1];
+    for (int64_t k = 0; k < nv; k++) order[cnt[vcol[k]]++] = k;
+
+    for (int64_t r = 0; r < nv; r++) {
+        int64_t root = order[r];
+        if (c.memo[root].done) continue;
+        if (fe_subtree(&c, root)) { ret = c.err; goto done; }
+        {
+            fe_memo *m = &c.memo[root];
+            for (int64_t s = 0; s < m->n; s++) {
+                femb emb = m->a[s];
+                const int64_t *P = c.ar.pool + 3 * emb.off;
+                int64_t last = -1;
+                if (nf + 2 > coff_cap) {
+                    coff_cap *= 2;
+                    coff = (int64_t *)realloc(coff,
+                                              (size_t)coff_cap
+                                              * sizeof(int64_t));
+                    if (!coff) { ret = -3; goto done; }
+                }
+                coff[nf] = nfac;
+                for (int64_t k = 0; k < emb.len; k++) {
+                    int64_t p = P[3 * k], t = P[3 * k + 1], l = P[3 * k + 2];
+                    int start_new = 1;
+                    if (last >= 0 && t - cf[4 * last + 3] - 1 <= fl)
+                        start_new = 0;
+                    if (start_new) {
+                        if (nfac + 1 > cf_cap) {
+                            cf_cap *= 2;
+                            cf = (int64_t *)realloc(
+                                cf, (size_t)cf_cap * 4 * sizeof(int64_t));
+                            if (!cf) { ret = -3; goto done; }
+                        }
+                        cf[4 * nfac] = p;
+                        cf[4 * nfac + 1] = p + l - 1;
+                        cf[4 * nfac + 2] = t;
+                        cf[4 * nfac + 3] = t + l - 1;
+                        last = nfac;
+                        nfac++;
+                    } else {
+                        cf[4 * last + 1] = p + l - 1;
+                        cf[4 * last + 3] = t + l - 1;
+                    }
+                }
+                nf++;
+            }
+        }
+    }
+    coff[nf] = nfac;
+done:
+    for (int64_t k = 0; k < nv; k++) free(c.memo[k].a);
+    free(c.memo); free(cnt); free(order); free(c.ar.pool);
+    if (ret != 0) {
+        free(coff); free(cf);
+        *out_off = NULL; *out_f = NULL; *out_nf = 0;
+        return ret;
+    }
+    *out_off = coff;
+    *out_f = cf;
+    *out_nf = nf;
+    return 0;
+}
+
+/* phase-time counters (seconds), for profiling via ep_get_stats:
+ * 0 collect, 1 cascade, 2 filters, 3 refine_intron, 4 polyA,
+ * 5 false-small, 6 new-small, 7 clean+final */
+static double ep_stats[8];
+void ep_get_stats(double *out8) {
+    int i;
+    for (i = 0; i < 8; i++) out8[i] = ep_stats[i];
+}
+void ep_reset_stats(void) {
+    int i;
+    for (i = 0; i < 8; i++) ep_stats[i] = 0.0;
+}
+
+/* ---- est_process: the full per-EST post-MEG flow ------------------------
+ * Returns the number of FINAL factorizations (>= 0), or:
+ *   -1 timeout during candidate enumeration
+ *   -2 output caps too small (counts[1] = facts needed incl. flags,
+ *      counts[2] = factors needed)
+ *   -3 allocation failure (python fallback)
+ *   -4 unsupported case (python fallback; e.g. outsized refine-intron)
+ * counts[0] = number of flag pairs written to out_polya/out_polyad (the
+ * pre-refinement factorization count; the python writer zips flags with
+ * the final factorizations exactly like the host path). */
+int64_t est_process(
+    const int64_t *vp, const int64_t *vt, const int64_t *vl,
+    const int64_t *vcol, const int64_t *adj_off, const int64_t *adj,
+    int64_t nv, int64_t ncols,
+    const char *gen, int64_t glen,
+    const char *est, int64_t elen,
+    const char *est_orig, int64_t eolen,
+    int64_t min_factor_len, int64_t min_intron_length, double deadline,
+    double complexity_threshold, int64_t max_site_difference,
+    double max_coverage_diff, int64_t max_gapLength_diff,
+    int64_t max_number_of_factorizations,
+    int64_t sp_est, int64_t sp_intron, int64_t sp_gen,
+    int64_t *out_off, int64_t *out_f,
+    int64_t *out_polya, int64_t *out_polyad,
+    int64_t cap_facts, int64_t cap_factors, int64_t *counts) {
+
+    int64_t *cand_off = NULL, *cand_f = NULL, n_cand = 0;
+    int64_t est_length = ncols - 2;
+    eflst lst = {NULL, 0, 0};
+    eflst cleaned = {NULL, 0, 0};
+    int64_t rc, ci, k;
+    int64_t n_flags = 0;
+    int64_t ret = -3;
+    double t0 = fe_now(), t1;
+
+    epm_seq_id = epm_begin(gen, glen, est, elen, est_orig, eolen);
+    rc = fe_collect(vp, vt, vl, vcol, adj_off, adj, nv, ncols, gen, glen,
+                    min_factor_len, min_intron_length, deadline,
+                    &cand_off, &cand_f, &n_cand);
+    if (rc != 0) return rc;
+    t1 = fe_now(); ep_stats[0] += t1 - t0; t0 = t1;
+
+    /* per-candidate cascade (est_fact.py:get_est_factorizations) */
+    for (ci = 0; ci < n_cand; ci++) {
+        efct f = {NULL, 0, 0, 0, 0};
+        int is_ok;
+        int64_t a = cand_off[ci], b = cand_off[ci + 1];
+        if (!efct_reserve(&f, b - a)) goto fail;
+        for (k = a; k < b; k++) {
+            efac e;
+            e.es = cand_f[4 * k];
+            e.ee = cand_f[4 * k + 1];
+            e.gs = cand_f[4 * k + 2];
+            e.ge = cand_f[4 * k + 3];
+            f.f[f.n++] = e;
+        }
+        is_ok = ep_check_not_ss(&f, est_length);
+        if (is_ok) is_ok = ep_check_exon_start_end(&f);
+        if (is_ok) {
+            if (!ep_handle_endpoints(&f, gen, glen, est, elen)) {
+                efct_free(&f);
+                goto fail;
+            }
+            if (f.n == 0) is_ok = 0;
+        }
+        if (is_ok) {
+            ep_clean_external(&f, gen, glen, est, elen);
+            if (f.n == 0) is_ok = 0;
+        }
+        if (is_ok) {
+            ep_clean_low_complexity(&f, gen, glen, est, elen,
+                                    complexity_threshold);
+            if (f.n == 0) is_ok = 0;
+        }
+        if (is_ok) {
+            ep_clean_noisy(&f, gen, glen, est, elen, 0);
+            if (f.n == 0) is_ok = 0;
+        }
+        if (is_ok) is_ok = ep_check_coverage(&f, elen);
+        if (is_ok) {
+            int added = 0;
+            if (!ep_add_if_not_exists(&lst, &f, max_site_difference,
+                                      &added)) {
+                efct_free(&f);
+                goto fail;
+            }
+            if (!added) efct_free(&f);
+        } else {
+            efct_free(&f);
+        }
+    }
+    free(cand_off); free(cand_f);
+    cand_off = cand_f = NULL;
+    t1 = fe_now(); ep_stats[1] += t1 - t0; t0 = t1;
+
+    /* coverage + FILTER 1 (est-factorizations.c:272-331) */
+    {
+        double *covs = (double *)malloc((size_t)(lst.n + 1)
+                                        * sizeof(double));
+        double max_coverage = 0.0;
+        int64_t w = 0;
+        if (!covs) goto fail;
+        for (k = 0; k < lst.n; k++) {
+            const efct *f = &lst.a[k];
+            int is_ss = 0;
+            if (f->n == 1
+                && (f->f[0].es < 0 || f->f[0].es >= est_length)) {
+                covs[k] = -1.0;
+                is_ss = 1;
+            }
+            if (!is_ss) {
+                covs[k] = ep_coverage(f, est_length);
+                if (max_coverage < covs[k]) max_coverage = covs[k];
+            }
+        }
+        for (k = 0; k < lst.n; k++) {
+            int drop = covs[k] == -1.0
+                       || max_coverage - covs[k] > max_coverage_diff
+                       || (max_coverage - covs[k]) * (double)elen > 100.0;
+            if (drop) {
+                efct_free(&lst.a[k]);
+            } else {
+                lst.a[w++] = lst.a[k];
+            }
+        }
+        lst.n = w;
+        free(covs);
+    }
+
+    /* FILTER 3: total gap length */
+    {
+        int64_t min_gap = -1, w = 0;
+        int64_t *gls = (int64_t *)malloc((size_t)(lst.n + 1)
+                                         * sizeof(int64_t));
+        if (!gls) goto fail;
+        for (k = 0; k < lst.n; k++) {
+            gls[k] = ep_gap_length(&lst.a[k]);
+            if (min_gap == -1 || min_gap > gls[k]) min_gap = gls[k];
+        }
+        if (max_gapLength_diff != -1) {
+            for (k = 0; k < lst.n; k++) {
+                if (gls[k] - min_gap <= max_gapLength_diff)
+                    lst.a[w++] = lst.a[k];
+                else
+                    efct_free(&lst.a[k]);
+            }
+            lst.n = w;
+        }
+        free(gls);
+    }
+
+    /* FILTER 4: gap errors */
+    {
+        int64_t w = 0;
+        for (k = 0; k < lst.n; k++) {
+            if (ep_check_gap_errors(&lst.a[k], est, elen, gen, glen))
+                lst.a[w++] = lst.a[k];
+            else
+                efct_free(&lst.a[k]);
+        }
+        lst.n = w;
+    }
+
+    /* artifact check */
+    if (max_number_of_factorizations != 0
+        && lst.n > max_number_of_factorizations) {
+        for (k = 0; k < lst.n; k++) efct_free(&lst.a[k]);
+        lst.n = 0;
+    }
+
+    t1 = fe_now(); ep_stats[2] += t1 - t0; t0 = t1;
+
+    /* intron refinement (est-factorizations.c:444-492) */
+    for (k = 0; k < lst.n; k++) {
+        efct *f = &lst.a[k];
+        int first = 1;
+        int64_t j, limit = f->n - 1;
+        if (f->n == 0) continue;
+        for (j = 0; j < limit; j++) {
+            if (ep_refine_intron(gen, glen, est, elen, &f->f[j],
+                                 &f->f[j + 1], sp_est, sp_intron, sp_gen,
+                                 min_intron_length, first) < 0) {
+                ret = -4;
+                goto fail;
+            }
+            first = 0;
+        }
+        if (f->n >= 2 && f->f[0].es == f->f[1].es) efct_del(f, 0);
+    }
+
+    t1 = fe_now(); ep_stats[3] += t1 - t0; t0 = t1;
+
+    /* polyA detection (flags parallel to the pre-refinement list) */
+    n_flags = lst.n;
+    if (n_flags > cap_facts) {
+        counts[0] = 0;
+        counts[1] = n_flags;
+        counts[2] = 0;
+        ret = -2;
+        goto fail;
+    }
+    for (k = 0; k < lst.n; k++) {
+        efct *f = &lst.a[k];
+        int64_t pa = 0, pd = 0;
+        if (f->n > 0) {
+            ep_correct_tail(f, gen, glen, est_orig, eolen);
+            ep_detect_polya(f, gen, glen, est_orig, eolen, &pa, &pd);
+        }
+        out_polya[k] = pa;
+        out_polyad[k] = pd;
+    }
+
+    t1 = fe_now(); ep_stats[4] += t1 - t0; t0 = t1;
+
+    /* refinement pass (refinement.py:refine_est_factorizations) */
+    ep_remove_invalid(&lst);
+    ep_remove_dup(&lst);
+    if (!ep_recover_affixes(&lst, gen, glen, est, elen)) goto fail;
+    ep_remove_false_small(&lst, gen, glen, est, elen);
+    ep_remove_dup(&lst);
+    t1 = fe_now(); ep_stats[5] += t1 - t0; t0 = t1;
+    ep_search_new_small_exons(&lst, gen, glen, est, elen,
+                              min_intron_length);
+    t1 = fe_now(); ep_stats[6] += t1 - t0; t0 = t1;
+    if (!ep_clean_facts(&lst, gen, glen, est_orig, eolen,
+                        max_site_difference, &cleaned))
+        goto fail;
+    eflst_free(&lst);
+    lst = cleaned;
+    cleaned.a = NULL; cleaned.n = cleaned.cap = 0;
+
+    /* final pruning (compute-est-fact.c:154-190 tail) */
+    ep_remove_very_small(&lst);
+    if (lst.n) ep_remove_dup(&lst);
+
+    /* emit */
+    {
+        int64_t nfac = 0;
+        for (k = 0; k < lst.n; k++) nfac += lst.a[k].n;
+        counts[0] = n_flags;
+        counts[1] = lst.n > n_flags ? lst.n : n_flags;
+        counts[2] = nfac;
+        if (lst.n + 1 > cap_facts + 1 || nfac > cap_factors) {
+            ret = -2;
+            goto fail;
+        }
+        nfac = 0;
+        for (k = 0; k < lst.n; k++) {
+            out_off[k] = nfac;
+            for (int64_t j = 0; j < lst.a[k].n; j++) {
+                out_f[4 * nfac] = lst.a[k].f[j].es;
+                out_f[4 * nfac + 1] = lst.a[k].f[j].ee;
+                out_f[4 * nfac + 2] = lst.a[k].f[j].gs;
+                out_f[4 * nfac + 3] = lst.a[k].f[j].ge;
+                nfac++;
+            }
+        }
+        out_off[lst.n] = nfac;
+        ret = lst.n;
+    }
+fail:
+    free(cand_off);
+    free(cand_f);
+    eflst_free(&lst);
+    eflst_free(&cleaned);
+    ep_stats[7] += fe_now() - t0;
+    return ret;
+}

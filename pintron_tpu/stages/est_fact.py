@@ -38,6 +38,68 @@ class FactorizedEst:
         self.factorizations: List[Factorization] = []
         self.polya_signals: List[bool] = []
         self.polyadenil_signals: List[bool] = []
+        self.refined = False  # True when the native path already ran the
+        #                       full refinement pass (skip the host one)
+
+
+def _native_est_process(meg_arrays, config: Config, gen_seq_bytes: bytes,
+                        est_bytes: bytes, est_orig_bytes: bytes,
+                        deadline: Optional[float]):
+    """One-call native flow: candidate enumeration + filter cascade +
+    intron refinement + polyA + refinement pass (est_process in
+    native/dp.c).  Returns (factorizations, polya, polyad) or None when
+    the native path is unavailable/unsupported; raises TimeoutExpired on
+    enumeration timeout."""
+    from pintron_tpu.native import get_lib, np_scratch
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "est_process"):
+        return None
+    nv, ncols, ptrs = meg_arrays[6], meg_arrays[7], meg_arrays[8]
+    counts, counts_ptr = np_scratch("ep_counts", 4)
+    cap_facts, cap_factors = 256, 2048
+    while True:
+        out_off, off_ptr = np_scratch("ep_off", cap_facts + 1)
+        out_f, f_ptr = np_scratch("ep_f", 4 * cap_factors)
+        out_pa, pa_ptr = np_scratch("ep_pa", cap_facts)
+        out_pd, pd_ptr = np_scratch("ep_pd", cap_facts)
+        cap_facts = min(out_off.size - 1, out_pa.size, out_pd.size)
+        cap_factors = out_f.size // 4
+        nf = lib.est_process(
+            ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4], ptrs[5],
+            nv, ncols,
+            gen_seq_bytes, len(gen_seq_bytes),
+            est_bytes, len(est_bytes),
+            est_orig_bytes, len(est_orig_bytes),
+            config.min_factor_len, config.min_intron_length,
+            deadline if deadline is not None else 0.0,
+            config.complexity_threshold, config.max_site_difference,
+            config.max_coverage_diff, config.max_gapLength_diff,
+            config.max_number_of_factorizations,
+            config.suffpref_length_on_est,
+            config.suffpref_length_for_intron,
+            config.suffpref_length_on_gen,
+            off_ptr, f_ptr, pa_ptr, pd_ptr,
+            cap_facts, cap_factors, counts_ptr)
+        if nf == -2:
+            cap_facts = int(counts[1]) + 1
+            cap_factors = int(counts[2]) + 1
+            continue
+        if nf == -1:
+            raise TimeoutExpired()
+        if nf < 0:
+            return None
+        break
+    facts: List[Factorization] = []
+    f = out_f
+    for i in range(nf):
+        a, b = int(out_off[i]), int(out_off[i + 1])
+        facts.append([Factor(int(f[4 * k]), int(f[4 * k + 1]),
+                             int(f[4 * k + 2]), int(f[4 * k + 3]))
+                      for k in range(a, b)])
+    n_flags = int(counts[0])
+    polya = [bool(out_pa[i]) for i in range(n_flags)]
+    polyad = [bool(out_pd[i]) for i in range(n_flags)]
+    return facts, polya, polyad
 
 
 def _native_candidate_factorizations(meg_arrays, config: Config,
@@ -96,6 +158,22 @@ def get_est_factorizations(est_info: mf.EstInfo, V: MEG, config: Config,
     est_length = len(V) - 2
     gen_seq = gen_info.seq
     est_seq = est_info.seq
+
+    if meg_arrays is not None:
+        if gen_seq_bytes is None:
+            gen_seq_bytes = gen_seq.encode("latin1")
+        try:
+            res = _native_est_process(
+                meg_arrays, config, gen_seq_bytes,
+                est_seq.encode("latin1"),
+                est_info.original_seq.encode("latin1"), deadline)
+        except TimeoutExpired:
+            return None
+        if res is not None:
+            est.factorizations, est.polya_signals, \
+                est.polyadenil_signals = res
+            est.refined = True
+            return est
 
     def deadline_check():
         return deadline is not None and time.monotonic() > deadline
@@ -244,12 +322,13 @@ def internal_get_est_factorizations(gen_info: mf.EstInfo,
                                 gen_seq_bytes=gen_seq_bytes)
     timeout = deadline is not None and time.monotonic() > deadline
     if fe is not None:
-        fe.factorizations = refine_est_factorizations(
-            gen_info.seq, est_info.seq, est_info.original_seq,
-            fe.factorizations, config)
-        remove_factorizations_with_very_small_exons(fe.factorizations)
-        if fe.factorizations:
-            remove_duplicated_factorizations(fe.factorizations)
+        if not fe.refined:
+            fe.factorizations = refine_est_factorizations(
+                gen_info.seq, est_info.seq, est_info.original_seq,
+                fe.factorizations, config)
+            remove_factorizations_with_very_small_exons(fe.factorizations)
+            if fe.factorizations:
+                remove_duplicated_factorizations(fe.factorizations)
     else:
         timeout = True
     return fe, timeout
