@@ -2836,7 +2836,7 @@ static char *ep_cbuf(int slot, int64_t need) {
 #define EPM_CAP (1LL << EPM_BITS)
 
 typedef struct {
-    uint64_t k[5];
+    uint64_t k[7];
     int64_t v[5];
     uint32_t gen;
     uint8_t used;
@@ -2951,12 +2951,12 @@ static uint64_t epm_seq_id = 0;
 /* Returns the entry for key k; *found = 1 when it holds a cached value.
  * Returns NULL when the table is unavailable/full (caller just
  * recomputes without caching). */
-static epm_ent *epm_find(const uint64_t k[5], int *found) {
+static epm_ent *epm_find(const uint64_t k[7], int *found) {
     uint64_t h = 1469598103934665603ULL, idx;
     int i;
     if (!epm_tab || epm_seq_id == 0) { *found = 0; return NULL; }
     if (epm_fill > (EPM_CAP * 3) / 4) epm_wipe();
-    for (i = 0; i < 5; i++) { h ^= k[i]; h *= 1099511628211ULL; }
+    for (i = 0; i < 7; i++) { h ^= k[i]; h *= 1099511628211ULL; }
     idx = h & (EPM_CAP - 1);
     for (;;) {
         epm_ent *e = &epm_tab[idx];
@@ -2979,6 +2979,8 @@ static void epm_key4(uint64_t *k, uint64_t tag, const efac *f) {
     k[2] = ((uint64_t)(uint32_t)f->gs << 32) | (uint32_t)f->ge;
     k[3] = 0;
     k[4] = 0;
+    k[5] = 0;
+    k[6] = 0;
 }
 
 /* ---- cascade: per-candidate checks (filters.py) ------------------------ */
@@ -3012,7 +3014,7 @@ static int ep_handle_endpoints(efct *f, const char *gen, int64_t glen,
     efac *head = &f->f[0];
 
     {
-        uint64_t mk[5];
+        uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
         int found;
         epm_ent *me;
         epm_key4(mk, 1, head);
@@ -3063,7 +3065,7 @@ static int ep_handle_endpoints(efct *f, const char *gen, int64_t glen,
         efac *tail = &f->f[f->n - 1];
         int64_t est_cleav, gen_cleav, cursor, dim;
         int stop2;
-        uint64_t mk[5];
+        uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
         int found;
         epm_ent *me;
         epm_key4(mk, 2, tail);
@@ -3295,7 +3297,7 @@ static void ep_clean_low_complexity(efct *f, const char *gen, int64_t glen,
     if (!split) return;
     for (k = 0; k < f->n; k++) {
         efac *e = &f->f[k];
-        uint64_t mk[5];
+        uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
         int found, bad;
         epm_ent *me;
         epm_key4(mk, 5, e);
@@ -3360,7 +3362,7 @@ static void ep_clean_noisy(efct *f, const char *gen, int64_t glen,
     if (!split) return;
     for (k = 0; k < f->n; k++) {
         efac *e = &f->f[k];
-        uint64_t mk[5];
+        uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
         int found, ok = 0;
         epm_ent *me;
         epm_key4(mk, 4 | ((uint64_t)seqtag << 8), e);
@@ -3631,7 +3633,7 @@ static int ep_refine_intron(const char *gen, int64_t glen,
                             int first_intron) {
     int64_t out4[4];
     int64_t ret;
-    uint64_t mk[5];
+    uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
     int found;
     epm_ent *me;
     mk[0] = 3 | ((uint64_t)(first_intron ? 1 : 0) << 8)
@@ -4103,7 +4105,7 @@ static int ep_classify_itype_uncached(const char *gen, int64_t glen,
 
 static int ep_classify_itype(const char *gen, int64_t glen, int64_t start,
                              int64_t end) {
-    uint64_t mk[5];
+    uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
     int found, itype;
     epm_ent *me;
     mk[0] = 6;
@@ -4197,6 +4199,49 @@ static int ep_analyze_small(efct *f, int64_t i, const char *gen,
     return 0;
 }
 
+/* memoized wrapper: behavior depends only on the (prev, curr, next)
+ * factor coordinates; on a hit replays the mutations + deletion */
+static int ep_analyze_small_memo(efct *f, int64_t i, const char *gen,
+                                 int64_t glen, const char *est,
+                                 int64_t elen) {
+    uint64_t mk[7];
+    int found, removed;
+    epm_ent *me;
+    efac *pprev = &f->f[i - 1];
+    efac *pnext = &f->f[i + 1];
+    mk[0] = 7 | (epm_seq_id << 16);
+    mk[1] = ((uint64_t)(uint32_t)pprev->es << 32) | (uint32_t)pprev->ee;
+    mk[2] = ((uint64_t)(uint32_t)pprev->gs << 32) | (uint32_t)pprev->ge;
+    mk[3] = ((uint64_t)(uint32_t)f->f[i].es << 32) | (uint32_t)f->f[i].ee;
+    mk[4] = ((uint64_t)(uint32_t)f->f[i].gs << 32) | (uint32_t)f->f[i].ge;
+    mk[5] = ((uint64_t)(uint32_t)pnext->es << 32) | (uint32_t)pnext->ee;
+    mk[6] = ((uint64_t)(uint32_t)pnext->gs << 32) | (uint32_t)pnext->ge;
+    me = epm_find(mk, &found);
+    if (found) {
+        if (me->v[0]) {
+            pprev->ee = (int64_t)(int32_t)(me->v[1] >> 32);
+            pprev->ge = (int64_t)(int32_t)(uint32_t)me->v[1];
+            pnext->es = (int64_t)(int32_t)(me->v[2] >> 32);
+            pnext->gs = (int64_t)(int32_t)(uint32_t)me->v[2];
+            efct_del(f, i);
+            return 1;
+        }
+        return 0;
+    }
+    removed = ep_analyze_small(f, i, gen, glen, est, elen);
+    if (me) {
+        me->v[0] = removed;
+        if (removed) {
+            /* pprev/pnext may have moved after efct_del */
+            efac *pp = &f->f[i - 1];
+            efac *pn = &f->f[i];
+            me->v[1] = ((uint64_t)(uint32_t)pp->ee << 32) | (uint32_t)pp->ge;
+            me->v[2] = ((uint64_t)(uint32_t)pn->es << 32) | (uint32_t)pn->gs;
+        }
+    }
+    return removed;
+}
+
 static void ep_remove_false_small(eflst *lst, const char *gen, int64_t glen,
                                   const char *est, int64_t elen) {
     int64_t k;
@@ -4204,7 +4249,7 @@ static void ep_remove_false_small(eflst *lst, const char *gen, int64_t glen,
         efct *f = &lst->a[k];
         int64_t i = 1;
         while (i <= f->n - 2) {
-            if (ep_analyze_small(f, i, gen, glen, est, elen)) {
+            if (ep_analyze_small_memo(f, i, gen, glen, est, elen)) {
                 i -= 1;
                 if (i < 1) i = 1;
             } else i++;
@@ -4431,6 +4476,99 @@ static int ep_search_small(efct *f, int64_t i1, const char *gen,
     return 0;
 }
 
+/* memoized search_small_exon_at_prefix: depends only on p1 coords */
+static int ep_search_small_prefix_memo(efct *f, const char *gen,
+                                       int64_t glen, const char *est,
+                                       int64_t elen,
+                                       int64_t min_intron_length) {
+    uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
+    int found, inserted;
+    epm_ent *me;
+    epm_key4(mk, 8, &f->f[0]);
+    me = epm_find(mk, &found);
+    if (found) {
+        if (me->v[0]) {
+            efac pnew;
+            pnew.es = (int64_t)(int32_t)(me->v[1] >> 32);
+            pnew.ee = (int64_t)(int32_t)(uint32_t)me->v[1];
+            pnew.gs = (int64_t)(int32_t)(me->v[2] >> 32);
+            pnew.ge = (int64_t)(int32_t)(uint32_t)me->v[2];
+            f->f[0].es = (int64_t)(int32_t)(me->v[3] >> 32);
+            f->f[0].gs = (int64_t)(int32_t)(uint32_t)me->v[3];
+            return efct_insert(f, 0, pnew) ? 1 : 0;
+        }
+        return 0;
+    }
+    inserted = ep_search_small_prefix(f, gen, glen, est, elen,
+                                      min_intron_length);
+    if (me) {
+        me->v[0] = inserted;
+        if (inserted) {
+            me->v[1] = ((uint64_t)(uint32_t)f->f[0].es << 32)
+                       | (uint32_t)f->f[0].ee;
+            me->v[2] = ((uint64_t)(uint32_t)f->f[0].gs << 32)
+                       | (uint32_t)f->f[0].ge;
+            me->v[3] = ((uint64_t)(uint32_t)f->f[1].es << 32)
+                       | (uint32_t)f->f[1].gs;
+        }
+    }
+    return inserted;
+}
+
+/* memoized search_small_exon: depends only on (p1, p2) coords */
+static int ep_search_small_memo(efct *f, int64_t i1, const char *gen,
+                                int64_t glen, const char *est,
+                                int64_t elen, int64_t min_intron_cfg) {
+    uint64_t mk[7];
+    int found, inserted;
+    epm_ent *me;
+    efac *p1 = &f->f[i1];
+    efac *p2 = &f->f[i1 + 1];
+    mk[0] = 9 | (epm_seq_id << 16);
+    mk[1] = ((uint64_t)(uint32_t)p1->es << 32) | (uint32_t)p1->ee;
+    mk[2] = ((uint64_t)(uint32_t)p1->gs << 32) | (uint32_t)p1->ge;
+    mk[3] = ((uint64_t)(uint32_t)p2->es << 32) | (uint32_t)p2->ee;
+    mk[4] = ((uint64_t)(uint32_t)p2->gs << 32) | (uint32_t)p2->ge;
+    mk[5] = 0;
+    mk[6] = 0;
+    me = epm_find(mk, &found);
+    if (found) {
+        if (me->v[0]) {
+            efac pnew;
+            pnew.es = (int64_t)(int32_t)(me->v[1] >> 32);
+            pnew.ee = (int64_t)(int32_t)(uint32_t)me->v[1];
+            pnew.gs = (int64_t)(int32_t)(me->v[2] >> 32);
+            pnew.ge = (int64_t)(int32_t)(uint32_t)me->v[2];
+            p1->ee = (int64_t)(int32_t)(me->v[3] >> 32);
+            p1->ge = (int64_t)(int32_t)(uint32_t)me->v[3];
+            p2->es = (int64_t)(int32_t)(me->v[4] >> 32);
+            p2->gs = (int64_t)(int32_t)(uint32_t)me->v[4];
+            return efct_insert(f, i1 + 1, pnew) ? 1 : 0;
+        }
+        return 0;
+    }
+    inserted = ep_search_small(f, i1, gen, glen, est, elen,
+                               min_intron_cfg);
+    if (me) {
+        me->v[0] = inserted;
+        if (inserted) {
+            /* after the insert: p1 at i1, pnew at i1+1, p2 at i1+2 */
+            efac *q1 = &f->f[i1];
+            efac *qn = &f->f[i1 + 1];
+            efac *q2 = &f->f[i1 + 2];
+            me->v[1] = ((uint64_t)(uint32_t)qn->es << 32)
+                       | (uint32_t)qn->ee;
+            me->v[2] = ((uint64_t)(uint32_t)qn->gs << 32)
+                       | (uint32_t)qn->ge;
+            me->v[3] = ((uint64_t)(uint32_t)q1->ee << 32)
+                       | (uint32_t)q1->ge;
+            me->v[4] = ((uint64_t)(uint32_t)q2->es << 32)
+                       | (uint32_t)q2->gs;
+        }
+    }
+    return inserted;
+}
+
 static void ep_search_new_small_exons(eflst *lst, const char *gen,
                                       int64_t glen, const char *est,
                                       int64_t elen,
@@ -4441,14 +4579,14 @@ static void ep_search_new_small_exons(eflst *lst, const char *gen,
         int64_t idx = 0, i;
         if (f->n == 0) continue;
         if (f->f[0].es > EP_LB_SMALL) {
-            if (ep_search_small_prefix(f, gen, glen, est, elen,
-                                       min_intron_length))
+            if (ep_search_small_prefix_memo(f, gen, glen, est, elen,
+                                            min_intron_length))
                 idx = 1;
         }
         i = idx;
         while (i + 1 < f->n) {
-            if (ep_search_small(f, i, gen, glen, est, elen,
-                                min_intron_length))
+            if (ep_search_small_memo(f, i, gen, glen, est, elen,
+                                     min_intron_length))
                 i += 2;
             else
                 i += 1;
