@@ -1,3 +1,4 @@
+#define _GNU_SOURCE   /* memmem */
 /* Native alignment primitives for pintron-tpu.
  *
  * The reference implements these loops in C (src/compute-alignments.c,
@@ -2825,6 +2826,19 @@ static char *ep_cbuf(int slot, int64_t need) {
     return bufs[slot];
 }
 
+/* phase-time counters (seconds), for profiling via ep_get_stats:
+ * 0 collect, 1 cascade, 2 filters, 3 refine_intron, 4 polyA,
+ * 5 false-small, 6 new-small, 7 clean+final */
+static double ep_stats[16];
+void ep_get_stats(double *out16) {
+    int i;
+    for (i = 0; i < 16; i++) out16[i] = ep_stats[i];
+}
+void ep_reset_stats(void) {
+    int i;
+    for (i = 0; i < 16; i++) ep_stats[i] = 0.0;
+}
+
 /* ---- per-call coordinate-keyed memo ------------------------------------
  * Within one est_process call the gen/est sequences are fixed, so pure
  * helpers keyed by factor coordinates (NW endpoint handling, k-band,
@@ -4278,7 +4292,9 @@ static int ep_search_small_prefix(efct *f, const char *gen, int64_t glen,
     {
         int64_t epl = py_slice(est, elen, p1->es - eplen, p1->es, &epfact);
         int64_t gpre = p1->gs < glen ? p1->gs : glen;
+        double ts = fe_now();
         cflen = lcf_dp(gen, gpre, epfact, epl, &occ1, &occ2);
+        ep_stats[8] += fe_now() - ts;
         pg = occ1;
         pe = occ2;
     }
@@ -4313,15 +4329,99 @@ static int ep_search_small_prefix(efct *f, const char *gen, int64_t glen,
     return efct_insert(f, 0, pnew) ? 1 : 0;
 }
 
+/* grow-once int32 scratch keyed by slot */
+static int32_t *ep_i32buf(int slot, int64_t need) {
+    static int32_t *bufs[4];
+    static int64_t caps[4];
+    if (need > caps[slot]) {
+        int32_t *nb = (int32_t *)realloc(bufs[slot],
+                                         (size_t)(2 * need + 64)
+                                         * sizeof(int32_t));
+        if (!nb) return NULL;
+        bufs[slot] = nb;
+        caps[slot] = 2 * need + 64;
+    }
+    return bufs[slot];
+}
+
+/* Z-array of a short pattern (literal char equality) */
+static void ep_zself(const char *P, int64_t m, int32_t *zp) {
+    int64_t i, l = 0, r = 0;
+    zp[0] = (int32_t)m;
+    for (i = 1; i < m; i++) {
+        int64_t k = 0;
+        if (i < r) {
+            k = zp[i - l];
+            if (k > r - i) k = r - i;
+        }
+        while (i + k < m && P[k] == P[i + k]) k++;
+        zp[i] = (int32_t)k;
+        if (i + k > r) { l = i; r = i + k; }
+    }
+}
+
+/* matching statistics with filtered emission: for each q, the length
+ * of the longest common prefix of P and T[q:] (capped at m); positions
+ * with match length >= minL are appended to (out_q, out_m).  O(n + m)
+ * total, and only qualifying positions touch memory. */
+static int64_t ep_matchstats_emit(const char *P, int64_t m, const char *T,
+                                  int64_t n, const int32_t *zp,
+                                  int64_t minL, int32_t *out_q,
+                                  int32_t *out_m) {
+    int64_t q, l = -1, r = 0, cnt = 0;
+    for (q = 0; q < n; q++) {
+        int64_t k = 0;
+        if (q < r) {
+            k = zp[q - l];
+            if (k >= r - q) k = r - q;
+            else {
+                if (k >= minL) {
+                    out_q[cnt] = (int32_t)q;
+                    out_m[cnt] = (int32_t)k;
+                    cnt++;
+                }
+                continue;
+            }
+        }
+        while (k < m && q + k < n && P[k] == T[q + k]) k++;
+        if (k >= minL) {
+            out_q[cnt] = (int32_t)q;
+            out_m[cnt] = (int32_t)k;
+            cnt++;
+        }
+        if (q + k > r) { l = q; r = q + k; }
+    }
+    return cnt;
+}
+
 /* python str.find(needle, start) over a bounded haystack */
 static int64_t ep_find(const char *hay, int64_t hl, const char *nd,
                        int64_t nl, int64_t start) {
     int64_t pos;
     if (start < 0) start = 0;
     if (nl == 0) return start <= hl ? start : -1;
-    for (pos = start; pos + nl <= hl; pos++)
-        if (memcmp(hay + pos, nd, (size_t)nl) == 0) return pos;
-    return -1;
+    if (start > hl - nl) return -1;
+    /* hits cluster in low-complexity regions: try a short naive window
+     * first, then fall back to memmem (two-way, linear worst case) for
+     * the long jumps */
+    {
+        int64_t wend = start + 64;
+        if (wend > hl - nl) wend = hl - nl;
+        for (pos = start; pos <= wend; pos++) {
+            if (hay[pos] == nd[0]
+                && (nl == 1
+                    || memcmp(hay + pos + 1, nd + 1,
+                              (size_t)(nl - 1)) == 0))
+                return pos;
+        }
+        if (pos > hl - nl) return -1;
+        {
+            const char *hit = (const char *)memmem(hay + pos,
+                                                   (size_t)(hl - pos),
+                                                   nd, (size_t)nl);
+            return hit ? (int64_t)(hit - hay) : -1;
+        }
+    }
 }
 
 /* refinement.py:search_small_exon.  insert_at = index of p2. */
@@ -4426,40 +4526,202 @@ static int ep_search_small(efct *f, int64_t i1, const char *gen,
     for (offstart = 0; offstart < max_offstart; offstart++) {
         int64_t max_offend = f2plen + 1 - EP_MIN_PERFECT_BORDER;
         int64_t offend;
+        const char *P;
+        int64_t m_total, search_from;
+        int32_t *zp, *M, *bpos, *bnext;
+        int64_t *bstart, *bend, *cur0, *cur;
+        int64_t nbuck, q, L;
         if (eln + 1 - offstart - EP_LB_SMALL < max_offend)
             max_offend = eln + 1 - offstart - EP_LB_SMALL;
         if (allglen2 + 1 - 2 * MIN_IL - EP_LB_SMALL - offstart < max_offend)
             max_offend = allglen2 + 1 - 2 * MIN_IL - EP_LB_SMALL - offstart;
+        if (eln - offstart <= max_sexon_len) continue;
+        if (max_offend <= 0) continue;
+
+        /* Occurrence index: every offend's needle efact[offstart:eln-
+         * offend] is a prefix of P = efact[offstart:], so one matching-
+         * statistics pass M[q] = lcp(P, hay[q:]) answers all of them:
+         * needle(offend) occurs at q iff M[q] >= ndl.  Occurrences are
+         * then visited in the same ascending order as the str.find loop
+         * (exact semantics), without rescanning the hay per offend. */
+        P = efact + offstart;
+        m_total = efactl - offstart;
+        if (m_total < 0) m_total = 0;
+        search_from = offstart + MIN_IL;
+        {
+            double tf = fe_now();
+            int64_t need = allgfactl + 8;
+            int32_t *hq, *hm;
+            int64_t nhits, hmin, hk;
+            zp = ep_i32buf(0, m_total + 2);
+            hq = ep_i32buf(1, need);
+            hm = ep_i32buf(2, need);
+            M = NULL;
+            if (!zp || !hq || !hm) return 0;
+            bstart = (int64_t *)malloc((size_t)(m_total + 2) * 4
+                                       * sizeof(int64_t));
+            if (!bstart) return 0;
+            bend = bstart + (m_total + 2);
+            cur0 = bend + (m_total + 2);
+            cur = cur0 + (m_total + 2);
+            /* the shortest needle any offend uses is >= EP_LB_SMALL,
+             * so positions with shorter matches can never be visited */
+            hmin = EP_LB_SMALL;
+            nhits = 0;
+            if (m_total > 0) {
+                ep_zself(P, m_total, zp);
+                nhits = ep_matchstats_emit(P, m_total, allgfact,
+                                           allgfactl, zp, hmin, hq, hm);
+            }
+            /* bucket the (few) qualifying positions by match length,
+             * ascending q within each bucket, then set per-bucket
+             * cursors to the first q >= search_from */
+            bpos = ep_i32buf(3, nhits + 1);
+            if (!bpos) { free(bstart); return 0; }
+            for (L = 1; L <= m_total; L++) bstart[L] = 0;
+            for (hk = 0; hk < nhits; hk++) bstart[hm[hk]]++;
+            {
+                int64_t acc = 0;
+                for (L = 1; L <= m_total; L++) {
+                    int64_t c = bstart[L];
+                    bstart[L] = acc;
+                    bend[L] = acc;
+                    acc += c;
+                }
+            }
+            for (hk = 0; hk < nhits; hk++) bpos[bend[hm[hk]]++] = hq[hk];
+            for (L = 1; L <= m_total; L++) {
+                int64_t lo = bstart[L], hi = bend[L];
+                while (lo < hi) {
+                    int64_t mid = (lo + hi) / 2;
+                    if (bpos[mid] < search_from) lo = mid + 1;
+                    else hi = mid;
+                }
+                cur0[L] = lo;
+            }
+            nbuck = m_total;
+            (void)M;
+            ep_stats[10] += fe_now() - tf;
+        }
+
         for (offend = 0; offend < max_offend; offend++) {
-            const char *needle, *hay;
-            int64_t ndl, hl, search_from, pos;
-            ndl = py_slice(efact, efactl, offstart, eln - offend, &needle);
-            hl = py_slice(allgfact, allgfactl, 0,
-                          allglen2 - offend - MIN_IL, &hay);
-            search_from = offstart + MIN_IL;
-            pos = ep_find(hay, hl, needle, ndl, search_from);
-            while (pos != -1) {
-                int64_t i1start = allgstart + offstart;
-                int64_t i1end = allgstart + pos - 1;
-                int64_t i2start = i1end + 1 + eln - offstart - offend;
-                int64_t i2end = allgstart + allglen2 - offend - 1;
-                int it1 = ep_classify_itype(gen, glen, i1start, i1end);
-                int it2 = ep_classify_itype(gen, glen, i2start, i2end);
-                if (it1 != 2 && it2 != 2) {
-                    int64_t sexon_len = eln - offstart - offend;
-                    if (sexon_len > max_sexon_len) {
-                        max_sexon_len = sexon_len;
-                        ecut1 = estart + offstart;
-                        ecut2 = estart + offstart + sexon_len;
-                        gcut1_1 = i1start;
-                        gcut1_2 = i1end + 1;
-                        gcut2_1 = i2start;
-                        gcut2_2 = i2end + 1;
+            int64_t ndl, hl, qmax;
+            if (eln - offstart - offend <= max_sexon_len) break;
+            /* needle/hay bounds with the python slice clamps */
+            ndl = eln - offend;
+            if (ndl > efactl) ndl = efactl;
+            ndl -= offstart;
+            hl = allglen2 - offend - MIN_IL;
+            if (hl < 0) hl = 0;
+            if (hl > allgfactl) hl = allgfactl;
+            if (ndl <= 0) {
+                /* empty needle: str.find returns search_from when it is
+                 * within the hay; classify on the degenerate hit */
+                if (search_from <= hl) {
+                    int64_t pos = search_from;
+                    int64_t i1start = allgstart + offstart;
+                    int64_t i1end = allgstart + pos - 1;
+                    int64_t i2start = i1end + 1 + eln - offstart - offend;
+                    int64_t i2end = allgstart + allglen2 - offend - 1;
+                    int it1 = ep_classify_itype(gen, glen, i1start, i1end);
+                    int it2 = ep_classify_itype(gen, glen, i2start, i2end);
+                    if (it1 != 2 && it2 != 2) {
+                        int64_t sexon_len = eln - offstart - offend;
+                        if (sexon_len > max_sexon_len) {
+                            max_sexon_len = sexon_len;
+                            ecut1 = estart + offstart;
+                            ecut2 = estart + offstart + sexon_len;
+                            gcut1_1 = i1start;
+                            gcut1_2 = i1end + 1;
+                            gcut2_1 = i2start;
+                            gcut2_2 = i2end + 1;
+                        }
+                    }
+                    /* (the original loop would keep scanning empty-
+                     * needle hits; they all share sexon_len, so the
+                     * first decides -- exact) */
+                }
+                continue;
+            }
+            if (ndl > nbuck) continue;   /* needle longer than any match */
+            if (ndl < EP_LB_SMALL) {
+                /* clamped needle shorter than the emission threshold:
+                 * take the direct scan (never happens on valid data) */
+                const char *needle, *hay;
+                int64_t ndl2, hl2, pos;
+                ndl2 = py_slice(efact, efactl, offstart, eln - offend,
+                                &needle);
+                hl2 = py_slice(allgfact, allgfactl, 0,
+                               allglen2 - offend - MIN_IL, &hay);
+                pos = ep_find(hay, hl2, needle, ndl2, search_from);
+                while (pos != -1) {
+                    int64_t i1start = allgstart + offstart;
+                    int64_t i1end = allgstart + pos - 1;
+                    int64_t i2start = i1end + 1 + eln - offstart - offend;
+                    int64_t i2end = allgstart + allglen2 - offend - 1;
+                    int it1 = ep_classify_itype(gen, glen, i1start, i1end);
+                    int it2 = ep_classify_itype(gen, glen, i2start, i2end);
+                    if (it1 != 2 && it2 != 2) {
+                        int64_t sexon_len = eln - offstart - offend;
+                        if (sexon_len > max_sexon_len) {
+                            max_sexon_len = sexon_len;
+                            ecut1 = estart + offstart;
+                            ecut2 = estart + offstart + sexon_len;
+                            gcut1_1 = i1start;
+                            gcut1_2 = i1end + 1;
+                            gcut2_1 = i2start;
+                            gcut2_2 = i2end + 1;
+                        }
+                        break;
+                    }
+                    pos = ep_find(hay, hl2, needle, ndl2, pos + 1);
+                }
+                continue;
+            }
+            qmax = hl - ndl;
+            memcpy(cur + ndl, cur0 + ndl,
+                   (size_t)(nbuck - ndl + 1) * sizeof(int64_t));
+            for (;;) {
+                int64_t best = -1, bestL = -1;
+                for (L = ndl; L <= nbuck; L++) {
+                    if (cur[L] < bend[L]) {
+                        int64_t cq = bpos[cur[L]];
+                        if (best == -1 || cq < best) { best = cq; bestL = L; }
                     }
                 }
-                pos = ep_find(hay, hl, needle, ndl, pos + 1);
+                if (best == -1 || best > qmax) break;
+                cur[bestL]++;
+                {
+                    int64_t pos = best;
+                    int64_t i1start = allgstart + offstart;
+                    int64_t i1end = allgstart + pos - 1;
+                    int64_t i2start = i1end + 1 + eln - offstart - offend;
+                    int64_t i2end = allgstart + allglen2 - offend - 1;
+                    double ts = fe_now();
+                    int it1 = ep_classify_itype(gen, glen, i1start, i1end);
+                    int it2 = ep_classify_itype(gen, glen, i2start, i2end);
+                    ep_stats[9] += fe_now() - ts;
+                    ep_stats[12] += 2.0;
+                    if (it1 != 2 && it2 != 2) {
+                        /* first qualifying hit decides the pair: within
+                         * it sexon_len is constant and only strict
+                         * improvements count (exact) */
+                        int64_t sexon_len = eln - offstart - offend;
+                        if (sexon_len > max_sexon_len) {
+                            max_sexon_len = sexon_len;
+                            ecut1 = estart + offstart;
+                            ecut2 = estart + offstart + sexon_len;
+                            gcut1_1 = i1start;
+                            gcut1_2 = i1end + 1;
+                            gcut2_1 = i2start;
+                            gcut2_2 = i2end + 1;
+                        }
+                        break;
+                    }
+                }
             }
         }
+        free(bstart);
     }
     if (max_sexon_len >= EP_LB_SMALL) {
         efac pnew;
@@ -4713,19 +4975,6 @@ done:
     *out_f = cf;
     *out_nf = nf;
     return 0;
-}
-
-/* phase-time counters (seconds), for profiling via ep_get_stats:
- * 0 collect, 1 cascade, 2 filters, 3 refine_intron, 4 polyA,
- * 5 false-small, 6 new-small, 7 clean+final */
-static double ep_stats[8];
-void ep_get_stats(double *out8) {
-    int i;
-    for (i = 0; i < 8; i++) out8[i] = ep_stats[i];
-}
-void ep_reset_stats(void) {
-    int i;
-    for (i = 0; i < 8; i++) ep_stats[i] = 0.0;
 }
 
 /* ---- est_process: the full per-EST post-MEG flow ------------------------
