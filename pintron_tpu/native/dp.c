@@ -530,12 +530,63 @@ int64_t vertex_scan(
 /* Longest common factor DP (factorization-refinement.c:253-316 semantics:
  * N wildcards always match; first strictly-greater maximum wins, with the
  * earliest i2 inside that row).  Writes occ1/occ2, returns plen. */
+/* Byte-parallel LCF for short s2 (<= 63 chars): per-row int8 run
+ * lengths, vectorizable; a strictly-greater row maximum triggers a
+ * rescan of that row to recover the reference's tie-breaking (earliest
+ * i2 achieving the row maximum).  Results are exactly lcf_dp's. */
+static int64_t lcf_dp_small(const char *s1, int64_t l1, const char *s2,
+                            int64_t l2, int64_t *occ1, int64_t *occ2) {
+    /* fixed 64-lane layout (lanes >= l2 masked to zero) so the row
+     * update and the max reduction are constant-trip and vectorize;
+     * slot 0 of each row is the virtual R[-1] = 0 */
+    uint8_t msk[256][64];
+    uint8_t built[256];
+    uint8_t rowa[65], rowb[65];
+    uint8_t *R = rowa, *Rp = rowb;
+    int64_t i1, i2, plen = 0;
+    int64_t k;
+    memset(built, 0, sizeof(built));
+    memset(rowa, 0, sizeof(rowa));
+    memset(rowb, 0, sizeof(rowb));
+    for (i1 = 0; i1 < l1; i1++) {
+        unsigned char c1 = (unsigned char)s1[i1];
+        const uint8_t *mk;
+        uint8_t best = 0;
+        if (!built[c1]) {
+            int w1 = (c1 == 'n' || c1 == 'N');
+            for (i2 = 0; i2 < l2; i2++) {
+                char c2 = s2[i2];
+                msk[c1][i2] = (uint8_t)(0
+                    - (w1 || c2 == 'n' || c2 == 'N'
+                       || (unsigned char)c2 == c1));
+            }
+            for (i2 = l2; i2 < 64; i2++) msk[c1][i2] = 0;
+            built[c1] = 1;
+        }
+        mk = msk[c1];
+        for (k = 0; k < 64; k++)
+            R[k + 1] = (uint8_t)((Rp[k] + 1) & mk[k]);
+        for (k = 1; k <= 64; k++)
+            if (R[k] > best) best = R[k];
+        if ((int64_t)best > plen) {
+            plen = best;
+            *occ1 = i1 + 1 - plen;
+            for (k = 1; k <= 64; k++)
+                if (R[k] == best) break;
+            *occ2 = k - plen;
+        }
+        { uint8_t *t = R; R = Rp; Rp = t; }
+    }
+    return plen;
+}
+
 int64_t lcf_dp(const char *s1, int64_t l1, const char *s2, int64_t l2,
                int64_t *occ1, int64_t *occ2) {
     int64_t *prev, *cur, *tmp;
     int64_t i1, i2, plen = 0;
     *occ1 = 0; *occ2 = 0;
     if (l1 == 0 || l2 == 0) return 0;
+    if (l2 <= 63) return lcf_dp_small(s1, l1, s2, l2, occ1, occ2);
     prev = (int64_t *)calloc(l2, sizeof(int64_t));
     cur = (int64_t *)calloc(l2, sizeof(int64_t));
     if (!prev || !cur) { free(prev); free(cur); return -1; }
@@ -4295,6 +4346,8 @@ static int ep_search_small_prefix(efct *f, const char *gen, int64_t glen,
         double ts = fe_now();
         cflen = lcf_dp(gen, gpre, epfact, epl, &occ1, &occ2);
         ep_stats[8] += fe_now() - ts;
+        ep_stats[15] += 1.0;
+        ep_stats[11] += (double)gpre;
         pg = occ1;
         pe = occ2;
     }
