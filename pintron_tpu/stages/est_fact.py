@@ -339,23 +339,37 @@ def build_meg(est_info: mf.EstInfo, tree: SuffixTree, gen_seq_bytes: bytes,
               ) -> Tuple[MEG, int]:
     """compute-est-fact.c:90-152 retry-on-complexity loop.  Returns
     (V, inc_pairing_len, flat_arrays)."""
+    from pintron_tpu.meg.dot import log_graphs_enabled, save_meg_to_filename
+    log_graphs = log_graphs_enabled()
+
     config = shared_config.clone()
     pattern = est_info.seq.encode("latin1")
-    V, inc, flat = megmod.build_meg_native(pattern, tree, gen_seq_bytes,
-                                           shared_config, config,
-                                           inc_pairing_len)
-    if V is not None:
-        return V, inc, flat
+    if not log_graphs:
+        V, inc, flat = megmod.build_meg_native(pattern, tree, gen_seq_bytes,
+                                               shared_config, config,
+                                               inc_pairing_len)
+        if V is not None:
+            return V, inc, flat
     while True:
         config.min_factor_len = shared_config.min_factor_len + inc_pairing_len
         V = megmod.build_vertex_set(pattern, tree, gen_seq_bytes, config)
         megmod.build_edge_set(V, config)
+        if log_graphs:
+            save_meg_to_filename(V, "meg-1-untouched.dot")
         simp.simplify_meg(V, config)
+        if log_graphs:
+            save_meg_to_filename(V, "meg-2-after-basic-simplification.dot")
         if config.trans_red:
             simp.transitive_reduction(V)
+            if log_graphs:
+                save_meg_to_filename(
+                    V, "meg-3-after-transitive-reduction.dot")
         too_complex = simp.is_too_complex_for_compaction(V, config)
         if not too_complex and config.short_edge_comp:
             simp.compact_short_edges(V, config)
+            if log_graphs:
+                save_meg_to_filename(
+                    V, "meg-4-after-short-edge-contraction.dot")
         too_complex = too_complex or simp.is_too_complex(V, config)
         if too_complex:
             if (shared_config.min_factor_len + inc_pairing_len + 1 + 2

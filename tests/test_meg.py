@@ -136,3 +136,25 @@ def test_suffix_tree_brute_force():
             if t.children[v]:
                 w = node_string(t, v)
                 assert t.slink[v] == strings[w[1:]]
+
+
+def test_log_graphs_dot_dump(tmp_path, monkeypatch):
+    """PINTRON_LOG_GRAPHS dumps the 4-stage dot files (LOG_GRAPHS
+    rebuild, max-emb-graph.c:711-783)."""
+    import os
+    import shutil
+
+    monkeypatch.setenv("PINTRON_LOG_GRAPHS", "1")
+    monkeypatch.setenv("PINTRON_EST_WORKERS", "1")
+    monkeypatch.chdir(tmp_path)
+    from pintron_tpu.stages.est_fact import run_est_fact
+    ref = "/root/reference/regressionTest/test-AMBN"
+    for fn in ("genomic.txt", "ests.txt"):
+        shutil.copy(os.path.join(ref, fn), tmp_path)
+    run_est_fact(str(tmp_path))
+    dumped = sorted(p.name for p in tmp_path.glob("meg-*.dot"))
+    assert "meg-1-untouched.dot" in dumped
+    assert "meg-2-after-basic-simplification.dot" in dumped
+    text = (tmp_path / "meg-1-untouched.dot").read_text()
+    assert text.startswith("digraph MEG {")
+    assert "source" in text and "sink" in text
