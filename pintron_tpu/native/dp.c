@@ -177,6 +177,192 @@ static void st_set_child(stree_t *st, int64_t v, unsigned char c,
     }
 }
 
+/* Dense-children Ukkonen build + augmentation for small alphabets
+ * (<= 8 distinct symbols incl. the terminator, the normal genomic
+ * case): per-node direct child arrays (int32) replace sibling-list
+ * walks.  Child iteration is in symbol-code order; every downstream
+ * consumer (occurrence slices, vertex scan, MEG) is order-insensitive
+ * because pairing columns are sorted before use.  Returns the node
+ * count or -2 when the alphabet is too large (caller falls back). */
+static int64_t st_build_dense(const unsigned char *text, int64_t tlen,
+                              int64_t *start, int64_t *end,
+                              int64_t *parent, int64_t *slink,
+                              int64_t *depth, int64_t *leaf_idx,
+                              int64_t *lo, int64_t *hi, int64_t *occ,
+                              unsigned char *single_char,
+                              int64_t *coff, unsigned char *cchar,
+                              int64_t *cnode) {
+    int64_t cap = 2 * tlen + 4;
+    int code256[256];
+    unsigned char code_char[8];
+    int64_t K = 0, i, nn;
+    int32_t *kid;
+    int64_t active_node, active_edge, active_len, remainder;
+
+    for (i = 0; i < 256; i++) code256[i] = -1;
+    for (i = 0; i < tlen; i++) {
+        unsigned char c = text[i];
+        if (code256[c] < 0) {
+            if (K == 8) return -2;
+            code256[c] = (int)K;
+            code_char[K] = c;
+            K++;
+        }
+    }
+
+    kid = (int32_t *)malloc((size_t)cap * (size_t)K * sizeof(int32_t));
+    if (!kid) return -1;
+
+#define KID(v, c) kid[(int64_t)(v) * K + (c)]
+#define NEW_NODE(s, e, par) (start[nn] = (s), end[nn] = (e),     parent[nn] = (par), slink[nn] = -1,     memset(kid + nn * K, 0xFF, (size_t)K * sizeof(int32_t)), nn++)
+
+    nn = 0;
+    NEW_NODE(0, 0, -1);   /* root */
+    active_node = 0; active_edge = 0; active_len = 0; remainder = 0;
+    for (i = 0; i < tlen; i++) {
+        unsigned char c = text[i];
+        int cc = code256[c];
+        int64_t last_internal = -1;
+        remainder++;
+        while (remainder > 0) {
+            int ae;
+            int64_t child;
+            if (active_len == 0) active_edge = i;
+            ae = code256[text[active_edge]];
+            child = KID(active_node, ae);
+            if (child == -1) {
+                int64_t leaf = NEW_NODE(i, tlen, active_node);
+                KID(active_node, ae) = (int32_t)leaf;
+                if (last_internal != -1) {
+                    slink[last_internal] = active_node;
+                    last_internal = -1;
+                }
+            } else {
+                int64_t e = end[child] < i + 1 ? end[child] : i + 1;
+                int64_t edge_len = e - start[child];
+                if (active_len >= edge_len) {
+                    active_node = child;
+                    active_edge += edge_len;
+                    active_len -= edge_len;
+                    continue;
+                }
+                if (text[start[child] + active_len] == c) {
+                    active_len++;
+                    if (last_internal != -1) {
+                        slink[last_internal] = active_node;
+                        last_internal = -1;
+                    }
+                    break;
+                }
+                {
+                    int64_t split = NEW_NODE(start[child],
+                                             start[child] + active_len,
+                                             active_node);
+                    int64_t leaf;
+                    KID(active_node, ae) = (int32_t)split;
+                    start[child] += active_len;
+                    parent[child] = split;
+                    KID(split, code256[text[start[child]]]) =
+                        (int32_t)child;
+                    leaf = NEW_NODE(i, tlen, split);
+                    KID(split, cc) = (int32_t)leaf;
+                    if (last_internal != -1) slink[last_internal] = split;
+                    last_internal = split;
+                }
+            }
+            remainder--;
+            if (active_node == 0 && active_len > 0) {
+                active_len--;
+                active_edge = i - remainder + 1;
+            } else if (active_node != 0) {
+                active_node = slink[active_node] != -1
+                    ? slink[active_node] : 0;
+            }
+        }
+    }
+    for (i = 1; i < nn; i++)
+        if (end[i] > tlen) end[i] = tlen;
+
+    /* augmentation: iterative DFS, children visited in code order */
+    {
+        int64_t nocc = 0, sp = 0;
+        int64_t *stack = (int64_t *)malloc((size_t)2 * cap
+                                           * sizeof(int64_t));
+        unsigned char *phase = (unsigned char *)malloc((size_t)2 * cap);
+        if (!stack || !phase) { free(stack); free(phase); free(kid);
+                                return -1; }
+        stack[sp] = 0; phase[sp] = 0; sp++;
+        while (sp > 0) {
+            int64_t v = stack[--sp];
+            unsigned char pr = phase[sp];
+            if (!pr) {
+                int has_child = 0;
+                int c;
+                for (c = 0; c < K; c++)
+                    if (KID(v, c) != -1) { has_child = 1; break; }
+                if (v != 0)
+                    depth[v] = depth[parent[v]] + (end[v] - start[v]);
+                else
+                    depth[v] = 0;
+                if (!has_child) {
+                    int64_t idx = tlen - depth[v];
+                    leaf_idx[v] = idx;
+                    lo[v] = nocc;
+                    occ[nocc++] = idx;
+                    hi[v] = nocc;
+                    single_char[v] = idx > 0 ? text[idx - 1] : 0;
+                } else {
+                    leaf_idx[v] = -1;
+                    stack[sp] = v; phase[sp] = 1; sp++;
+                    lo[v] = nocc;
+                    for (c = 0; c < K; c++) {
+                        int64_t ch = KID(v, c);
+                        if (ch != -1) {
+                            stack[sp] = ch; phase[sp] = 0; sp++;
+                        }
+                    }
+                }
+            } else {
+                int64_t val = -1;
+                int c;
+                hi[v] = nocc;
+                for (c = 0; c < K; c++) {
+                    int64_t ch = KID(v, c);
+                    int64_t cv;
+                    if (ch == -1) continue;
+                    cv = single_char[ch];
+                    if (cv == 0) { val = 0; break; }
+                    if (val == -1) val = cv;
+                    else if (val != cv) { val = 0; break; }
+                }
+                single_char[v] = val > 0 ? (unsigned char)val : 0;
+            }
+        }
+        free(stack); free(phase);
+        /* child flat arrays for vertex_scan */
+        {
+            int64_t pos = 0, v;
+            int c;
+            for (v = 0; v < nn; v++) {
+                coff[v] = pos;
+                for (c = 0; c < K; c++) {
+                    int64_t ch = KID(v, c);
+                    if (ch != -1) {
+                        cchar[pos] = code_char[c];
+                        cnode[pos] = ch;
+                        pos++;
+                    }
+                }
+            }
+            coff[nn] = pos;
+        }
+    }
+#undef KID
+#undef NEW_NODE
+    free(kid);
+    return nn;
+}
+
 /* Build + augment.  text includes the trailing '\0' terminator; all
  * output arrays must have capacity 2*tlen+4 (occ: tlen).  Returns the
  * node count. */
@@ -189,6 +375,12 @@ int64_t st_build(const unsigned char *text, int64_t tlen,
     int64_t cap = 2 * tlen + 4;
     stree_t st;
     int64_t i, active_node, active_edge, active_len, remainder;
+    {
+        int64_t dn = st_build_dense(text, tlen, start, end, parent, slink,
+                                    depth, leaf_idx, lo, hi, occ,
+                                    single_char, coff, cchar, cnode);
+        if (dn != -2) return dn;   /* built (or hard failure) */
+    }
     st.start = start; st.end = end; st.parent = parent; st.slink = slink;
     st.first_child = (int64_t *)malloc(cap * sizeof(int64_t));
     st.next_sib = (int64_t *)malloc(cap * sizeof(int64_t));
