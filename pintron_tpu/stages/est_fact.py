@@ -525,11 +525,13 @@ _WORKER_CTX = None
 def _worker_main(conn) -> None:
     """Persistent worker loop: each message carries the run context and
     this worker's interleaved share of the units; the reply is the list
-    of per-unit output blobs (or ('err', traceback))."""
+    of per-unit output blobs (or ('err', traceback)).  The (gen, config,
+    suffix tree) context is cached by digest so repeated runs on the
+    same locus ship only the digest."""
     import sys as _sys
     _sys.setrecursionlimit(1_000_000)
     global _WORKER_CTX
-    tree_cache = {}
+    ctx_cache = {}
     while True:
         try:
             msg = conn.recv()
@@ -537,14 +539,16 @@ def _worker_main(conn) -> None:
             return
         if msg is None:
             return
-        gen, gen_seq_bytes, config, units = msg
+        digest, payload, units = msg
         try:
-            tree = tree_cache.get(gen_seq_bytes)
-            if tree is None:
-                tree_cache.clear()  # one locus at a time; don't hold old indexes
+            cached = ctx_cache.get(digest)
+            if cached is None:
+                gen, gen_seq_bytes, config = payload
+                ctx_cache.clear()  # one locus at a time
                 tree = SuffixTree(gen_seq_bytes)
-                tree_cache[gen_seq_bytes] = tree
-            _WORKER_CTX = (gen, tree, gen_seq_bytes, config)
+                cached = (gen, tree, gen_seq_bytes, config)
+                ctx_cache[digest] = cached
+            _WORKER_CTX = cached
             conn.send([_process_unit(u) for u in units])
         except Exception:
             import traceback
@@ -569,6 +573,7 @@ class _PersistentPool:
         self.n = n
         self.pipes = []
         self.procs = []
+        self.sent_digests = set()
         for _ in range(n):
             parent_conn, child_conn = ctx.Pipe()
             proc = ctx.Process(target=_worker_main, args=(child_conn,),
@@ -582,8 +587,15 @@ class _PersistentPool:
         return all(p.is_alive() for p in self.procs)
 
     def run(self, gen, gen_seq_bytes, config, units):
+        import hashlib
+        import pickle
+        payload = (gen, gen_seq_bytes, config)
+        digest = hashlib.sha1(
+            gen_seq_bytes + pickle.dumps(config)).hexdigest()
+        send_payload = payload if digest not in self.sent_digests else None
         for w, conn in enumerate(self.pipes):
-            conn.send((gen, gen_seq_bytes, config, units[w::self.n]))
+            conn.send((digest, send_payload, units[w::self.n]))
+        self.sent_digests = {digest}
         results = [None] * len(units)
         for w, conn in enumerate(self.pipes):
             res = conn.recv()
