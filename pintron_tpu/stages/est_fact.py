@@ -159,7 +159,9 @@ def get_est_factorizations(est_info: mf.EstInfo, V: MEG, config: Config,
     gen_seq = gen_info.seq
     est_seq = est_info.seq
 
-    if meg_arrays is not None:
+    import os as _os
+    if meg_arrays is not None and not _os.environ.get(
+            "PINTRON_NO_NATIVE_EST_PROCESS"):
         if gen_seq_bytes is None:
             gen_seq_bytes = gen_seq.encode("latin1")
         try:
