@@ -17,15 +17,47 @@ Prints exactly one JSON line:
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tarfile
 import tempfile
 import time
 
-BASELINE_ESTS_PER_S = 175.0  # reference C est-fact, single core (25/0.143)
+# Fallback baseline when the reference cannot be built on this machine:
+# reference C est-fact, single core, measured 25/0.143s (round-1 box).
+BASELINE_ESTS_PER_S = 175.0
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+
+def measure_reference(workdir_src: str, n_ests: int):
+    """Build (cached) and time the reference's single-core est-fact on
+    the same workload, so vs_baseline is a same-machine ratio.  Returns
+    ESTs/s or None when the reference can't be built here."""
+    ref_bin = "/tmp/refsrc/bin/est-fact"
+    try:
+        if not os.path.exists(ref_bin):
+            script = os.path.join(REPO, "tools", "refbuild",
+                                  "build_reference.sh")
+            if not (os.path.exists(script)
+                    and os.path.isdir("/root/reference")):
+                return None
+            subprocess.run(["sh", script], capture_output=True,
+                           timeout=900, check=True)
+        work = tempfile.mkdtemp(prefix="pintron-bench-ref-")
+        for fn in ("genomic.txt", "ests.txt"):
+            shutil.copy(os.path.join(workdir_src, fn), work)
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            subprocess.run([ref_bin], cwd=work, capture_output=True,
+                           timeout=600, check=True)
+            best = min(best, time.perf_counter() - t0)
+        shutil.rmtree(work, ignore_errors=True)
+        return n_ests / best
+    except Exception:
+        return None
 
 
 def main():
@@ -58,12 +90,17 @@ def main():
         dt = min(dt, time.perf_counter() - t0)
 
     ests_per_s = n_ests / dt
-    print(json.dumps({
+    ref_rate = measure_reference(src, n_ests)
+    baseline = ref_rate if ref_rate else BASELINE_ESTS_PER_S
+    out = {
         "metric": "est-fact throughput (AMBN locus)",
         "value": round(ests_per_s, 2),
         "unit": "ESTs/s",
-        "vs_baseline": round(ests_per_s / BASELINE_ESTS_PER_S, 3),
-    }))
+        "vs_baseline": round(ests_per_s / baseline, 3),
+        "baseline_ests_per_s": round(baseline, 1),
+        "baseline_source": "measured" if ref_rate else "stored",
+    }
+    print(json.dumps(out))
 
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(work, ignore_errors=True)
