@@ -13,7 +13,8 @@ CHECK_FILES = ["raw-multifasta-out.txt", "processed-ests.txt", "megs.txt",
                "processed-megs.txt", "meg-edges.txt"]
 
 
-@pytest.mark.parametrize("case", ["test-788"])
+@pytest.mark.parametrize("case", ["test-788", "test-AMBN", "test-CPB2",
+                                  "test-mattia1", "test_gtf3"])
 def test_est_fact_stage_matches_reference(case, golden, tmp_path):
     gold = golden(case)
     work = tmp_path / case
@@ -21,7 +22,12 @@ def test_est_fact_stage_matches_reference(case, golden, tmp_path):
     shutil.copy(REF / case / "genomic.txt", work / "genomic.txt")
     shutil.copy(REF / case / "ests.txt", work / "ests.txt")
     run_est_fact(str(work))
+    checked = 0
     for name in CHECK_FILES:
+        if not (gold / name).exists():
+            continue  # some golden tarballs keep only the final outputs
         produced = (work / name).read_bytes()
         expected = (gold / name).read_bytes()
         assert produced == expected, f"{case}/{name} differs"
+        checked += 1
+    assert checked > 0
