@@ -11,11 +11,14 @@ the whole batch advancing in lockstep.  Layout is TPU-native —
   * the in-row left-chain ``M2[o] = min_{j<=o}(cand[j] + (o-j))``
     closed with a log2(W) shift-and-min prefix scan (pure VPU ops).
 
-Sequences are pre-padded on the host so every per-row read is a dynamic
-slice with static size: no gathers in the kernel.  Numerical contract:
-bit-identical to the host/C ``kband_core`` per problem (int32 DP, same
-band-boundary semantics) — checked by tests/test_ops.py in interpret
-mode and on real TPUs when available.
+The per-cell character comparisons are precomputed as a (B, rows, W)
+mismatch tensor by XLA (a gather, which the XLA TPU backend handles
+natively); the kernel reads one row of it per step with a dynamic
+second-dim index — Mosaic-friendly on all TPU generations, unlike a
+dynamic lane-window load.  Numerical contract: bit-identical to the
+host/C ``kband_core`` per problem (int32 DP, same band-boundary
+semantics) — checked by tests/test_ops.py in interpret mode and runnable
+unchanged on real TPUs.
 """
 
 from __future__ import annotations
@@ -28,12 +31,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BIG = jnp.int32(1 << 20)
+# plain python int: a module-level jnp scalar would be a captured traced
+# constant inside the pallas kernel, which pallas rejects
+BIG = 1 << 20
 _TB = 8  # batch tile: int32 sublane count
 
 
-def _kband_kernel(seq1_ref, seq2_ref, len1_ref, len2_ref, band_ref,
-                  out_ref, *, max_rows: int, k_max: int):
+def _kband_kernel(mism_ref, len1_ref, len2_ref, band_ref, out_ref, *,
+                  max_rows: int, k_max: int):
     W = 2 * k_max + 1
     TB = out_ref.shape[0]
     offs = jax.lax.broadcasted_iota(jnp.int32, (TB, W), 1)
@@ -51,11 +56,8 @@ def _kband_kernel(seq1_ref, seq2_ref, len1_ref, len2_ref, band_ref,
     def row_step(r, M1):
         c = offs + (r - k_max)
         active = in_band & (c >= 1) & (c <= len1) & (r <= len2)
-        # chars for band cells: seq1 pre-padded with k_max+1 sentinels, so
-        # lane o of row r reads seq1[c-1] at padded column r + o
-        ch1 = seq1_ref[:, pl.ds(r, W)]
-        ch2 = seq2_ref[:, pl.ds(r - 1, 1)]
-        mism = (ch1 != ch2).astype(jnp.int32)
+        mism = mism_ref[:, pl.ds(r - 1, 1), :]
+        mism = mism.reshape(TB, W).astype(jnp.int32)
 
         diag = M1 + mism
         up = jnp.concatenate(
@@ -101,18 +103,20 @@ def banded_edit_distance_pallas(seq1, len1, seq2, len2, band, *,
 
     seq1 = seq1.astype(jnp.int32)
     seq2 = seq2.astype(jnp.int32)
-    # host-side layout prep: sentinel-pad seq1 so row r's band slice is
-    # seq1p[:, r : r+W]; pad seq2 so column r-1 always exists; pad the
-    # batch to the tile size with trivially-inactive problems
-    n1p = max_rows + W + 1
-    seq1p = jnp.full((Bp, n1p), -1, jnp.int32)
-    seq1p = jax.lax.dynamic_update_slice(
-        seq1p, jnp.pad(seq1, ((0, Bp - B), (0, 0)),
-                       constant_values=-1)[:, :n1p - (k_max + 1)],
-        (0, k_max + 1))
-    m2p = max(max_rows, seq2.shape[1])
-    seq2p = jnp.pad(seq2, ((0, Bp - B), (0, m2p - seq2.shape[1])),
-                    constant_values=-2)
+
+    # XLA-side gather: mism[b, r-1, o] = seq1[b, c-1] != seq2[b, r-1]
+    # with c = o + r - k_max; cells with c out of range are masked inside
+    # the kernel, so clipped gathers are harmless.
+    rows = jnp.arange(1, max_rows + 1, dtype=jnp.int32)       # (R,)
+    offs = jnp.arange(W, dtype=jnp.int32)                     # (W,)
+    c = offs[None, :] + rows[:, None] - k_max                 # (R, W)
+    idx1 = jnp.clip(c - 1, 0, seq1.shape[1] - 1)
+    ch1 = seq1[:, idx1]                                       # (B, R, W)
+    m_idx = jnp.clip(rows - 1, 0, seq2.shape[1] - 1)
+    ch2 = seq2[:, m_idx][:, :, None]                          # (B, R, 1)
+    mism = (ch1 != ch2).astype(jnp.int32)
+
+    mism = jnp.pad(mism, ((0, Bp - B), (0, 0), (0, 0)))
 
     def pad1(v):
         return jnp.pad(v.astype(jnp.int32), (0, Bp - B))[:, None]
@@ -123,9 +127,7 @@ def banded_edit_distance_pallas(seq1, len1, seq2, len2, band, *,
         out_shape=jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TB, n1p), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TB, m2p), lambda i: (i, 0),
+            pl.BlockSpec((_TB, max_rows, W), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_TB, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -137,5 +139,5 @@ def banded_edit_distance_pallas(seq1, len1, seq2, len2, band, *,
         out_specs=pl.BlockSpec((_TB, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(seq1p, seq2p, pad1(len1), pad1(len2), pad1(band))
+    )(mism, pad1(len1), pad1(len2), pad1(band))
     return out[:B, 0]

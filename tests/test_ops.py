@@ -69,3 +69,50 @@ def test_pwm_scores_match_host(name):
     scores = np.asarray(pwm_scores(idx, wpwm, denominator=denom))
     for i, w in enumerate(windows):
         assert abs(scores[i] - mat_inspector_score(w, name)) < 1e-5
+
+
+def test_pallas_kband_matches_host_interpret():
+    """The Pallas TPU kernel reproduces the host/C K-band values
+    bit-for-bit (interpret mode on the CPU mesh)."""
+    import numpy as np
+
+    from pintron_tpu.factorize.alignments import k_band_edit_distance
+    from pintron_tpu.ops.pallas_align import banded_edit_distance_pallas
+
+    rng = np.random.default_rng(7)
+    max_rows, k_max = 48, 6
+    B = 13  # intentionally not a multiple of the batch tile
+    seq1 = np.zeros((B, max_rows + 16), dtype=np.int32)
+    seq2 = np.zeros((B, max_rows), dtype=np.int32)
+    len1 = np.zeros(B, dtype=np.int32)
+    len2 = np.zeros(B, dtype=np.int32)
+    band = np.zeros(B, dtype=np.int32)
+    strs = []
+    for b in range(B):
+        m = int(rng.integers(8, max_rows))
+        n = int(rng.integers(m, max_rows + 12))
+        k = int(rng.integers(1, k_max + 1))
+        # keep the band valid for the host kernel's regime (2k+1 < n)
+        if 2 * k + 1 >= n:
+            k = max(1, (n - 2) // 2)
+        s1 = rng.integers(0, 4, n)
+        s2 = s1[:m].copy()
+        for _ in range(int(rng.integers(0, 4))):
+            s2[rng.integers(0, m)] = rng.integers(0, 4)
+        seq1[b, :n] = s1
+        seq2[b, :m] = s2
+        len1[b], len2[b], band[b] = n, m, k
+        strs.append(("".join("ACGT"[c] for c in s1),
+                     "".join("ACGT"[c] for c in s2), k))
+
+    got = np.asarray(banded_edit_distance_pallas(
+        seq1, len1, seq2, len2, band, max_rows=max_rows, k_max=k_max,
+        interpret=True))
+    for b, (s1, s2, k) in enumerate(strs):
+        n, m = len(s1), len(s2)
+        if n - m > k or 2 * k + 1 >= n:
+            continue  # host shortcut regimes; kernel value unspecified
+        from pintron_tpu.native import get_lib
+        lib = get_lib()
+        expect = int(lib.kband_core(s1.encode(), n, s2.encode(), m, k))
+        assert int(got[b]) == expect, (b, s1, s2, k)
