@@ -27,6 +27,7 @@ def pintron_pipeline(workdir: str = ".",
                      only_cds_annot: bool = False,
                      pas_tolerance: int = 30,
                      keep_intermediate: bool = False,
+                     resume: bool = False,
                      config=None,
                      log=logging.getLogger("pintron")) -> None:
     from pintron_tpu.stages.est_fact import run_est_fact
@@ -39,6 +40,12 @@ def pintron_pipeline(workdir: str = ".",
 
     def wpath(name: str) -> str:
         return os.path.join(workdir, name)
+
+    def stage_done(*artifacts: str) -> bool:
+        """Idempotent restart: the inter-stage files double as
+        checkpoints (SURVEY §5 / reference DESIGN.md) -- with --resume a
+        stage whose outputs already exist is skipped."""
+        return resume and all(os.path.exists(wpath(a)) for a in artifacts)
 
     t0 = time.time()
     # STEP 1: input checks (pintron.py:824-873)
@@ -54,34 +61,52 @@ def pintron_pipeline(workdir: str = ".",
         shutil.copyfile(wpath(est_filename), wpath("ests.txt"))
 
     # STEP 2: spliced alignment (est-fact)
-    log.info("STEP  2:  Computing the spliced alignments...")
-    run_est_fact(workdir, config=config)
+    if stage_done("raw-multifasta-out.txt", "processed-ests.txt"):
+        log.info("STEP  2:  [resume] spliced alignments found, skipping")
+    else:
+        log.info("STEP  2:  Computing the spliced alignments...")
+        run_est_fact(workdir, config=config)
 
     # STEP 3: minimum-factorization agreement
-    log.info("STEP  3:  Computing the agreement of the alignments...")
-    with open(wpath("raw-multifasta-out.txt")) as fin, \
-            open(wpath("out-agree.txt"), "w") as fout:
-        run_min_factorization(fin, fout)
+    if stage_done("out-agree.txt"):
+        log.info("STEP  3:  [resume] agreement found, skipping")
+    else:
+        log.info("STEP  3:  Computing the agreement of the alignments...")
+        with open(wpath("raw-multifasta-out.txt")) as fin, \
+                open(wpath("out-agree.txt"), "w") as fout:
+            run_min_factorization(fin, fout)
 
     # STEP 4: intron agreement + classification
-    log.info("STEP  4:  Computing the intron agreement...")
-    run_intron_agreement(workdir)
+    if stage_done("out-after-intron-agree.txt", "predicted-introns.txt"):
+        log.info("STEP  4:  [resume] intron agreement found, skipping")
+    else:
+        log.info("STEP  4:  Computing the intron agreement...")
+        run_intron_agreement(workdir)
 
     # STEP 5: composition compaction
-    log.info("STEP  5:  Computing the final transcript alignments...")
-    with open(wpath("out-after-intron-agree.txt")) as fin, \
-            open(wpath("build-ests.txt"), "w") as fout:
-        run_compact_compositions(fin, fout, wpath("genomic.txt"),
-                                 wpath("genomic-exonforCCDS.txt"))
+    if stage_done("build-ests.txt", "genomic-exonforCCDS.txt"):
+        log.info("STEP  5:  [resume] compacted compositions found, skipping")
+    else:
+        log.info("STEP  5:  Computing the final transcript alignments...")
+        with open(wpath("out-after-intron-agree.txt")) as fin, \
+                open(wpath("build-ests.txt"), "w") as fout:
+            run_compact_compositions(fin, fout, wpath("genomic.txt"),
+                                     wpath("genomic-exonforCCDS.txt"))
 
     # STEP 6: maximal transcripts
-    log.info("STEP  6:  Computing the final full-length isoforms...")
-    run_maximal_transcripts(workdir)
-    shutil.copyfile(wpath("TRANSCRIPTS1_1.txt"), wpath("isoforms.txt"))
+    if stage_done("isoforms.txt"):
+        log.info("STEP  6:  [resume] isoforms found, skipping")
+    else:
+        log.info("STEP  6:  Computing the final full-length isoforms...")
+        run_maximal_transcripts(workdir)
+        shutil.copyfile(wpath("TRANSCRIPTS1_1.txt"), wpath("isoforms.txt"))
 
     # STEP 7: CDS annotation
-    log.info("STEP  7:  Annotating CDS...")
-    run_cds_annotation(workdir, gene=gene, organism=organism)
+    if stage_done("CCDS_transcripts.txt", "VariantGTF.txt"):
+        log.info("STEP  7:  [resume] CDS annotation found, skipping")
+    else:
+        log.info("STEP  7:  Annotating CDS...")
+        run_cds_annotation(workdir, gene=gene, organism=organism)
 
     # STEP 8: JSON + GTF emission
     log.info("STEP  8:  Saving outputs...")
@@ -148,6 +173,10 @@ def main(argv=None) -> int:
     p.add_argument("--set-max-exon-agreement-time", type=int, default=15)
     p.add_argument("--set-max-intron-agreement-time", type=int, default=30)
     p.add_argument("--workdir", default=".")
+    p.add_argument("--resume", action="store_true",
+                   help="skip stages whose output artifacts already "
+                        "exist (the inter-stage files are idempotent "
+                        "checkpoints)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -163,6 +192,7 @@ def main(argv=None) -> int:
         only_cds_annot=args.only_cds_annot,
         pas_tolerance=args.pas_tolerance,
         keep_intermediate=args.no_clean,
+        resume=args.resume,
     )
     if args.compress:
         import gzip
