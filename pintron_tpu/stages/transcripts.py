@@ -858,12 +858,42 @@ class MaximalTranscripts:
             self.source_total_paths += 1
 
     def _set_paths_for_source(self, source_index: int) -> None:
-        """Set_Paths_for_Source (:2078): BFS over the extension DAG."""
+        """Set_Paths_for_Source (:2078): BFS over the extension DAG.
+
+        The reference's PRUNE_EXON_COMP scans every live queue entry for
+        a transcript equal to the new path's; here the live entries are
+        indexed by the exact equality key (exons, left_ext, right_ext,
+        exon chain), so the first live match is found in O(1) with
+        identical semantics (dequeued entries leave the window lazily).
+        """
+        import collections
+
         self.source_paths = []
         self.source_path_transcripts = []
         self.source_total_paths = 0
         queue: List[Path] = []
         qhead = 0
+
+        def tr_key(tr: Transcript):
+            return (tr.exons, tr.left_ext, tr.right_ext,
+                    tuple(tr.exon_list[:tr.exons - 2]))
+
+        live = {}
+
+        def live_first(k):
+            dq = live.get(k)
+            if not dq:
+                return None
+            while dq and dq[0] < qhead:
+                dq.popleft()
+            return queue[dq[0]] if dq else None
+
+        def live_add(k, idx):
+            dq = live.get(k)
+            if dq is None:
+                dq = collections.deque()
+                live[k] = dq
+            dq.append(idx)
 
         src = self.source_list[source_index]
         sp = Path()
@@ -872,17 +902,22 @@ class MaximalTranscripts:
         sp.L = 0
         sp.tr = self.transcripts[src].copy()
         sp.visit = 1
+        live_add(tr_key(sp.tr), 0)
         queue.append(sp)
 
-        n = len(self.transcripts)
+        if self._adjacency is None:
+            n = len(self.transcripts)
+            self._adjacency = [
+                [i for i in range(n) if self.matrix[r][i] != 0]
+                for r in range(n)]
+        adjacency = self._adjacency
         while qhead < len(queue):
             enq = queue[qhead]
             qhead += 1
             if enq.visit != 1:
                 continue
             no_edge = 1
-            for i in range(n):
-                if self.matrix[enq.end][i] != 0:
+            for i in adjacency[enq.end]:
                     no_edge = 0
                     copy = self._copy_path(enq)
                     # Add_Node with upd_tr (:1991)
@@ -896,17 +931,16 @@ class MaximalTranscripts:
                                                     copy.L)
                     copy.nodes.append(i)
                     copy.end = i
-                    # PRUNE_EXON_COMP (:2146-2159): scan live queue entries
-                    same = None
-                    for q in queue[qhead:]:
-                        if self._equals_transcripts(copy.tr, q.tr):
-                            same = q
-                            break
+                    # PRUNE_EXON_COMP (:2146-2159): first live equal entry
+                    k = tr_key(copy.tr)
+                    same = live_first(k)
                     if same is not None:
                         if self.out_degree[copy.end] > self.out_degree[same.end]:
                             same.visit = 0
+                            live_add(k, len(queue))
                             queue.append(copy)
                     else:
+                        live_add(k, len(queue))
                         queue.append(copy)
             if no_edge:
                 self._set_path_transcripts_for_source(enq)
@@ -915,6 +949,7 @@ class MaximalTranscripts:
         self.total_paths = 0
         self.path_transcripts = []
         self.transcript_paths = []
+        self._adjacency = None  # matrix is fixed for the whole walk
         for si in range(len(self.source_list)):
             self._set_paths_for_source(si)
             self.total_paths += self.source_total_paths
