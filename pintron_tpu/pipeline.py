@@ -28,6 +28,10 @@ def pintron_pipeline(workdir: str = ".",
                      pas_tolerance: int = 30,
                      keep_intermediate: bool = False,
                      resume: bool = False,
+                     max_factorization_time: int = 60,
+                     max_factorization_memory: int = 3000,
+                     max_exon_agreement_time: int = 15,
+                     max_intron_agreement_time: int = 30,
                      config=None,
                      log=logging.getLogger("pintron")) -> None:
     from pintron_tpu.stages.est_fact import run_est_fact
@@ -40,6 +44,38 @@ def pintron_pipeline(workdir: str = ".",
 
     def wpath(name: str) -> str:
         return os.path.join(workdir, name)
+
+    def run_guarded(fn, minutes: int, mem_mb: int = 0):
+        """Resource guards (reference pintron.py:878-906 `ulimit -t/-v`):
+        run the stage in a forked child with RLIMIT_CPU / RLIMIT_AS so a
+        runaway stage aborts the pipeline instead of hanging it.  The
+        stages communicate through files, so process isolation changes
+        nothing on success.  Guards <= 0 run the stage inline."""
+        if minutes <= 0:
+            fn()
+            return
+        import multiprocessing
+
+        def child():
+            import resource
+            cpu = minutes * 60
+            try:
+                resource.setrlimit(resource.RLIMIT_CPU, (cpu, cpu + 10))
+                if mem_mb > 0:
+                    mem = mem_mb * 1024 * 1024
+                    resource.setrlimit(resource.RLIMIT_AS, (mem, mem))
+            except (ValueError, OSError):
+                pass
+            fn()
+
+        ctx = multiprocessing.get_context("fork")
+        proc = ctx.Process(target=child)
+        proc.start()
+        proc.join()
+        if proc.exitcode != 0:
+            raise RuntimeError(
+                f"stage exceeded its resource guard or failed "
+                f"(exit {proc.exitcode})")
 
     def stage_done(*artifacts: str) -> bool:
         """Idempotent restart: the inter-stage files double as
@@ -65,23 +101,29 @@ def pintron_pipeline(workdir: str = ".",
         log.info("STEP  2:  [resume] spliced alignments found, skipping")
     else:
         log.info("STEP  2:  Computing the spliced alignments...")
-        run_est_fact(workdir, config=config)
+        run_guarded(lambda: run_est_fact(workdir, config=config),
+                    max_factorization_time, max_factorization_memory)
 
     # STEP 3: minimum-factorization agreement
     if stage_done("out-agree.txt"):
         log.info("STEP  3:  [resume] agreement found, skipping")
     else:
         log.info("STEP  3:  Computing the agreement of the alignments...")
-        with open(wpath("raw-multifasta-out.txt")) as fin, \
-                open(wpath("out-agree.txt"), "w") as fout:
-            run_min_factorization(fin, fout)
+
+        def _step3():
+            with open(wpath("raw-multifasta-out.txt")) as fin, \
+                    open(wpath("out-agree.txt"), "w") as fout:
+                run_min_factorization(fin, fout)
+
+        run_guarded(_step3, max_exon_agreement_time)
 
     # STEP 4: intron agreement + classification
     if stage_done("out-after-intron-agree.txt", "predicted-introns.txt"):
         log.info("STEP  4:  [resume] intron agreement found, skipping")
     else:
         log.info("STEP  4:  Computing the intron agreement...")
-        run_intron_agreement(workdir)
+        run_guarded(lambda: run_intron_agreement(workdir),
+                    max_intron_agreement_time)
 
     # STEP 5: composition compaction
     if stage_done("build-ests.txt", "genomic-exonforCCDS.txt"):
@@ -193,6 +235,10 @@ def main(argv=None) -> int:
         pas_tolerance=args.pas_tolerance,
         keep_intermediate=args.no_clean,
         resume=args.resume,
+        max_factorization_time=args.set_max_factorization_time,
+        max_factorization_memory=args.set_max_factorization_memory,
+        max_exon_agreement_time=args.set_max_exon_agreement_time,
+        max_intron_agreement_time=args.set_max_intron_agreement_time,
     )
     if args.compress:
         import gzip
