@@ -62,7 +62,17 @@ def pintron_pipeline(workdir: str = ".",
             try:
                 resource.setrlimit(resource.RLIMIT_CPU, (cpu, cpu + 10))
                 if mem_mb > 0:
-                    mem = mem_mb * 1024 * 1024
+                    # cap GROWTH by mem_mb on top of the mappings already
+                    # inherited from the parent (a JAX-loaded parent maps
+                    # gigabytes of virtual space the reference's fresh C
+                    # process never had)
+                    cur = 0
+                    try:
+                        with open("/proc/self/statm") as f:
+                            cur = int(f.read().split()[0]) * 4096
+                    except (OSError, ValueError, IndexError):
+                        pass
+                    mem = cur + mem_mb * 1024 * 1024
                     resource.setrlimit(resource.RLIMIT_AS, (mem, mem))
             except (ValueError, OSError):
                 pass

@@ -621,6 +621,19 @@ class _PersistentPool:
 _POOL = None
 
 
+def _drop_pool_after_fork() -> None:
+    """A forked child must never talk to the parent's pool: the worker
+    processes are not its children and the pipe fds are shared.  Drop
+    the reference so the child builds its own pool on first use."""
+    global _POOL
+    _POOL = None
+
+
+import os as _os  # noqa: E402
+
+_os.register_at_fork(after_in_child=_drop_pool_after_fork)
+
+
 def _get_pool(nworkers: int):
     global _POOL
     if _POOL is not None and (_POOL.n != nworkers or not _POOL.alive()):
