@@ -620,6 +620,10 @@ class _PersistentPool:
 
 _POOL = None
 
+# single-slot suffix-tree cache for the sequential (no-pool) path,
+# keyed by the genomic bytes (one locus at a time, like the workers)
+_SEQ_TREE_CACHE = None
+
 
 def _drop_pool_after_fork() -> None:
     """A forked child must never talk to the parent's pool: the worker
@@ -747,8 +751,11 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
         except (ValueError, OSError, RuntimeError):
             results = None  # pool unavailable: fall through to sequential
     if results is None:
-        global _WORKER_CTX
-        tree = SuffixTree(gen_seq_bytes)
+        global _WORKER_CTX, _SEQ_TREE_CACHE
+        cached = _SEQ_TREE_CACHE
+        if cached is None or cached[0] != gen_seq_bytes:
+            _SEQ_TREE_CACHE = (gen_seq_bytes, SuffixTree(gen_seq_bytes))
+        tree = _SEQ_TREE_CACHE[1]
         _WORKER_CTX = (gen, tree, gen_seq_bytes, config)
         try:
             results = [_process_unit(u) for u in units]
