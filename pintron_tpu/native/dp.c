@@ -2878,10 +2878,17 @@ int64_t refine_intron_core(
     deleted_intron_dim = a_gs - d_ge - 1 - 2 * sp_intron;
 
     if (n + m + 8 > cap_al) {
+        /* commit each static only after its own realloc succeeds: a
+         * partial failure must leave both pointers valid (cap_al stays
+         * put, so the next call retries the grow) */
         char *na = (char *)realloc(est_al, (size_t)(2 * (n + m) + 64));
-        char *ng = (char *)realloc(gen_al, (size_t)(2 * (n + m) + 64));
-        if (!na || !ng) { free(na); return -1; }
-        est_al = na; gen_al = ng; cap_al = 2 * (n + m) + 64;
+        char *ng;
+        if (!na) return -1;
+        est_al = na;
+        ng = (char *)realloc(gen_al, (size_t)(2 * (n + m) + 64));
+        if (!ng) return -1;
+        gen_al = ng;
+        cap_al = 2 * (n + m) + 64;
     }
 
     gap_align_run(seq_est, n, seq_gen, m, est_al, gen_al, out7);
@@ -3151,7 +3158,13 @@ static void eps_wipe(void) {
 
 /* Returns a stable id (1..) for the (est, est_orig) pair, registering it
  * on first sight; wipes all caches when the genomic sequence changes or
- * the registry fills.  Returns 0 when the memo must be bypassed. */
+ * the registry fills.  Returns 0 when the memo must be bypassed.
+ *
+ * The (pointer, length) fast path for the genomic sequence relies on a
+ * caller contract: the python side keeps the previously-passed gen
+ * bytes object alive (_GEN_KEEPALIVE in stages/est_fact.py), so the
+ * cached address can never be recycled for different content — a
+ * pointer+length match always means the same bytes. */
 static uint64_t epm_begin(const char *gen, int64_t glen,
                           const char *est, int64_t elen,
                           const char *est_orig, int64_t eolen) {

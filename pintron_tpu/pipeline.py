@@ -45,16 +45,22 @@ def pintron_pipeline(workdir: str = ".",
     def wpath(name: str) -> str:
         return os.path.join(workdir, name)
 
-    def run_guarded(fn, minutes: int, mem_mb: int = 0):
+    def run_guarded(fn, minutes: int, mem_mb: int = 0,
+                    artifacts: tuple = ()):
         """Resource guards (reference pintron.py:878-906 `ulimit -t/-v`):
-        run the stage in a forked child with RLIMIT_CPU / RLIMIT_AS so a
-        runaway stage aborts the pipeline instead of hanging it.  The
-        stages communicate through files, so process isolation changes
-        nothing on success.  Guards <= 0 run the stage inline."""
+        run the stage in a forked child with RLIMIT_CPU / RLIMIT_AS plus
+        a parent-side wall-clock watchdog (the child forks pool workers
+        whose CPU its own rlimit cannot see), so a runaway stage aborts
+        the pipeline instead of hanging it.  On failure the stage's
+        declared output artifacts are removed so a later --resume cannot
+        pick up a truncated checkpoint.  The stages communicate through
+        files, so process isolation changes nothing on success.  Guards
+        <= 0 run the stage inline."""
         if minutes <= 0:
             fn()
             return
         import multiprocessing
+        import resource as _resource
 
         def child():
             import resource
@@ -67,9 +73,10 @@ def pintron_pipeline(workdir: str = ".",
                     # gigabytes of virtual space the reference's fresh C
                     # process never had)
                     cur = 0
+                    page = _resource.getpagesize()
                     try:
                         with open("/proc/self/statm") as f:
-                            cur = int(f.read().split()[0]) * 4096
+                            cur = int(f.read().split()[0]) * page
                     except (OSError, ValueError, IndexError):
                         pass
                     mem = cur + mem_mb * 1024 * 1024
@@ -81,11 +88,21 @@ def pintron_pipeline(workdir: str = ".",
         ctx = multiprocessing.get_context("fork")
         proc = ctx.Process(target=child)
         proc.start()
-        proc.join()
-        if proc.exitcode != 0:
+        proc.join(timeout=minutes * 60 + 30)
+        timed_out = proc.is_alive()
+        if timed_out:
+            proc.terminate()
+            proc.join(timeout=10)
+        if timed_out or proc.exitcode != 0:
+            for name in artifacts:
+                try:
+                    os.remove(wpath(name))
+                except OSError:
+                    pass
             raise RuntimeError(
-                f"stage exceeded its resource guard or failed "
-                f"(exit {proc.exitcode})")
+                "stage exceeded its resource guard or failed "
+                + ("(wall-clock timeout)" if timed_out
+                   else f"(exit {proc.exitcode})"))
 
     def stage_done(*artifacts: str) -> bool:
         """Idempotent restart: the inter-stage files double as
@@ -112,7 +129,11 @@ def pintron_pipeline(workdir: str = ".",
     else:
         log.info("STEP  2:  Computing the spliced alignments...")
         run_guarded(lambda: run_est_fact(workdir, config=config),
-                    max_factorization_time, max_factorization_memory)
+                    max_factorization_time, max_factorization_memory,
+                    artifacts=("raw-multifasta-out.txt",
+                               "processed-ests.txt", "megs.txt",
+                               "processed-megs.txt", "meg-edges.txt",
+                               "processed-megs-info.txt"))
 
     # STEP 3: minimum-factorization agreement
     if stage_done("out-agree.txt"):
@@ -125,7 +146,8 @@ def pintron_pipeline(workdir: str = ".",
                     open(wpath("out-agree.txt"), "w") as fout:
                 run_min_factorization(fin, fout)
 
-        run_guarded(_step3, max_exon_agreement_time)
+        run_guarded(_step3, max_exon_agreement_time,
+                    artifacts=("out-agree.txt",))
 
     # STEP 4: intron agreement + classification
     if stage_done("out-after-intron-agree.txt", "predicted-introns.txt"):
@@ -133,7 +155,9 @@ def pintron_pipeline(workdir: str = ".",
     else:
         log.info("STEP  4:  Computing the intron agreement...")
         run_guarded(lambda: run_intron_agreement(workdir),
-                    max_intron_agreement_time)
+                    max_intron_agreement_time,
+                    artifacts=("out-after-intron-agree.txt",
+                               "predicted-introns.txt"))
 
     # STEP 5: composition compaction
     if stage_done("build-ests.txt", "genomic-exonforCCDS.txt"):

@@ -42,6 +42,13 @@ class FactorizedEst:
         #                       full refinement pass (skip the host one)
 
 
+# The native memo epoch (epm_begin in dp.c) fast-paths on the genomic
+# buffer's (pointer, length); holding the previous gen bytes object here
+# guarantees its buffer is never freed-and-recycled at the same address,
+# so a pointer match always means "same content".
+_GEN_KEEPALIVE: Optional[bytes] = None
+
+
 def _native_est_process(meg_arrays, config: Config, gen_seq_bytes: bytes,
                         est_bytes: bytes, est_orig_bytes: bytes,
                         deadline: Optional[float]):
@@ -54,6 +61,8 @@ def _native_est_process(meg_arrays, config: Config, gen_seq_bytes: bytes,
     lib = get_lib()
     if lib is None or not hasattr(lib, "est_process"):
         return None
+    global _GEN_KEEPALIVE
+    _GEN_KEEPALIVE = gen_seq_bytes
     nv, ncols, ptrs = meg_arrays[6], meg_arrays[7], meg_arrays[8]
     counts, counts_ptr = np_scratch("ep_counts", 4)
     cap_facts, cap_factors = 256, 2048
@@ -534,6 +543,7 @@ def _worker_main(conn) -> None:
     _sys.setrecursionlimit(1_000_000)
     global _WORKER_CTX
     ctx_cache = {}
+    tree_cache = {}
     while True:
         try:
             msg = conn.recv()
@@ -546,8 +556,14 @@ def _worker_main(conn) -> None:
             cached = ctx_cache.get(digest)
             if cached is None:
                 gen, gen_seq_bytes, config = payload
-                ctx_cache.clear()  # one locus at a time
-                tree = SuffixTree(gen_seq_bytes)
+                ctx_cache.clear()  # one run context at a time
+                # the suffix tree depends only on the genomic bytes:
+                # keep it across config-only context changes
+                tree = tree_cache.get(gen_seq_bytes)
+                if tree is None:
+                    tree_cache.clear()  # one locus at a time
+                    tree = SuffixTree(gen_seq_bytes)
+                    tree_cache[gen_seq_bytes] = tree
                 cached = (gen, tree, gen_seq_bytes, config)
                 ctx_cache[digest] = cached
             _WORKER_CTX = cached
@@ -592,8 +608,11 @@ class _PersistentPool:
         import hashlib
         import pickle
         payload = (gen, gen_seq_bytes, config)
+        # the digest must cover everything the cached context carries:
+        # the gen EstInfo (header/strand/coordinate metadata), the
+        # genomic bytes, and the config
         digest = hashlib.sha1(
-            gen_seq_bytes + pickle.dumps(config)).hexdigest()
+            pickle.dumps((gen, config)) + gen_seq_bytes).hexdigest()
         send_payload = payload if digest not in self.sent_digests else None
         for w, conn in enumerate(self.pipes):
             conn.send((digest, send_payload, units[w::self.n]))

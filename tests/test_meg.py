@@ -144,11 +144,15 @@ def test_log_graphs_dot_dump(tmp_path, monkeypatch):
     import os
     import shutil
 
+    import pytest
+
+    ref = "/root/reference/regressionTest/test-AMBN"
+    if not os.path.isdir(ref):
+        pytest.skip("reference checkout not available")
     monkeypatch.setenv("PINTRON_LOG_GRAPHS", "1")
     monkeypatch.setenv("PINTRON_EST_WORKERS", "1")
     monkeypatch.chdir(tmp_path)
     from pintron_tpu.stages.est_fact import run_est_fact
-    ref = "/root/reference/regressionTest/test-AMBN"
     for fn in ("genomic.txt", "ests.txt"):
         shutil.copy(os.path.join(ref, fn), tmp_path)
     run_est_fact(str(tmp_path))
