@@ -205,7 +205,7 @@ def pintron_pipeline(workdir: str = ".",
             "megs.txt", "out-after-intron-agree.txt", "out-agree.txt",
             "out-fatt.txt", "predicted-introns.txt", "processed-ests.txt",
             "processed-megs-info.txt", "processed-megs.txt",
-            "raw-multifasta-out.txt", "time-limits",
+            "raw-multifasta-out.txt", "time-limits", "info-pid-*.log",
         ]
         for name in tempfiles:
             for p in glob.glob(wpath(name)):

@@ -714,6 +714,21 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
     import sys as _sys
     _sys.setrecursionlimit(1_000_000)
 
+    from pintron_tpu.runtime import (TimerRegistry, log_info_extended,
+                                     resource_usage_log)
+    timers = TimerRegistry()
+    info_log = os.path.join(workdir, f"info-pid-{os.getpid()}.log")
+
+    def checkpoint(desc: str) -> None:
+        # event+memory checkpoints at the reference's milestones
+        # (main-est-fact.c:115,181,221,233,243,290 -> util.c:221-268)
+        try:
+            log_info_extended(desc, info_log)
+        except OSError:
+            pass
+
+    checkpoint("started")
+
     if config is None:
         ini = os.path.join(workdir, "config.ini")
         config = Config.from_ini(ini) if os.path.exists(ini) else Config()
@@ -723,6 +738,7 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
     def wpath(name):
         return os.path.join(workdir, name)
 
+    timers["io"].start()
     gen_list = mf.read_multifasta(open(wpath("genomic.txt")))
     assert len(gen_list) == 1
     gen = gen_list[0]
@@ -742,6 +758,8 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
             est_list.append(rev)
             mf.polyat_substitution(rev)
 
+    timers["io"].stop()
+    checkpoint("ests-read-and-preprocessed")
     gen_seq_bytes = gen.seq.encode("latin1")
 
     # Independent work units: a fixed-strand EST alone, or a forward EST
@@ -759,6 +777,8 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
             units.append([est_list[i]])
             i += 1
 
+    checkpoint("alignment-begin")
+    timers["algorithm"].start()
     nworkers = int(os.environ.get("PINTRON_EST_WORKERS", "0")) \
         or (os.cpu_count() or 1)
     nworkers = min(nworkers, len(units))
@@ -781,9 +801,17 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
         finally:
             _WORKER_CTX = None
 
+    timers["algorithm"].stop()
+    checkpoint("alignment-end")
+
     from pintron_tpu.utils import write_text
     names = ("raw-multifasta-out.txt", "megs.txt", "processed-megs.txt",
              "processed-megs-info.txt", "processed-ests.txt",
              "meg-edges.txt")
+    timers["io"].start()
     for k, name in enumerate(names):
         write_text(wpath(name), "".join(r[k] for r in results))
+    timers["io"].stop()
+    checkpoint("output-written")
+    timers.log_all()
+    resource_usage_log(level=__import__("logging").DEBUG)
