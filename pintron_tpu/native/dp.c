@@ -386,8 +386,12 @@ int64_t st_build(const unsigned char *text, int64_t tlen,
     st.next_sib = (int64_t *)malloc(cap * sizeof(int64_t));
     st.last_child = (int64_t *)malloc(cap * sizeof(int64_t));
     st.first_char = (unsigned char *)malloc(cap);
-    if (!st.first_child || !st.next_sib || !st.last_child || !st.first_char)
+    if (!st.first_child || !st.next_sib || !st.last_child
+        || !st.first_char) {
+        free(st.first_child); free(st.next_sib); free(st.last_child);
+        free(st.first_char);
         return -1;
+    }
     st.nn = 0;
     st_new_node(&st, 0, 0, -1);   /* root */
 
@@ -460,7 +464,12 @@ int64_t st_build(const unsigned char *text, int64_t tlen,
         int64_t nn = st.nn, nocc = 0, sp = 0;
         int64_t *stack = (int64_t *)malloc(2 * cap * sizeof(int64_t));
         unsigned char *phase = (unsigned char *)malloc(2 * cap);
-        if (!stack || !phase) return -1;
+        if (!stack || !phase) {
+            free(stack); free(phase);
+            free(st.first_child); free(st.next_sib); free(st.last_child);
+            free(st.first_char);
+            return -1;
+        }
         stack[sp] = 0; phase[sp] = 0; sp++;
         while (sp > 0) {
             int64_t v = stack[--sp];
@@ -667,11 +676,16 @@ int64_t vertex_scan(
                             emit = (symbol_k != 0 || alph_size > 1);
                         if (emit) {
                             if (ncol >= col_cap) {
+                                pair_tl *ncolb;
+                                unsigned char *nrm;
                                 col_cap *= 2;
-                                col = (pair_tl *)realloc(
+                                ncolb = (pair_tl *)realloc(
                                     col, col_cap * sizeof(pair_tl));
-                                rm = (unsigned char *)realloc(rm, col_cap);
-                                if (!col || !rm) return -1;
+                                if (!ncolb) { free(col); free(rm); return -1; }
+                                col = ncolb;
+                                nrm = (unsigned char *)realloc(rm, col_cap);
+                                if (!nrm) { free(col); free(rm); return -1; }
+                                rm = nrm;
                             }
                             col[ncol].t = t;
                             col[ncol].l = cur_l;
@@ -1154,6 +1168,7 @@ void gap_align_run(const char *est, int64_t n, const char *gen, int64_t m,
     int64_t is_al = 0, ie_al = 0, total, start_matrix;
     if (!base) { out7[0] = -1; return; }
     gap_align_fill(est, n, gen, m, Ldir, Gdir, Rdir, finals);
+    if (finals[0] == -(1LL << 40)) { out7[0] = -1; return; }
 
     if (finals[2] >= finals[1])
         start_matrix = finals[2] >= finals[0] ? 2 : 0;
@@ -3297,9 +3312,15 @@ static int ep_handle_endpoints(efct *f, const char *gen, int64_t glen,
             eel = rs_sub(est, elen, head->es, head->ee - head->es + 1, &ee);
             est_al = ep_cbuf(0, eel + gel + 8);
             gen_al = ep_cbuf(1, eel + gel + 8);
-            if (!est_al || !gen_al) return 0;
-            if (nw_align_run(ee, eel, ge, gel, est_al, gen_al, out_len) < 0)
+            if (!est_al || !gen_al) {
+                if (me) me->gen = epm_gen - 1;   /* un-claim: no value */
                 return 0;
+            }
+            if (nw_align_run(ee, eel, ge, gel, est_al, gen_al,
+                             out_len) < 0) {
+                if (me) me->gen = epm_gen - 1;
+                return 0;
+            }
             alen = out_len[0];
 
             j = 0; matches = 0;
@@ -3349,9 +3370,14 @@ static int ep_handle_endpoints(efct *f, const char *gen, int64_t glen,
         eel = rs_sub(est, elen, tail->es, tail->ee - tail->es + 1, &ee);
         est_al = ep_cbuf(0, eel + gel + 8);
         gen_al = ep_cbuf(1, eel + gel + 8);
-        if (!est_al || !gen_al) return 0;
-        if (nw_align_run(ee, eel, ge, gel, est_al, gen_al, out_len) < 0)
+        if (!est_al || !gen_al) {
+            if (me) me->gen = epm_gen - 1;
             return 0;
+        }
+        if (nw_align_run(ee, eel, ge, gel, est_al, gen_al, out_len) < 0) {
+            if (me) me->gen = epm_gen - 1;
+            return 0;
+        }
         alen = out_len[0];
 
         j = alen - 1; matches = 0;
@@ -4578,13 +4604,16 @@ static int ep_search_small_prefix(efct *f, const char *gen, int64_t glen,
     if (!ep_is_canonical(gen, glen, pg + out6[2], pg + out6[3] - 1))
         return 0;
     if (out6[1] - pe < EP_LB_SMALL) return 0;
+    if (!efct_reserve(f, f->n + 1)) return -1;   /* before any mutation */
     pnew.es = pe;
     pnew.ee = pe + out6[1] - 1;
     pnew.gs = pg;
     pnew.ge = pg + out6[2] - 1;
+    p1 = &f->f[0];   /* reserve may have moved the array */
     p1->es = pe + out6[1];
     p1->gs = pg + out6[3];
-    return efct_insert(f, 0, pnew) ? 1 : 0;
+    efct_insert(f, 0, pnew);
+    return 1;
 }
 
 /* grow-once int32 scratch keyed by slot */
@@ -4815,10 +4844,10 @@ static int ep_search_small(efct *f, int64_t i1, const char *gen,
             hq = ep_i32buf(1, need);
             hm = ep_i32buf(2, need);
             M = NULL;
-            if (!zp || !hq || !hm) return 0;
+            if (!zp || !hq || !hm) return -1;   /* error, not a result */
             bstart = (int64_t *)malloc((size_t)(m_total + 2) * 4
                                        * sizeof(int64_t));
-            if (!bstart) return 0;
+            if (!bstart) return -1;
             bend = bstart + (m_total + 2);
             cur0 = bend + (m_total + 2);
             cur = cur0 + (m_total + 2);
@@ -4835,7 +4864,7 @@ static int ep_search_small(efct *f, int64_t i1, const char *gen,
              * ascending q within each bucket, then set per-bucket
              * cursors to the first q >= search_from */
             bpos = ep_i32buf(3, nhits + 1);
-            if (!bpos) { free(bstart); return 0; }
+            if (!bpos) { free(bstart); return -1; }
             for (L = 1; L <= m_total; L++) bstart[L] = 0;
             for (hk = 0; hk < nhits; hk++) bstart[hm[hk]]++;
             {
@@ -4873,10 +4902,13 @@ static int ep_search_small(efct *f, int64_t i1, const char *gen,
             if (hl < 0) hl = 0;
             if (hl > allgfactl) hl = allgfactl;
             if (ndl <= 0) {
-                /* empty needle: str.find returns search_from when it is
-                 * within the hay; classify on the degenerate hit */
-                if (search_from <= hl) {
-                    int64_t pos = search_from;
+                /* empty needle: str.find("" , x) returns x while
+                 * x <= len(hay), so the python loop visits EVERY
+                 * position; the first position whose flanking introns
+                 * both classify decides the pair (shared sexon_len,
+                 * strict-improvement update) */
+                int64_t pos;
+                for (pos = search_from; pos <= hl; pos++) {
                     int64_t i1start = allgstart + offstart;
                     int64_t i1end = allgstart + pos - 1;
                     int64_t i2start = i1end + 1 + eln - offstart - offend;
@@ -4894,10 +4926,8 @@ static int ep_search_small(efct *f, int64_t i1, const char *gen,
                             gcut2_1 = i2start;
                             gcut2_2 = i2end + 1;
                         }
+                        break;
                     }
-                    /* (the original loop would keep scanning empty-
-                     * needle hits; they all share sexon_len, so the
-                     * first decides -- exact) */
                 }
                 continue;
             }
@@ -4983,15 +5013,19 @@ static int ep_search_small(efct *f, int64_t i1, const char *gen,
     }
     if (max_sexon_len >= EP_LB_SMALL) {
         efac pnew;
+        if (!efct_reserve(f, f->n + 1)) return -1;  /* before mutation */
         pnew.es = ecut1;
         pnew.ee = ecut2 - 1;
         pnew.gs = gcut1_2;
         pnew.ge = gcut2_1 - 1;
+        p1 = &f->f[i1];       /* reserve may have moved the array */
+        p2 = &f->f[i1 + 1];
         p2->es = ecut2;
         p2->gs = gcut2_2;
         p1->ee = ecut1 - 1;
         p1->ge = gcut1_1 - 1;
-        return efct_insert(f, i1 + 1, pnew) ? 1 : 0;
+        efct_insert(f, i1 + 1, pnew);
+        return 1;
     }
     return 0;
 }
@@ -5009,18 +5043,24 @@ static int ep_search_small_prefix_memo(efct *f, const char *gen,
     if (found) {
         if (me->v[0]) {
             efac pnew;
+            if (!efct_reserve(f, f->n + 1)) return -1;
             pnew.es = (int64_t)(int32_t)(me->v[1] >> 32);
             pnew.ee = (int64_t)(int32_t)(uint32_t)me->v[1];
             pnew.gs = (int64_t)(int32_t)(me->v[2] >> 32);
             pnew.ge = (int64_t)(int32_t)(uint32_t)me->v[2];
             f->f[0].es = (int64_t)(int32_t)(me->v[3] >> 32);
             f->f[0].gs = (int64_t)(int32_t)(uint32_t)me->v[3];
-            return efct_insert(f, 0, pnew) ? 1 : 0;
+            efct_insert(f, 0, pnew);
+            return 1;
         }
         return 0;
     }
     inserted = ep_search_small_prefix(f, gen, glen, est, elen,
                                       min_intron_length);
+    if (inserted < 0) {
+        if (me) me->gen = epm_gen - 1;   /* claimed but valueless */
+        return inserted;
+    }
     if (me) {
         me->v[0] = inserted;
         if (inserted) {
@@ -5055,6 +5095,9 @@ static int ep_search_small_memo(efct *f, int64_t i1, const char *gen,
     if (found) {
         if (me->v[0]) {
             efac pnew;
+            if (!efct_reserve(f, f->n + 1)) return -1;
+            p1 = &f->f[i1];
+            p2 = &f->f[i1 + 1];
             pnew.es = (int64_t)(int32_t)(me->v[1] >> 32);
             pnew.ee = (int64_t)(int32_t)(uint32_t)me->v[1];
             pnew.gs = (int64_t)(int32_t)(me->v[2] >> 32);
@@ -5063,12 +5106,21 @@ static int ep_search_small_memo(efct *f, int64_t i1, const char *gen,
             p1->ge = (int64_t)(int32_t)(uint32_t)me->v[3];
             p2->es = (int64_t)(int32_t)(me->v[4] >> 32);
             p2->gs = (int64_t)(int32_t)(uint32_t)me->v[4];
-            return efct_insert(f, i1 + 1, pnew) ? 1 : 0;
+            efct_insert(f, i1 + 1, pnew);
+            return 1;
         }
         return 0;
     }
     inserted = ep_search_small(f, i1, gen, glen, est, elen,
                                min_intron_cfg);
+    if (inserted < 0) {
+        if (me) me->gen = epm_gen - 1;
+        return inserted;
+    }
+    /* the search runs nested ep_classify_itype lookups which may WIPE
+     * the memo table and reclaim our slot: re-find (fresh claim if
+     * wiped) before storing -- never write through the stale pointer */
+    me = epm_find(mk, &found);
     if (me) {
         me->v[0] = inserted;
         if (inserted) {
@@ -5089,29 +5141,31 @@ static int ep_search_small_memo(efct *f, int64_t i1, const char *gen,
     return inserted;
 }
 
-static void ep_search_new_small_exons(eflst *lst, const char *gen,
-                                      int64_t glen, const char *est,
-                                      int64_t elen,
-                                      int64_t min_intron_length) {
+static int ep_search_new_small_exons(eflst *lst, const char *gen,
+                                     int64_t glen, const char *est,
+                                     int64_t elen,
+                                     int64_t min_intron_length) {
     int64_t k;
     for (k = 0; k < lst->n; k++) {
         efct *f = &lst->a[k];
         int64_t idx = 0, i;
+        int r;
         if (f->n == 0) continue;
         if (f->f[0].es > EP_LB_SMALL) {
-            if (ep_search_small_prefix_memo(f, gen, glen, est, elen,
-                                            min_intron_length))
-                idx = 1;
+            r = ep_search_small_prefix_memo(f, gen, glen, est, elen,
+                                            min_intron_length);
+            if (r < 0) return -1;
+            if (r) idx = 1;
         }
         i = idx;
         while (i + 1 < f->n) {
-            if (ep_search_small_memo(f, i, gen, glen, est, elen,
-                                     min_intron_length))
-                i += 2;
-            else
-                i += 1;
+            r = ep_search_small_memo(f, i, gen, glen, est, elen,
+                                     min_intron_length);
+            if (r < 0) return -1;
+            i += r ? 2 : 1;
         }
     }
+    return 0;
 }
 
 /* refinement.py:clean_factorizations (uses the UNMASKED est sequence);
@@ -5456,8 +5510,9 @@ int64_t est_process(
     ep_remove_false_small(&lst, gen, glen, est, elen);
     ep_remove_dup(&lst);
     t1 = fe_now(); ep_stats[5] += t1 - t0; t0 = t1;
-    ep_search_new_small_exons(&lst, gen, glen, est, elen,
-                              min_intron_length);
+    if (ep_search_new_small_exons(&lst, gen, glen, est, elen,
+                                  min_intron_length) < 0)
+        goto fail;   /* scratch failure: python fallback (ret stays -3) */
     t1 = fe_now(); ep_stats[6] += t1 - t0; t0 = t1;
     if (!ep_clean_facts(&lst, gen, glen, est_orig, eolen,
                         max_site_difference, &cleaned))
