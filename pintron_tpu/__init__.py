@@ -15,7 +15,7 @@ Outputs are required to match the reference pipeline's GTF/JSON exactly on
 its regression suite.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from pintron_tpu.config import Config
 
