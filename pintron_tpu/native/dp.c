@@ -3891,6 +3891,7 @@ static int ep_check_gap_errors(efct *f, const char *est, int64_t elen,
             int64_t lt = rs_sub(gen, glen, donor->ge + 1, gap_t, &t);
             int64_t out6[6];
             refine_borders_core(p, lp, 0, lp, t, lt, gap_p, out6);
+            if (out6[0] < 0) return -1;   /* alloc failure: not a verdict */
             ok = out6[0] == 1;
             if (ok) {
                 tot_ed += out6[4];
@@ -4478,6 +4479,7 @@ static int ep_analyze_small(efct *f, int64_t i, const char *gen,
 
     refine_borders_core(allef, efl, 0, efl, allgf, gfl,
                         orig_ed + orig_ed_pref + orig_ed_suff, out6);
+    if (out6[0] < 0) return -1;   /* alloc failure: not a verdict */
     if (out6[0] != 1) return 0;
     prev_avg = ((double)burset_adaptor(gen, glen, pprev->ge + 1, pcurr->gs)
                 + (double)burset_adaptor(gen, glen, pcurr->ge + 1,
@@ -4525,6 +4527,10 @@ static int ep_analyze_small_memo(efct *f, int64_t i, const char *gen,
         return 0;
     }
     removed = ep_analyze_small(f, i, gen, glen, est, elen);
+    if (removed < 0) {
+        if (me) me->gen = epm_gen - 1;
+        return removed;
+    }
     if (me) {
         me->v[0] = removed;
         if (removed) {
@@ -4538,19 +4544,23 @@ static int ep_analyze_small_memo(efct *f, int64_t i, const char *gen,
     return removed;
 }
 
-static void ep_remove_false_small(eflst *lst, const char *gen, int64_t glen,
-                                  const char *est, int64_t elen) {
+static int ep_remove_false_small(eflst *lst, const char *gen,
+                                 int64_t glen, const char *est,
+                                 int64_t elen) {
     int64_t k;
     for (k = 0; k < lst->n; k++) {
         efct *f = &lst->a[k];
         int64_t i = 1;
         while (i <= f->n - 2) {
-            if (ep_analyze_small_memo(f, i, gen, glen, est, elen)) {
+            int r = ep_analyze_small_memo(f, i, gen, glen, est, elen);
+            if (r < 0) return -1;
+            if (r) {
                 i -= 1;
                 if (i < 1) i = 1;
             } else i++;
         }
     }
+    return 0;
 }
 
 /* refinement.py:search_small_exon_at_prefix */
@@ -4599,6 +4609,7 @@ static int ep_search_small_prefix(efct *f, const char *gen, int64_t glen,
     ttl = py_slice(gen, glen, pg, pg + allglen, &tt);
     refine_borders_core(pp, ppl, EP_LB_SMALL, allelen - EP_LB_SMALL,
                         tt, ttl, edp, out6);
+    if (out6[0] < 0) return -1;   /* alloc failure: not a verdict */
     if (out6[0] != 1) return 0;
     if (out6[3] - out6[2] < min_intron_length) return 0;
     if (!ep_is_canonical(gen, glen, pg + out6[2], pg + out6[3] - 1))
@@ -5443,13 +5454,18 @@ int64_t est_process(
     /* FILTER 4: gap errors */
     {
         int64_t w = 0;
+        int bad = 0;
         for (k = 0; k < lst.n; k++) {
-            if (ep_check_gap_errors(&lst.a[k], est, elen, gen, glen))
+            int r = bad ? -1 : ep_check_gap_errors(&lst.a[k], est, elen,
+                                                   gen, glen);
+            if (r < 0) { bad = 1; efct_free(&lst.a[k]); continue; }
+            if (r)
                 lst.a[w++] = lst.a[k];
             else
                 efct_free(&lst.a[k]);
         }
         lst.n = w;
+        if (bad) goto fail;   /* ret == -3: python fallback */
     }
 
     /* artifact check */
@@ -5507,7 +5523,8 @@ int64_t est_process(
     ep_remove_invalid(&lst);
     ep_remove_dup(&lst);
     if (!ep_recover_affixes(&lst, gen, glen, est, elen)) goto fail;
-    ep_remove_false_small(&lst, gen, glen, est, elen);
+    if (ep_remove_false_small(&lst, gen, glen, est, elen) < 0)
+        goto fail;   /* ret == -3: python fallback */
     ep_remove_dup(&lst);
     t1 = fe_now(); ep_stats[5] += t1 - t0; t0 = t1;
     if (ep_search_new_small_exons(&lst, gen, glen, est, elen,
