@@ -183,6 +183,17 @@ def _build_and_load():
         + [ctypes.c_void_p] * 4                # out off, f, polya, polyad
         + [ctypes.c_int64] * 2                 # cap_facts, cap_factors
         + [ctypes.c_void_p])                   # counts
+    lib.unit_process.restype = ctypes.c_int64
+    lib.unit_process.argtypes = (
+        [ctypes.c_char_p, ctypes.c_int64]        # tree text
+        + [ctypes.c_void_p] * 12                 # tree arrays
+        + [ctypes.c_void_p, ctypes.c_int64]      # alph_index256, alph_size
+        + [ctypes.c_char_p, ctypes.c_int64]      # gen working seq
+        + [ctypes.c_char_p, ctypes.c_int64]      # gen original seq
+        + [ctypes.c_int64]                       # gen pref_N_length
+        + [ctypes.c_void_p, ctypes.c_void_p]     # icfg, dcfg
+        + [ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64]  # blob, emeta, n
+        + [ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p])  # out, cap, meta
     return lib
 
 

@@ -5575,3 +5575,387 @@ fail:
     ep_stats[7] += fe_now() - t0;
     return ret;
 }
+
+/* ======================================================================
+ * Fused per-unit driver: the whole est-fact inner loop for one work unit
+ * (a fixed-strand EST, or a forward EST plus its reverse-complement
+ * copy) in ONE native call — vertex scan, MEG build with the
+ * complexity/same-MEG/timeout retry ladder (compute-est-fact.c:192-293),
+ * est_process, and all six output-stream text sections
+ * (main-est-fact.c:144-178 writers, io-multifasta.c:187-243).
+ *
+ * Inputs mirror stages/est_fact.py:_process_unit; outputs are the six
+ * text blobs in (raw, megs, processed-megs, megs-info, processed-ests,
+ * meg-edges) order, concatenated into `out` with lengths in
+ * out_meta[0..5].
+ *
+ * Returns 0 on success; -2 when `cap` is too small (needed total in
+ * out_meta[6]); any other negative value means "fall back to the host
+ * path for this unit" (rare allocation/edge cases — the host path
+ * recomputes from scratch, so falling back is always safe).
+ * ====================================================================== */
+
+typedef struct { char *d; int64_t n, cap; } sbuf;
+
+static int sb_reserve(sbuf *b, int64_t extra) {
+    if (b->n + extra <= b->cap) return 1;
+    int64_t ncap = b->cap ? b->cap : 4096;
+    while (b->n + extra > ncap) ncap *= 2;
+    char *nd = (char *)realloc(b->d, (size_t)ncap);
+    if (!nd) return 0;
+    b->d = nd; b->cap = ncap;
+    return 1;
+}
+
+static int sb_put(sbuf *b, const char *s, int64_t len) {
+    if (!sb_reserve(b, len)) return 0;
+    memcpy(b->d + b->n, s, (size_t)len);
+    b->n += len;
+    return 1;
+}
+
+static int sb_puti(sbuf *b, int64_t x) {
+    if (!sb_reserve(b, 24)) return 0;
+    b->n = fmt_i64(b->d + b->n, x) - b->d;
+    return 1;
+}
+
+/* grow-only int64 scratch (per-process; workers are single-threaded) */
+static int64_t *up_bufs[16];
+static int64_t up_caps[16];
+
+static int64_t *up_i64(int slot, int64_t need) {
+    if (need <= up_caps[slot]) return up_bufs[slot];
+    int64_t ncap = up_caps[slot] ? up_caps[slot] : 4096;
+    while (ncap < need) ncap *= 2;
+    int64_t *nb = (int64_t *)realloc(up_bufs[slot], (size_t)ncap * 8);
+    if (!nb) return NULL;
+    up_bufs[slot] = nb; up_caps[slot] = ncap;
+    return nb;
+}
+
+static int64_t up_cap(int slot, int64_t at_least) {
+    return up_caps[slot] > at_least ? up_caps[slot] : at_least;
+}
+
+int64_t unit_process(
+    const unsigned char *text, int64_t tlen,
+    const int64_t *st_start, const int64_t *st_end,
+    const int64_t *st_parent, const int64_t *st_slink,
+    const int64_t *st_depth, const unsigned char *st_single,
+    const int64_t *st_lo, const int64_t *st_hi, const int64_t *st_occ,
+    const int64_t *st_coff, const unsigned char *st_cchar,
+    const int64_t *st_cnode,
+    const int64_t *a256, int64_t alph_size,
+    const char *gen, int64_t glen,
+    const char *gen_orig, int64_t golen,
+    int64_t gen_pref_n,
+    const int64_t *icfg, const double *dcfg,
+    const char *blob, const int64_t *emeta, int64_t n_ests,
+    char *out, int64_t cap, int64_t *out_meta) {
+
+    const int64_t base_mfl = icfg[0], max_intron = icfg[1],
+        min_intron = icfg[2], max_pairings = icfg[3],
+        trans_red = icfg[4], short_edge_comp = icfg[5],
+        max_site_diff = icfg[6], max_gap_diff = icfg[7],
+        max_nf = icfg[8], sp_est = icfg[9], sp_intron = icfg[10],
+        sp_gen = icfg[11], retain_ext = icfg[12];
+    const double rate = dcfg[0], pref_rate = dcfg[1], suff_rate = dcfg[2],
+        max_freq_shortest = dcfg[3], complexity_thr = dcfg[4],
+        max_cov_diff = dcfg[5], max_fact_time = dcfg[6];
+
+    sbuf S[6];
+    memset(S, 0, sizeof(S));
+    int64_t ret = -3;
+    int64_t k = 0;
+    int is_reverse = 0;
+
+    while (k < n_ests) {
+        const char *eid = blob + emeta[8 * k];
+        int64_t idlen = emeta[8 * k + 1];
+        const unsigned char *seq =
+            (const unsigned char *)(blob + emeta[8 * k + 2]);
+        int64_t elen = emeta[8 * k + 3];
+        const char *orig = blob + emeta[8 * k + 4];
+        int64_t olen = emeta[8 * k + 5];
+        int64_t fixed_strand = emeta[8 * k + 6];
+        int64_t suffpa = emeta[8 * k + 7];
+
+        int64_t inc = 0, prev_p = 0, prev_e = 0;
+        int has_facts = 0;
+
+        for (;;) {   /* retry-on-timeout ladder */
+            double t_meg0 = fe_now();
+            int64_t nv = 0, tot_p = 0, tot_e = 0;
+            int64_t *mp = NULL, *mt = NULL, *ml = NULL, *mcol = NULL,
+                *moff = NULL, *madj = NULL;
+            int64_t flags[5];
+
+            for (;;) {   /* same-MEG detection loop */
+                int64_t n_scan;
+                int64_t sc_cap = up_cap(0, 4096);
+                int64_t *sc_p, *sc_t, *sc_l;
+                for (;;) {   /* vertex scan + complexity ladder */
+                    int64_t mfl = base_mfl + inc;
+                    for (;;) {
+                        sc_p = up_i64(0, sc_cap);
+                        sc_t = up_i64(1, sc_cap);
+                        sc_l = up_i64(2, sc_cap);
+                        if (!sc_p || !sc_t || !sc_l) goto fail;
+                        n_scan = vertex_scan(
+                            text, tlen, seq, elen,
+                            st_start, st_end, st_parent, st_slink,
+                            st_depth, st_single, st_lo, st_hi, st_occ,
+                            st_coff, st_cchar, st_cnode,
+                            a256, alph_size, rate, mfl,
+                            sc_p, sc_t, sc_l, sc_cap);
+                        if (n_scan == -1) goto fail;
+                        if (n_scan < -1) { sc_cap = -n_scan; continue; }
+                        break;
+                    }
+                    {
+                        int64_t cap_v = up_cap(3, n_scan + 16);
+                        int64_t cap_e = up_cap(
+                            8, 8 * n_scan > 1024 ? 8 * n_scan : 1024);
+                        for (;;) {
+                            mp = up_i64(3, cap_v);
+                            mt = up_i64(4, cap_v);
+                            ml = up_i64(5, cap_v);
+                            mcol = up_i64(6, cap_v);
+                            moff = up_i64(7, cap_v + 1);
+                            madj = up_i64(8, cap_e);
+                            if (!mp || !mt || !ml || !mcol || !moff
+                                || !madj) goto fail;
+                            nv = meg_build(
+                                sc_p, sc_t, sc_l, n_scan, elen,
+                                mfl, max_intron, min_intron,
+                                pref_rate, suff_rate,
+                                max_pairings, max_freq_shortest,
+                                trans_red, short_edge_comp,
+                                mp, mt, ml, mcol, moff, madj,
+                                flags, cap_v, cap_e);
+                            if (nv == -2) {
+                                cap_v = cap_v > flags[3] + 1
+                                    ? cap_v : flags[3] + 1;
+                                cap_e = cap_e > flags[4] + 1
+                                    ? cap_e : flags[4] + 1;
+                                continue;
+                            }
+                            if (nv < 0) goto fail;
+                            break;
+                        }
+                    }
+                    if (flags[0] && base_mfl + inc + 1 + 2 < elen + 2) {
+                        inc++;
+                        continue;
+                    }
+                    break;
+                }
+                tot_p = nv;
+                tot_e = nv ? moff[nv] : 0;
+                if (!(prev_p > 2 && prev_e > 0
+                      && (prev_p <= tot_p || prev_e <= tot_e)))
+                    break;
+                inc++;
+            }
+            prev_p = tot_p;
+            prev_e = tot_e;
+            {
+                double meg_time = fe_now() - t_meg0;
+                double t_fact0 = fe_now();
+                double deadline = max_fact_time > 0.0
+                    ? fe_now() + max_fact_time : 0.0;
+                int64_t nf;
+                int timeout_f = 0, fe_none = 0;
+                int64_t counts[4] = {0, 0, 0, 0};
+                int64_t cap_facts = up_cap(9, 257) - 1;
+                int64_t cap_factors = up_cap(10, 8192) / 4;
+                int64_t *eoff, *ef, *epa, *epd;
+                for (;;) {
+                    eoff = up_i64(9, cap_facts + 1);
+                    ef = up_i64(10, 4 * cap_factors);
+                    epa = up_i64(11, cap_facts);
+                    epd = up_i64(12, cap_facts);
+                    if (!eoff || !ef || !epa || !epd) goto fail;
+                    nf = est_process(
+                        mp, mt, ml, mcol, moff, madj, nv, elen + 2,
+                        gen, glen, (const char *)seq, elen, orig, olen,
+                        base_mfl, min_intron, deadline,
+                        complexity_thr, max_site_diff,
+                        max_cov_diff, max_gap_diff, max_nf,
+                        sp_est, sp_intron, sp_gen,
+                        eoff, ef, epa, epd,
+                        cap_facts, cap_factors, counts);
+                    if (nf == -2) {
+                        cap_facts = cap_facts > counts[1] + 1
+                            ? cap_facts : counts[1] + 1;
+                        cap_factors = cap_factors > counts[2] + 1
+                            ? cap_factors : counts[2] + 1;
+                        continue;
+                    }
+                    break;
+                }
+                if (nf == -1) { timeout_f = 1; fe_none = 1; nf = 0; }
+                else if (nf < 0) goto fail;   /* host fallback */
+                else timeout_f = (deadline != 0.0
+                                  && fe_now() > deadline);
+                {
+                    double fact_time = fe_now() - t_fact0;
+                    has_facts = nf > 0;
+
+                    if (!timeout_f || has_facts) {
+                        /* megs.txt section */
+                        int64_t n_adj = nv ? moff[nv] : 0;
+                        int64_t need = nv * 72 + 8 + n_adj * 46 + 16;
+                        int64_t m;
+                        if (!sb_put(&S[1], "\n\n***********\n\n>", 16)
+                            || !sb_put(&S[1], eid, idlen)
+                            || !sb_put(&S[1], "\n", 1)
+                            || !sb_put(&S[1], orig, olen)
+                            || !sb_put(&S[1], "\n", 1)) goto fail;
+                        if (!sb_reserve(&S[1], need)) goto fail;
+                        m = meg_format(mp, mt, ml, mcol, moff, madj,
+                                       nv, elen + 2, 0,
+                                       S[1].d + S[1].n, need);
+                        if (m < 0) goto fail;
+                        S[1].n += m;
+                    }
+                    if (has_facts) {
+                        int64_t n_adj = nv ? moff[nv] : 0;
+                        int64_t need = n_adj * 224 + 16;
+                        int64_t m;
+                        /* meg-edges.txt */
+                        if (!sb_put(&S[5], ">", 1)
+                            || !sb_put(&S[5], eid, idlen)
+                            || !sb_put(&S[5], "\n", 1)) goto fail;
+                        if (!sb_reserve(&S[5], need)) goto fail;
+                        m = meg_format(mp, mt, ml, mcol, moff, madj,
+                                       nv, elen + 2, 1,
+                                       S[5].d + S[5].n, need);
+                        if (m < 0) goto fail;
+                        S[5].n += m;
+                        /* processed-megs.txt */
+                        if (!sb_put(&S[2], ">", 1)
+                            || !sb_put(&S[2], eid, idlen)
+                            || !sb_put(&S[2], "\n", 1)
+                            || !sb_put(&S[2], orig, olen)
+                            || !sb_put(&S[2], "\n", 1)) goto fail;
+                        need = nv * 72 + 8 + n_adj * 46 + 16;
+                        if (!sb_reserve(&S[2], need)) goto fail;
+                        m = meg_format(mp, mt, ml, mcol, moff, madj,
+                                       nv, elen + 2, 0,
+                                       S[2].d + S[2].n, need);
+                        if (m < 0) goto fail;
+                        S[2].n += m;
+                        /* processed-megs-info.txt */
+                        if (!sb_puti(&S[3], (int64_t)(meg_time * 1e6))
+                            || !sb_put(&S[3], " ", 1)
+                            || !sb_puti(&S[3], (int64_t)(fact_time * 1e6))
+                            || !sb_put(&S[3], " ", 1)
+                            || !sb_puti(&S[3], nf)
+                            || !sb_put(&S[3], "\n", 1)) goto fail;
+                        /* raw-multifasta-out.txt
+                         * (io-multifasta.c:187-243) */
+                        {
+                            int64_t n_flags = counts[0];
+                            int64_t i;
+                            for (i = 0; i < nf && i < n_flags; i++) {
+                                int64_t size = eoff[i + 1] - eoff[i];
+                                int64_t pa, pd, l_index, r_index, c;
+                                if (!(retain_ext || size > 2
+                                      || (size == 2 && suffpa != -1)))
+                                    continue;
+                                pa = retain_ext ? epa[i] : 0;
+                                pd = retain_ext ? epd[i] : 0;
+                                if (!sb_put(&S[0], ">", 1)
+                                    || !sb_put(&S[0], eid, idlen)
+                                    || !sb_put(&S[0], "\n#polya=", 8)
+                                    || !sb_puti(&S[0], pa)
+                                    || !sb_put(&S[0], "\n#polyad=", 9)
+                                    || !sb_puti(&S[0], pd)
+                                    || !sb_put(&S[0], "\n", 1)) goto fail;
+                                l_index = retain_ext ? 0 : 1;
+                                r_index = retain_ext ? size + 1
+                                    : (suffpa == -1 ? size : size + 1);
+                                for (c = 1; c <= size; c++) {
+                                    int64_t fi = eoff[i] + c - 1;
+                                    int64_t es = ef[4 * fi],
+                                        ee = ef[4 * fi + 1],
+                                        gs = ef[4 * fi + 2],
+                                        ge = ef[4 * fi + 3];
+                                    const char *es_a, *gs_a;
+                                    int64_t es_b, gs_b;
+                                    if (!(c > l_index && c < r_index))
+                                        continue;
+                                    /* python-slice semantics */
+                                    es_b = py_slice(orig, olen, es, ee + 1,
+                                                    &es_a);
+                                    gs_b = py_slice(gen_orig, golen,
+                                                    gen_pref_n + gs,
+                                                    gen_pref_n + ge + 1,
+                                                    &gs_a);
+                                    if (!sb_puti(&S[0], es + 1)
+                                        || !sb_put(&S[0], " ", 1)
+                                        || !sb_puti(&S[0], ee + 1)
+                                        || !sb_put(&S[0], " ", 1)
+                                        || !sb_puti(&S[0],
+                                                    gen_pref_n + gs + 1)
+                                        || !sb_put(&S[0], " ", 1)
+                                        || !sb_puti(&S[0],
+                                                    gen_pref_n + ge + 1)
+                                        || !sb_put(&S[0], " ", 1)
+                                        || !sb_put(&S[0], es_a, es_b)
+                                        || !sb_put(&S[0], " ", 1)
+                                        || !sb_put(&S[0], gs_a, gs_b)
+                                        || !sb_put(&S[0], "\n", 1))
+                                        goto fail;
+                                }
+                            }
+                        }
+                        /* processed-ests.txt */
+                        if (!sb_put(&S[4], ">", 1)
+                            || !sb_put(&S[4], eid, idlen)
+                            || !sb_put(&S[4], "\n", 1)
+                            || !sb_put(&S[4], orig, olen)
+                            || !sb_put(&S[4], "\n", 1)) goto fail;
+                        break;   /* EST done (facts) */
+                    }
+                    if (fe_none || timeout_f) {
+                        if (!timeout_f) break;
+                        inc++;
+                        continue;   /* retry with longer seeds */
+                    }
+                    break;   /* no facts, no timeout: EST done */
+                }
+            }
+        }
+
+        if (has_facts) {
+            if (!fixed_strand && !is_reverse) k += 1;
+            is_reverse = 0;
+        } else {
+            if (is_reverse || fixed_strand) is_reverse = 0;
+            else is_reverse = 1;
+        }
+        k += 1;
+    }
+
+    {
+        int64_t total = 0, i, w = 0;
+        for (i = 0; i < 6; i++) total += S[i].n;
+        out_meta[6] = total;
+        if (total > cap) { ret = -2; goto fail; }
+        for (i = 0; i < 6; i++) {
+            out_meta[i] = S[i].n;
+            if (S[i].n) memcpy(out + w, S[i].d, (size_t)S[i].n);
+            w += S[i].n;
+        }
+        ret = 0;
+    }
+fail:
+    {
+        int64_t i;
+        for (i = 0; i < 6; i++) free(S[i].d);
+    }
+    return ret;
+}

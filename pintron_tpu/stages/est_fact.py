@@ -532,6 +532,113 @@ def write_multifasta_output(gen: mf.EstInfo, est: FactorizedEst,
 # (gen, gen_seq_bytes, config) triple it receives per run.
 _WORKER_CTX = None
 
+# persistent output buffer for the fused native unit flow (grow-only;
+# each worker process is single-threaded)
+_UNIT_OUT = None
+
+
+def _native_unit_process(unit: List[mf.EstInfo], gen: mf.EstInfo,
+                         tree: SuffixTree, gen_seq_bytes: bytes,
+                         config: Config):
+    """One-call native flow for a whole work unit (unit_process in
+    native/dp.c): vertex scan + MEG build + retry ladders + est_process +
+    the six output-text sections, mirroring compute_est_fact and the
+    sequential loop of main-est-fact.c:247-291.  Returns the six output
+    blobs or None when the native path is unavailable (the caller then
+    recomputes through the host path)."""
+    import os
+    if os.environ.get("PINTRON_NO_NATIVE_EST_PROCESS") \
+            or os.environ.get("PINTRON_NO_NATIVE_UNIT"):
+        return None
+    from pintron_tpu.meg.dot import log_graphs_enabled
+    if log_graphs_enabled():
+        return None
+    from pintron_tpu.native import get_lib, np_scratch
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "unit_process"):
+        return None
+
+    import ctypes
+
+    import numpy as np
+
+    global _GEN_KEEPALIVE, _UNIT_OUT
+    _GEN_KEEPALIVE = gen_seq_bytes
+
+    flat = tree.flat_arrays()
+    ptrs = flat["_ptrs"]
+    from pintron_tpu.meg.graph import _gen_maps
+    _alph_index, alph_size, _a256, a256_ptr = _gen_maps(gen_seq_bytes)
+
+    gen_orig = gen.original_seq.encode("latin1")
+
+    parts: List[bytes] = []
+    meta: List[int] = []
+    off = 0
+    for est in unit:
+        idb = est.est_id.encode("latin1")
+        seqb = est.seq.encode("latin1")
+        origb = est.original_seq.encode("latin1")
+        meta += [off, len(idb), off + len(idb), len(seqb),
+                 off + len(idb) + len(seqb), len(origb),
+                 1 if est.fixed_strand else 0, est.suff_polyA_length]
+        parts += [idb, seqb, origb]
+        off += len(idb) + len(seqb) + len(origb)
+    blob = b"".join(parts)
+    emeta, emeta_ptr = np_scratch("up_emeta", len(meta))
+    emeta[:len(meta)] = meta
+    icfg, icfg_ptr = np_scratch("up_icfg", 13)
+    icfg[:13] = [config.min_factor_len, config.max_intron_length,
+                 config.min_intron_length, config.max_pairings_in_MEG,
+                 1 if config.trans_red else 0,
+                 1 if config.short_edge_comp else 0,
+                 config.max_site_difference, config.max_gapLength_diff,
+                 config.max_number_of_factorizations,
+                 config.suffpref_length_on_est,
+                 config.suffpref_length_for_intron,
+                 config.suffpref_length_on_gen,
+                 1 if config.retain_externals else 0]
+    dcfg = np.array([config.min_string_depth_rate,
+                     config.max_prefix_discarded_rate,
+                     config.max_suffix_discarded_rate,
+                     config.max_freq_shortest_pairing,
+                     config.complexity_threshold,
+                     config.max_coverage_diff,
+                     float(config.max_single_factorization_time or 0)],
+                    dtype=np.float64)
+    out_meta, out_meta_ptr = np_scratch("up_ometa", 8)
+
+    if _UNIT_OUT is None:
+        _UNIT_OUT = ctypes.create_string_buffer(1 << 20)
+    while True:
+        rc = lib.unit_process(
+            tree.text, len(tree.text),
+            ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4], ptrs[5],
+            ptrs[6], ptrs[7], ptrs[8], ptrs[9], ptrs[10], ptrs[11],
+            a256_ptr, alph_size,
+            gen_seq_bytes, len(gen_seq_bytes),
+            gen_orig, len(gen_orig),
+            gen.pref_N_length,
+            icfg_ptr, dcfg.ctypes.data,
+            blob, emeta_ptr, len(unit),
+            _UNIT_OUT, len(_UNIT_OUT),
+            out_meta_ptr)
+        if rc == -2:
+            _UNIT_OUT = ctypes.create_string_buffer(
+                max(2 * len(_UNIT_OUT), int(out_meta[6]) + 4096))
+            continue
+        if rc != 0:
+            return None
+        break
+    data = ctypes.string_at(_UNIT_OUT, int(out_meta[6]))
+    res = []
+    pos = 0
+    for i in range(6):
+        ln = int(out_meta[i])
+        res.append(data[pos:pos + ln].decode("latin1"))
+        pos += ln
+    return tuple(res)
+
 
 def _worker_main(conn) -> None:
     """Persistent worker loop: each message carries the run context and
@@ -677,6 +784,9 @@ def _process_unit(unit: List[mf.EstInfo]) -> Tuple[str, str, str, str, str,
     forward strand aligned."""
     import io
     gen, tree, gen_seq_bytes, config = _WORKER_CTX
+    native = _native_unit_process(unit, gen, tree, gen_seq_bytes, config)
+    if native is not None:
+        return native
     f_out = io.StringIO()
     fmeg = io.StringIO()
     fpmeg = io.StringIO()
