@@ -640,12 +640,37 @@ def _native_unit_process(unit: List[mf.EstInfo], gen: mf.EstInfo,
     return tuple(res)
 
 
+def _worker_units_from_file(gen: mf.EstInfo, ests_path: str, w: int,
+                            n: int):
+    """Parse ests.txt inside the worker and yield this worker's share of
+    the work units (record k -> unit k; each record is one unit: a
+    fixed-strand EST alone or a forward EST plus its RC copy).  Only the
+    owned records are preprocessed — unit structure depends solely on
+    each record's own header, so worker w can skip everything else."""
+    with open(ests_path) as fh:
+        ests = mf.read_multifasta(fh)
+    for idx, est in enumerate(ests):
+        if idx % n != w:
+            continue
+        mf.set_est_gb_identification(est)
+        mf.set_est_strand_and_rc(est, gen)
+        mf.polyat_substitution(est)
+        if not est.fixed_strand:
+            rev = est.copy_and_reverse()
+            mf.polyat_substitution(rev)
+            yield [est, rev]
+        else:
+            yield [est]
+
+
 def _worker_main(conn) -> None:
     """Persistent worker loop: each message carries the run context and
-    this worker's interleaved share of the units; the reply is the list
-    of per-unit output blobs (or ('err', traceback)).  The (gen, config,
-    suffix tree) context is cached by digest so repeated runs on the
-    same locus ship only the digest."""
+    this worker's interleaved share of the units — either explicit
+    EstInfo lists, or ('file', ests_path, w, n) telling the worker to
+    parse ests.txt itself (no sequence bytes cross the pipe).  The reply
+    is the list of per-unit output blobs (or ('err', traceback)).  The
+    (gen, config, suffix tree) context is cached by digest so repeated
+    runs on the same locus ship only the digest."""
     import sys as _sys
     _sys.setrecursionlimit(1_000_000)
     global _WORKER_CTX
@@ -674,7 +699,13 @@ def _worker_main(conn) -> None:
                 cached = (gen, tree, gen_seq_bytes, config)
                 ctx_cache[digest] = cached
             _WORKER_CTX = cached
-            conn.send([_process_unit(u) for u in units])
+            if isinstance(units, tuple) and units and units[0] == "file":
+                _path, _w, _n = units[1], units[2], units[3]
+                unit_iter = _worker_units_from_file(cached[0], _path,
+                                                    _w, _n)
+            else:
+                unit_iter = units
+            conn.send([_process_unit(u) for u in unit_iter])
         except Exception:
             import traceback
             try:
@@ -711,15 +742,18 @@ class _PersistentPool:
     def alive(self) -> bool:
         return all(p.is_alive() for p in self.procs)
 
-    def run(self, gen, gen_seq_bytes, config, units):
+    def _digest(self, gen, gen_seq_bytes, config):
         import hashlib
         import pickle
-        payload = (gen, gen_seq_bytes, config)
         # the digest must cover everything the cached context carries:
         # the gen EstInfo (header/strand/coordinate metadata), the
         # genomic bytes, and the config
-        digest = hashlib.sha1(
+        return hashlib.sha1(
             pickle.dumps((gen, config)) + gen_seq_bytes).hexdigest()
+
+    def run(self, gen, gen_seq_bytes, config, units):
+        payload = (gen, gen_seq_bytes, config)
+        digest = self._digest(gen, gen_seq_bytes, config)
         send_payload = payload if digest not in self.sent_digests else None
         for w, conn in enumerate(self.pipes):
             conn.send((digest, send_payload, units[w::self.n]))
@@ -731,6 +765,31 @@ class _PersistentPool:
                 raise RuntimeError(res[1])
             for k, r in zip(range(w, len(units), self.n), res):
                 results[k] = r
+        return results
+
+    def run_file(self, gen, gen_seq_bytes, config, ests_path):
+        """Like run(), but each worker parses ests.txt itself and
+        preprocesses only its own records (record k -> unit k), so no
+        sequence bytes cross the pipe and the parent does no EST work.
+        Reassembly is by round-robin index, byte-identical to the
+        sequential order."""
+        payload = (gen, gen_seq_bytes, config)
+        digest = self._digest(gen, gen_seq_bytes, config)
+        send_payload = payload if digest not in self.sent_digests else None
+        for w, conn in enumerate(self.pipes):
+            conn.send((digest, send_payload,
+                       ("file", ests_path, w, self.n)))
+        self.sent_digests = {digest}
+        per_worker = []
+        for conn in self.pipes:
+            res = conn.recv()
+            if isinstance(res, tuple) and res and res[0] == "err":
+                raise RuntimeError(res[1])
+            per_worker.append(res)
+        total = sum(len(r) for r in per_worker)
+        results = [None] * total
+        for w, res in enumerate(per_worker):
+            results[w::self.n] = res
         return results
 
     def shutdown(self) -> None:
@@ -854,52 +913,48 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
     gen = gen_list[0]
     mf.parse_genomic_header(gen)
     mf.ntails_removal(gen)
-
-    ests = mf.read_multifasta(open(wpath("ests.txt")))
-
-    est_list: List[mf.EstInfo] = []
-    for est in ests:
-        mf.set_est_gb_identification(est)
-        mf.set_est_strand_and_rc(est, gen)
-        est_list.append(est)
-        mf.polyat_substitution(est)
-        if not est.fixed_strand:
-            rev = est.copy_and_reverse()
-            est_list.append(rev)
-            mf.polyat_substitution(rev)
-
     timers["io"].stop()
     checkpoint("ests-read-and-preprocessed")
     gen_seq_bytes = gen.seq.encode("latin1")
-
-    # Independent work units: a fixed-strand EST alone, or a forward EST
-    # together with the RC copy appended right after it above.  Units
-    # never share state (the genomic index is read-only), so they are the
-    # data-parallel axis — across host workers here, across devices/hosts
-    # in pintron_tpu.parallel.
-    units: List[List[mf.EstInfo]] = []
-    i = 0
-    while i < len(est_list):
-        if not est_list[i].fixed_strand:
-            units.append([est_list[i], est_list[i + 1]])
-            i += 2
-        else:
-            units.append([est_list[i]])
-            i += 1
 
     checkpoint("alignment-begin")
     timers["algorithm"].start()
     nworkers = int(os.environ.get("PINTRON_EST_WORKERS", "0")) \
         or (os.cpu_count() or 1)
-    nworkers = min(nworkers, len(units))
     results = None
     if nworkers > 1:
+        # Pooled path: workers parse ests.txt themselves and preprocess
+        # only their own records (one record = one independent work
+        # unit — a fixed-strand EST alone, or a forward EST plus its RC
+        # copy).  Units never share state (the genomic index is
+        # read-only), so they are the data-parallel axis — across host
+        # workers here, across devices/hosts in pintron_tpu.parallel.
         try:
-            results = _get_pool(nworkers).run(gen, gen_seq_bytes, config,
-                                              units)
+            results = _get_pool(nworkers).run_file(
+                gen, gen_seq_bytes, config, wpath("ests.txt"))
         except (ValueError, OSError, RuntimeError):
             results = None  # pool unavailable: fall through to sequential
     if results is None:
+        ests = mf.read_multifasta(open(wpath("ests.txt")))
+        est_list: List[mf.EstInfo] = []
+        for est in ests:
+            mf.set_est_gb_identification(est)
+            mf.set_est_strand_and_rc(est, gen)
+            est_list.append(est)
+            mf.polyat_substitution(est)
+            if not est.fixed_strand:
+                rev = est.copy_and_reverse()
+                est_list.append(rev)
+                mf.polyat_substitution(rev)
+        units: List[List[mf.EstInfo]] = []
+        i = 0
+        while i < len(est_list):
+            if not est_list[i].fixed_strand:
+                units.append([est_list[i], est_list[i + 1]])
+                i += 2
+            else:
+                units.append([est_list[i]])
+                i += 1
         global _WORKER_CTX, _SEQ_TREE_CACHE
         cached = _SEQ_TREE_CACHE
         if cached is None or cached[0] != gen_seq_bytes:

@@ -84,13 +84,20 @@ def test_native_est_process_matches_host_path(tmp_path, seed):
     if made == 0:
         pytest.skip("empty random case")
     outs = {}
-    for mode, disable in (("native", ""), ("host", "1")):
+    # three rungs of the ladder: the fused per-unit native call
+    # (unit_process), the per-EST native call (est_process) with Python
+    # driver glue, and the pure host cascade
+    for mode, env_extra in (("native", {}),
+                            ("estproc", {"PINTRON_NO_NATIVE_UNIT": "1"}),
+                            ("host", {"PINTRON_NO_NATIVE_EST_PROCESS": "1"})):
         work = tmp_path / mode
         work.mkdir()
         for fn in ("genomic.txt", "ests.txt"):
             (work / fn).write_bytes((tmp_path / fn).read_bytes())
         env = dict(os.environ)
-        env["PINTRON_NO_NATIVE_EST_PROCESS"] = disable
+        env.pop("PINTRON_NO_NATIVE_EST_PROCESS", None)
+        env.pop("PINTRON_NO_NATIVE_UNIT", None)
+        env.update(env_extra)
         env["PINTRON_EST_WORKERS"] = "1"
         r = subprocess.run(
             [sys.executable, "-c",
@@ -98,15 +105,17 @@ def test_native_est_process_matches_host_path(tmp_path, seed):
             env=env, capture_output=True, timeout=600)
         assert r.returncode == 0, r.stderr.decode()[-2000:]
         outs[mode] = {fn: (work / fn).read_bytes() for fn in CHECK_FILES}
-    for fn in CHECK_FILES:
-        if fn == "processed-megs-info.txt":
-            # timing values differ; compare only structure (line count +
-            # factorization counts)
-            a = [l.split()[2:] for l in
-                 outs["native"][fn].decode().splitlines()]
-            b = [l.split()[2:] for l in
-                 outs["host"][fn].decode().splitlines()]
-            assert a == b, f"{fn} structure differs (seed {seed})"
-        else:
-            assert outs["native"][fn] == outs["host"][fn], \
-                f"{fn} differs (seed {seed})"
+    for other in ("estproc", "host"):
+        for fn in CHECK_FILES:
+            if fn == "processed-megs-info.txt":
+                # timing values differ; compare only structure (line count
+                # + factorization counts)
+                a = [l.split()[2:] for l in
+                     outs["native"][fn].decode().splitlines()]
+                b = [l.split()[2:] for l in
+                     outs[other][fn].decode().splitlines()]
+                assert a == b, \
+                    f"{fn} structure differs (seed {seed}, vs {other})"
+            else:
+                assert outs["native"][fn] == outs[other][fn], \
+                    f"{fn} differs (seed {seed}, vs {other})"
