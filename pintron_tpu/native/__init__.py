@@ -194,6 +194,18 @@ def _build_and_load():
         + [ctypes.c_void_p, ctypes.c_void_p]     # icfg, dcfg
         + [ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64]  # blob, emeta, n
         + [ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p])  # out, cap, meta
+    lib.worker_run.restype = ctypes.c_int64
+    lib.worker_run.argtypes = (
+        [ctypes.c_char_p, ctypes.c_int64]        # tree text
+        + [ctypes.c_void_p] * 12                 # tree arrays
+        + [ctypes.c_void_p, ctypes.c_int64]      # alph_index256, alph_size
+        + [ctypes.c_char_p, ctypes.c_int64]      # gen working seq
+        + [ctypes.c_char_p, ctypes.c_int64]      # gen original seq
+        + [ctypes.c_int64]                       # gen pref_N_length
+        + [ctypes.c_void_p, ctypes.c_void_p]     # icfg, dcfg
+        + [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]  # path, w, n
+        + [ctypes.c_char_p, ctypes.c_int64]      # out, cap
+        + [ctypes.c_void_p, ctypes.c_int64])     # meta, meta_cap
     return lib
 
 

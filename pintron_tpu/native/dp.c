@@ -10,6 +10,7 @@
  */
 
 #include <stdint.h>
+#include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
 
@@ -5638,6 +5639,290 @@ static int64_t up_cap(int slot, int64_t at_least) {
     return up_caps[slot] > at_least ? up_caps[slot] : at_least;
 }
 
+typedef struct {
+    const unsigned char *text; int64_t tlen;
+    const int64_t *st_start, *st_end, *st_parent, *st_slink, *st_depth;
+    const unsigned char *st_single;
+    const int64_t *st_lo, *st_hi, *st_occ, *st_coff;
+    const unsigned char *st_cchar;
+    const int64_t *st_cnode;
+    const int64_t *a256; int64_t alph_size;
+    const char *gen; int64_t glen;
+    const char *gen_orig; int64_t golen;
+    int64_t gen_pref_n;
+    const int64_t *icfg; const double *dcfg;
+} up_ctx;
+
+/* Run ONE EST through the complete est-fact inner loop
+ * (compute-est-fact.c:192-293): MEG build with the complexity /
+ * same-MEG / timeout retry ladders, est_process, and the output-text
+ * sections appended to the six stream buffers S.
+ * Returns 1 (has factorizations), 0 (none), or a negative code meaning
+ * "fall back to the host path". */
+static int64_t up_est_run(const up_ctx *C,
+                          const char *eid, int64_t idlen,
+                          const unsigned char *seq, int64_t elen,
+                          const char *orig, int64_t olen,
+                          int64_t suffpa, sbuf *S) {
+    const int64_t *icfg = C->icfg;
+    const double *dcfg = C->dcfg;
+    const int64_t base_mfl = icfg[0], max_intron = icfg[1],
+        min_intron = icfg[2], max_pairings = icfg[3],
+        trans_red = icfg[4], short_edge_comp = icfg[5],
+        max_site_diff = icfg[6], max_gap_diff = icfg[7],
+        max_nf = icfg[8], sp_est = icfg[9], sp_intron = icfg[10],
+        sp_gen = icfg[11], retain_ext = icfg[12];
+    const double rate = dcfg[0], pref_rate = dcfg[1], suff_rate = dcfg[2],
+        max_freq_shortest = dcfg[3], complexity_thr = dcfg[4],
+        max_cov_diff = dcfg[5], max_fact_time = dcfg[6];
+
+    int64_t inc = 0, prev_p = 0, prev_e = 0;
+
+    for (;;) {   /* retry-on-timeout ladder */
+        double t_meg0 = fe_now();
+        int64_t nv = 0, tot_p = 0, tot_e = 0;
+        int64_t *mp = NULL, *mt = NULL, *ml = NULL, *mcol = NULL,
+            *moff = NULL, *madj = NULL;
+        int64_t flags[5];
+
+        for (;;) {   /* same-MEG detection loop */
+            int64_t n_scan;
+            int64_t sc_cap = up_cap(0, 4096);
+            int64_t *sc_p, *sc_t, *sc_l;
+            for (;;) {   /* vertex scan + complexity ladder */
+                int64_t mfl = base_mfl + inc;
+                for (;;) {
+                    sc_p = up_i64(0, sc_cap);
+                    sc_t = up_i64(1, sc_cap);
+                    sc_l = up_i64(2, sc_cap);
+                    if (!sc_p || !sc_t || !sc_l) return -3;
+                    n_scan = vertex_scan(
+                        C->text, C->tlen, seq, elen,
+                        C->st_start, C->st_end, C->st_parent, C->st_slink,
+                        C->st_depth, C->st_single, C->st_lo, C->st_hi,
+                        C->st_occ, C->st_coff, C->st_cchar, C->st_cnode,
+                        C->a256, C->alph_size, rate, mfl,
+                        sc_p, sc_t, sc_l, sc_cap);
+                    if (n_scan == -1) return -3;
+                    if (n_scan < -1) { sc_cap = -n_scan; continue; }
+                    break;
+                }
+                {
+                    int64_t cap_v = up_cap(3, n_scan + 16);
+                    int64_t cap_e = up_cap(
+                        8, 8 * n_scan > 1024 ? 8 * n_scan : 1024);
+                    for (;;) {
+                        mp = up_i64(3, cap_v);
+                        mt = up_i64(4, cap_v);
+                        ml = up_i64(5, cap_v);
+                        mcol = up_i64(6, cap_v);
+                        moff = up_i64(7, cap_v + 1);
+                        madj = up_i64(8, cap_e);
+                        if (!mp || !mt || !ml || !mcol || !moff
+                            || !madj) return -3;
+                        nv = meg_build(
+                            sc_p, sc_t, sc_l, n_scan, elen,
+                            mfl, max_intron, min_intron,
+                            pref_rate, suff_rate,
+                            max_pairings, max_freq_shortest,
+                            trans_red, short_edge_comp,
+                            mp, mt, ml, mcol, moff, madj,
+                            flags, cap_v, cap_e);
+                        if (nv == -2) {
+                            cap_v = cap_v > flags[3] + 1
+                                ? cap_v : flags[3] + 1;
+                            cap_e = cap_e > flags[4] + 1
+                                ? cap_e : flags[4] + 1;
+                            continue;
+                        }
+                        if (nv < 0) return -3;
+                        break;
+                    }
+                }
+                if (flags[0] && base_mfl + inc + 1 + 2 < elen + 2) {
+                    inc++;
+                    continue;
+                }
+                break;
+            }
+            tot_p = nv;
+            tot_e = nv ? moff[nv] : 0;
+            if (!(prev_p > 2 && prev_e > 0
+                  && (prev_p <= tot_p || prev_e <= tot_e)))
+                break;
+            inc++;
+        }
+        prev_p = tot_p;
+        prev_e = tot_e;
+        {
+            double meg_time = fe_now() - t_meg0;
+            double t_fact0 = fe_now();
+            double deadline = max_fact_time > 0.0
+                ? fe_now() + max_fact_time : 0.0;
+            int64_t nf;
+            int timeout_f = 0, fe_none = 0;
+            int64_t counts[4] = {0, 0, 0, 0};
+            int64_t cap_facts = up_cap(9, 257) - 1;
+            int64_t cap_factors = up_cap(10, 8192) / 4;
+            int64_t *eoff, *ef, *epa, *epd;
+            for (;;) {
+                eoff = up_i64(9, cap_facts + 1);
+                ef = up_i64(10, 4 * cap_factors);
+                epa = up_i64(11, cap_facts);
+                epd = up_i64(12, cap_facts);
+                if (!eoff || !ef || !epa || !epd) return -3;
+                nf = est_process(
+                    mp, mt, ml, mcol, moff, madj, nv, elen + 2,
+                    C->gen, C->glen, (const char *)seq, elen, orig, olen,
+                    base_mfl, min_intron, deadline,
+                    complexity_thr, max_site_diff,
+                    max_cov_diff, max_gap_diff, max_nf,
+                    sp_est, sp_intron, sp_gen,
+                    eoff, ef, epa, epd,
+                    cap_facts, cap_factors, counts);
+                if (nf == -2) {
+                    cap_facts = cap_facts > counts[1] + 1
+                        ? cap_facts : counts[1] + 1;
+                    cap_factors = cap_factors > counts[2] + 1
+                        ? cap_factors : counts[2] + 1;
+                    continue;
+                }
+                break;
+            }
+            if (nf == -1) { timeout_f = 1; fe_none = 1; nf = 0; }
+            else if (nf < 0) return -3;   /* host fallback */
+            else timeout_f = (deadline != 0.0 && fe_now() > deadline);
+            {
+                double fact_time = fe_now() - t_fact0;
+                int has_facts = nf > 0;
+
+                if (!timeout_f || has_facts) {
+                    /* megs.txt section */
+                    int64_t n_adj = nv ? moff[nv] : 0;
+                    int64_t need = nv * 72 + 8 + n_adj * 46 + 16;
+                    int64_t m;
+                    if (!sb_put(&S[1], "\n\n***********\n\n>", 16)
+                        || !sb_put(&S[1], eid, idlen)
+                        || !sb_put(&S[1], "\n", 1)
+                        || !sb_put(&S[1], orig, olen)
+                        || !sb_put(&S[1], "\n", 1)) return -3;
+                    if (!sb_reserve(&S[1], need)) return -3;
+                    m = meg_format(mp, mt, ml, mcol, moff, madj,
+                                   nv, elen + 2, 0,
+                                   S[1].d + S[1].n, need);
+                    if (m < 0) return -3;
+                    S[1].n += m;
+                }
+                if (has_facts) {
+                    int64_t n_adj = nv ? moff[nv] : 0;
+                    int64_t need = n_adj * 224 + 16;
+                    int64_t m;
+                    /* meg-edges.txt */
+                    if (!sb_put(&S[5], ">", 1)
+                        || !sb_put(&S[5], eid, idlen)
+                        || !sb_put(&S[5], "\n", 1)) return -3;
+                    if (!sb_reserve(&S[5], need)) return -3;
+                    m = meg_format(mp, mt, ml, mcol, moff, madj,
+                                   nv, elen + 2, 1,
+                                   S[5].d + S[5].n, need);
+                    if (m < 0) return -3;
+                    S[5].n += m;
+                    /* processed-megs.txt */
+                    if (!sb_put(&S[2], ">", 1)
+                        || !sb_put(&S[2], eid, idlen)
+                        || !sb_put(&S[2], "\n", 1)
+                        || !sb_put(&S[2], orig, olen)
+                        || !sb_put(&S[2], "\n", 1)) return -3;
+                    need = nv * 72 + 8 + n_adj * 46 + 16;
+                    if (!sb_reserve(&S[2], need)) return -3;
+                    m = meg_format(mp, mt, ml, mcol, moff, madj,
+                                   nv, elen + 2, 0,
+                                   S[2].d + S[2].n, need);
+                    if (m < 0) return -3;
+                    S[2].n += m;
+                    /* processed-megs-info.txt */
+                    if (!sb_puti(&S[3], (int64_t)(meg_time * 1e6))
+                        || !sb_put(&S[3], " ", 1)
+                        || !sb_puti(&S[3], (int64_t)(fact_time * 1e6))
+                        || !sb_put(&S[3], " ", 1)
+                        || !sb_puti(&S[3], nf)
+                        || !sb_put(&S[3], "\n", 1)) return -3;
+                    /* raw-multifasta-out.txt (io-multifasta.c:187-243) */
+                    {
+                        int64_t n_flags = counts[0];
+                        int64_t i;
+                        for (i = 0; i < nf && i < n_flags; i++) {
+                            int64_t size = eoff[i + 1] - eoff[i];
+                            int64_t pa, pd, l_index, r_index, c;
+                            if (!(retain_ext || size > 2
+                                  || (size == 2 && suffpa != -1)))
+                                continue;
+                            pa = retain_ext ? epa[i] : 0;
+                            pd = retain_ext ? epd[i] : 0;
+                            if (!sb_put(&S[0], ">", 1)
+                                || !sb_put(&S[0], eid, idlen)
+                                || !sb_put(&S[0], "\n#polya=", 8)
+                                || !sb_puti(&S[0], pa)
+                                || !sb_put(&S[0], "\n#polyad=", 9)
+                                || !sb_puti(&S[0], pd)
+                                || !sb_put(&S[0], "\n", 1)) return -3;
+                            l_index = retain_ext ? 0 : 1;
+                            r_index = retain_ext ? size + 1
+                                : (suffpa == -1 ? size : size + 1);
+                            for (c = 1; c <= size; c++) {
+                                int64_t fi = eoff[i] + c - 1;
+                                int64_t es = ef[4 * fi],
+                                    ee = ef[4 * fi + 1],
+                                    gs = ef[4 * fi + 2],
+                                    ge = ef[4 * fi + 3];
+                                const char *es_a, *gs_a;
+                                int64_t es_b, gs_b;
+                                if (!(c > l_index && c < r_index))
+                                    continue;
+                                /* python-slice semantics */
+                                es_b = py_slice(orig, olen, es, ee + 1,
+                                                &es_a);
+                                gs_b = py_slice(C->gen_orig, C->golen,
+                                                C->gen_pref_n + gs,
+                                                C->gen_pref_n + ge + 1,
+                                                &gs_a);
+                                if (!sb_puti(&S[0], es + 1)
+                                    || !sb_put(&S[0], " ", 1)
+                                    || !sb_puti(&S[0], ee + 1)
+                                    || !sb_put(&S[0], " ", 1)
+                                    || !sb_puti(&S[0],
+                                                C->gen_pref_n + gs + 1)
+                                    || !sb_put(&S[0], " ", 1)
+                                    || !sb_puti(&S[0],
+                                                C->gen_pref_n + ge + 1)
+                                    || !sb_put(&S[0], " ", 1)
+                                    || !sb_put(&S[0], es_a, es_b)
+                                    || !sb_put(&S[0], " ", 1)
+                                    || !sb_put(&S[0], gs_a, gs_b)
+                                    || !sb_put(&S[0], "\n", 1))
+                                    return -3;
+                            }
+                        }
+                    }
+                    /* processed-ests.txt */
+                    if (!sb_put(&S[4], ">", 1)
+                        || !sb_put(&S[4], eid, idlen)
+                        || !sb_put(&S[4], "\n", 1)
+                        || !sb_put(&S[4], orig, olen)
+                        || !sb_put(&S[4], "\n", 1)) return -3;
+                    return 1;   /* EST done (facts) */
+                }
+                if (fe_none || timeout_f) {
+                    if (!timeout_f) return 0;
+                    inc++;
+                    continue;   /* retry with longer seeds */
+                }
+                return 0;   /* no facts, no timeout: EST done */
+            }
+        }
+    }
+}
+
 int64_t unit_process(
     const unsigned char *text, int64_t tlen,
     const int64_t *st_start, const int64_t *st_end,
@@ -5654,16 +5939,10 @@ int64_t unit_process(
     const char *blob, const int64_t *emeta, int64_t n_ests,
     char *out, int64_t cap, int64_t *out_meta) {
 
-    const int64_t base_mfl = icfg[0], max_intron = icfg[1],
-        min_intron = icfg[2], max_pairings = icfg[3],
-        trans_red = icfg[4], short_edge_comp = icfg[5],
-        max_site_diff = icfg[6], max_gap_diff = icfg[7],
-        max_nf = icfg[8], sp_est = icfg[9], sp_intron = icfg[10],
-        sp_gen = icfg[11], retain_ext = icfg[12];
-    const double rate = dcfg[0], pref_rate = dcfg[1], suff_rate = dcfg[2],
-        max_freq_shortest = dcfg[3], complexity_thr = dcfg[4],
-        max_cov_diff = dcfg[5], max_fact_time = dcfg[6];
-
+    up_ctx C = { text, tlen, st_start, st_end, st_parent, st_slink,
+                 st_depth, st_single, st_lo, st_hi, st_occ, st_coff,
+                 st_cchar, st_cnode, a256, alph_size, gen, glen,
+                 gen_orig, golen, gen_pref_n, icfg, dcfg };
     sbuf S[6];
     memset(S, 0, sizeof(S));
     int64_t ret = -3;
@@ -5671,270 +5950,18 @@ int64_t unit_process(
     int is_reverse = 0;
 
     while (k < n_ests) {
-        const char *eid = blob + emeta[8 * k];
-        int64_t idlen = emeta[8 * k + 1];
-        const unsigned char *seq =
-            (const unsigned char *)(blob + emeta[8 * k + 2]);
-        int64_t elen = emeta[8 * k + 3];
-        const char *orig = blob + emeta[8 * k + 4];
-        int64_t olen = emeta[8 * k + 5];
-        int64_t fixed_strand = emeta[8 * k + 6];
-        int64_t suffpa = emeta[8 * k + 7];
-
-        int64_t inc = 0, prev_p = 0, prev_e = 0;
-        int has_facts = 0;
-
-        for (;;) {   /* retry-on-timeout ladder */
-            double t_meg0 = fe_now();
-            int64_t nv = 0, tot_p = 0, tot_e = 0;
-            int64_t *mp = NULL, *mt = NULL, *ml = NULL, *mcol = NULL,
-                *moff = NULL, *madj = NULL;
-            int64_t flags[5];
-
-            for (;;) {   /* same-MEG detection loop */
-                int64_t n_scan;
-                int64_t sc_cap = up_cap(0, 4096);
-                int64_t *sc_p, *sc_t, *sc_l;
-                for (;;) {   /* vertex scan + complexity ladder */
-                    int64_t mfl = base_mfl + inc;
-                    for (;;) {
-                        sc_p = up_i64(0, sc_cap);
-                        sc_t = up_i64(1, sc_cap);
-                        sc_l = up_i64(2, sc_cap);
-                        if (!sc_p || !sc_t || !sc_l) goto fail;
-                        n_scan = vertex_scan(
-                            text, tlen, seq, elen,
-                            st_start, st_end, st_parent, st_slink,
-                            st_depth, st_single, st_lo, st_hi, st_occ,
-                            st_coff, st_cchar, st_cnode,
-                            a256, alph_size, rate, mfl,
-                            sc_p, sc_t, sc_l, sc_cap);
-                        if (n_scan == -1) goto fail;
-                        if (n_scan < -1) { sc_cap = -n_scan; continue; }
-                        break;
-                    }
-                    {
-                        int64_t cap_v = up_cap(3, n_scan + 16);
-                        int64_t cap_e = up_cap(
-                            8, 8 * n_scan > 1024 ? 8 * n_scan : 1024);
-                        for (;;) {
-                            mp = up_i64(3, cap_v);
-                            mt = up_i64(4, cap_v);
-                            ml = up_i64(5, cap_v);
-                            mcol = up_i64(6, cap_v);
-                            moff = up_i64(7, cap_v + 1);
-                            madj = up_i64(8, cap_e);
-                            if (!mp || !mt || !ml || !mcol || !moff
-                                || !madj) goto fail;
-                            nv = meg_build(
-                                sc_p, sc_t, sc_l, n_scan, elen,
-                                mfl, max_intron, min_intron,
-                                pref_rate, suff_rate,
-                                max_pairings, max_freq_shortest,
-                                trans_red, short_edge_comp,
-                                mp, mt, ml, mcol, moff, madj,
-                                flags, cap_v, cap_e);
-                            if (nv == -2) {
-                                cap_v = cap_v > flags[3] + 1
-                                    ? cap_v : flags[3] + 1;
-                                cap_e = cap_e > flags[4] + 1
-                                    ? cap_e : flags[4] + 1;
-                                continue;
-                            }
-                            if (nv < 0) goto fail;
-                            break;
-                        }
-                    }
-                    if (flags[0] && base_mfl + inc + 1 + 2 < elen + 2) {
-                        inc++;
-                        continue;
-                    }
-                    break;
-                }
-                tot_p = nv;
-                tot_e = nv ? moff[nv] : 0;
-                if (!(prev_p > 2 && prev_e > 0
-                      && (prev_p <= tot_p || prev_e <= tot_e)))
-                    break;
-                inc++;
-            }
-            prev_p = tot_p;
-            prev_e = tot_e;
-            {
-                double meg_time = fe_now() - t_meg0;
-                double t_fact0 = fe_now();
-                double deadline = max_fact_time > 0.0
-                    ? fe_now() + max_fact_time : 0.0;
-                int64_t nf;
-                int timeout_f = 0, fe_none = 0;
-                int64_t counts[4] = {0, 0, 0, 0};
-                int64_t cap_facts = up_cap(9, 257) - 1;
-                int64_t cap_factors = up_cap(10, 8192) / 4;
-                int64_t *eoff, *ef, *epa, *epd;
-                for (;;) {
-                    eoff = up_i64(9, cap_facts + 1);
-                    ef = up_i64(10, 4 * cap_factors);
-                    epa = up_i64(11, cap_facts);
-                    epd = up_i64(12, cap_facts);
-                    if (!eoff || !ef || !epa || !epd) goto fail;
-                    nf = est_process(
-                        mp, mt, ml, mcol, moff, madj, nv, elen + 2,
-                        gen, glen, (const char *)seq, elen, orig, olen,
-                        base_mfl, min_intron, deadline,
-                        complexity_thr, max_site_diff,
-                        max_cov_diff, max_gap_diff, max_nf,
-                        sp_est, sp_intron, sp_gen,
-                        eoff, ef, epa, epd,
-                        cap_facts, cap_factors, counts);
-                    if (nf == -2) {
-                        cap_facts = cap_facts > counts[1] + 1
-                            ? cap_facts : counts[1] + 1;
-                        cap_factors = cap_factors > counts[2] + 1
-                            ? cap_factors : counts[2] + 1;
-                        continue;
-                    }
-                    break;
-                }
-                if (nf == -1) { timeout_f = 1; fe_none = 1; nf = 0; }
-                else if (nf < 0) goto fail;   /* host fallback */
-                else timeout_f = (deadline != 0.0
-                                  && fe_now() > deadline);
-                {
-                    double fact_time = fe_now() - t_fact0;
-                    has_facts = nf > 0;
-
-                    if (!timeout_f || has_facts) {
-                        /* megs.txt section */
-                        int64_t n_adj = nv ? moff[nv] : 0;
-                        int64_t need = nv * 72 + 8 + n_adj * 46 + 16;
-                        int64_t m;
-                        if (!sb_put(&S[1], "\n\n***********\n\n>", 16)
-                            || !sb_put(&S[1], eid, idlen)
-                            || !sb_put(&S[1], "\n", 1)
-                            || !sb_put(&S[1], orig, olen)
-                            || !sb_put(&S[1], "\n", 1)) goto fail;
-                        if (!sb_reserve(&S[1], need)) goto fail;
-                        m = meg_format(mp, mt, ml, mcol, moff, madj,
-                                       nv, elen + 2, 0,
-                                       S[1].d + S[1].n, need);
-                        if (m < 0) goto fail;
-                        S[1].n += m;
-                    }
-                    if (has_facts) {
-                        int64_t n_adj = nv ? moff[nv] : 0;
-                        int64_t need = n_adj * 224 + 16;
-                        int64_t m;
-                        /* meg-edges.txt */
-                        if (!sb_put(&S[5], ">", 1)
-                            || !sb_put(&S[5], eid, idlen)
-                            || !sb_put(&S[5], "\n", 1)) goto fail;
-                        if (!sb_reserve(&S[5], need)) goto fail;
-                        m = meg_format(mp, mt, ml, mcol, moff, madj,
-                                       nv, elen + 2, 1,
-                                       S[5].d + S[5].n, need);
-                        if (m < 0) goto fail;
-                        S[5].n += m;
-                        /* processed-megs.txt */
-                        if (!sb_put(&S[2], ">", 1)
-                            || !sb_put(&S[2], eid, idlen)
-                            || !sb_put(&S[2], "\n", 1)
-                            || !sb_put(&S[2], orig, olen)
-                            || !sb_put(&S[2], "\n", 1)) goto fail;
-                        need = nv * 72 + 8 + n_adj * 46 + 16;
-                        if (!sb_reserve(&S[2], need)) goto fail;
-                        m = meg_format(mp, mt, ml, mcol, moff, madj,
-                                       nv, elen + 2, 0,
-                                       S[2].d + S[2].n, need);
-                        if (m < 0) goto fail;
-                        S[2].n += m;
-                        /* processed-megs-info.txt */
-                        if (!sb_puti(&S[3], (int64_t)(meg_time * 1e6))
-                            || !sb_put(&S[3], " ", 1)
-                            || !sb_puti(&S[3], (int64_t)(fact_time * 1e6))
-                            || !sb_put(&S[3], " ", 1)
-                            || !sb_puti(&S[3], nf)
-                            || !sb_put(&S[3], "\n", 1)) goto fail;
-                        /* raw-multifasta-out.txt
-                         * (io-multifasta.c:187-243) */
-                        {
-                            int64_t n_flags = counts[0];
-                            int64_t i;
-                            for (i = 0; i < nf && i < n_flags; i++) {
-                                int64_t size = eoff[i + 1] - eoff[i];
-                                int64_t pa, pd, l_index, r_index, c;
-                                if (!(retain_ext || size > 2
-                                      || (size == 2 && suffpa != -1)))
-                                    continue;
-                                pa = retain_ext ? epa[i] : 0;
-                                pd = retain_ext ? epd[i] : 0;
-                                if (!sb_put(&S[0], ">", 1)
-                                    || !sb_put(&S[0], eid, idlen)
-                                    || !sb_put(&S[0], "\n#polya=", 8)
-                                    || !sb_puti(&S[0], pa)
-                                    || !sb_put(&S[0], "\n#polyad=", 9)
-                                    || !sb_puti(&S[0], pd)
-                                    || !sb_put(&S[0], "\n", 1)) goto fail;
-                                l_index = retain_ext ? 0 : 1;
-                                r_index = retain_ext ? size + 1
-                                    : (suffpa == -1 ? size : size + 1);
-                                for (c = 1; c <= size; c++) {
-                                    int64_t fi = eoff[i] + c - 1;
-                                    int64_t es = ef[4 * fi],
-                                        ee = ef[4 * fi + 1],
-                                        gs = ef[4 * fi + 2],
-                                        ge = ef[4 * fi + 3];
-                                    const char *es_a, *gs_a;
-                                    int64_t es_b, gs_b;
-                                    if (!(c > l_index && c < r_index))
-                                        continue;
-                                    /* python-slice semantics */
-                                    es_b = py_slice(orig, olen, es, ee + 1,
-                                                    &es_a);
-                                    gs_b = py_slice(gen_orig, golen,
-                                                    gen_pref_n + gs,
-                                                    gen_pref_n + ge + 1,
-                                                    &gs_a);
-                                    if (!sb_puti(&S[0], es + 1)
-                                        || !sb_put(&S[0], " ", 1)
-                                        || !sb_puti(&S[0], ee + 1)
-                                        || !sb_put(&S[0], " ", 1)
-                                        || !sb_puti(&S[0],
-                                                    gen_pref_n + gs + 1)
-                                        || !sb_put(&S[0], " ", 1)
-                                        || !sb_puti(&S[0],
-                                                    gen_pref_n + ge + 1)
-                                        || !sb_put(&S[0], " ", 1)
-                                        || !sb_put(&S[0], es_a, es_b)
-                                        || !sb_put(&S[0], " ", 1)
-                                        || !sb_put(&S[0], gs_a, gs_b)
-                                        || !sb_put(&S[0], "\n", 1))
-                                        goto fail;
-                                }
-                            }
-                        }
-                        /* processed-ests.txt */
-                        if (!sb_put(&S[4], ">", 1)
-                            || !sb_put(&S[4], eid, idlen)
-                            || !sb_put(&S[4], "\n", 1)
-                            || !sb_put(&S[4], orig, olen)
-                            || !sb_put(&S[4], "\n", 1)) goto fail;
-                        break;   /* EST done (facts) */
-                    }
-                    if (fe_none || timeout_f) {
-                        if (!timeout_f) break;
-                        inc++;
-                        continue;   /* retry with longer seeds */
-                    }
-                    break;   /* no facts, no timeout: EST done */
-                }
-            }
-        }
-
-        if (has_facts) {
-            if (!fixed_strand && !is_reverse) k += 1;
+        int64_t rc = up_est_run(
+            &C, blob + emeta[8 * k], emeta[8 * k + 1],
+            (const unsigned char *)(blob + emeta[8 * k + 2]),
+            emeta[8 * k + 3],
+            blob + emeta[8 * k + 4], emeta[8 * k + 5],
+            emeta[8 * k + 7], S);
+        if (rc < 0) goto fail;
+        if (rc > 0) {
+            if (!emeta[8 * k + 6] && !is_reverse) k += 1;
             is_reverse = 0;
         } else {
-            if (is_reverse || fixed_strand) is_reverse = 0;
+            if (is_reverse || emeta[8 * k + 6]) is_reverse = 0;
             else is_reverse = 1;
         }
         k += 1;
@@ -5953,6 +5980,409 @@ int64_t unit_process(
         ret = 0;
     }
 fail:
+    {
+        int64_t i;
+        for (i = 0; i < 6; i++) free(S[i].d);
+    }
+    return ret;
+}
+
+/* ======================================================================
+ * Native EST preprocessing + whole-run worker driver.
+ *
+ * worker_run reads ests.txt itself, parses the multi-FASTA records
+ * (io-multifasta.c:133-167 my_getline semantics), preprocesses only the
+ * records owned by this worker (GB-id io-multifasta.c:279-304, strand
+ * interpretation + reverse-complement io-multifasta.c:425-523, polyA/T
+ * masking io-multifasta.c:663-828), and runs every owned unit through
+ * up_est_run — the complete est-fact stage for one worker in a single
+ * native call.  Mirrors stages/est_fact.py:_worker_units_from_file and
+ * io/multifasta.py bit-for-bit (validated by the 3-way fuzz tests).
+ * ====================================================================== */
+
+static void up_comp_init(char *tbl) {
+    static const char *pairs[6] = {"AT", "CG", "RY", "MK", "BV", "DH"};
+    int i;
+    for (i = 0; i < 256; i++) tbl[i] = (char)i;
+    for (i = 0; i < 6; i++) {
+        unsigned char a = (unsigned char)pairs[i][0];
+        unsigned char b = (unsigned char)pairs[i][1];
+        tbl[a] = (char)b; tbl[b] = (char)a;
+        tbl[a + 32] = (char)(b + 32); tbl[b + 32] = (char)(a + 32);
+    }
+}
+
+/* reverse-complement s into dst (both buffers length n) */
+static void up_revcomp(const char *s, int64_t n, char *dst,
+                       const char *tbl) {
+    int64_t i;
+    for (i = 0; i < n; i++)
+        dst[i] = tbl[(unsigned char)s[n - 1 - i]];
+}
+
+#define UP_POLYA_MIN_LEN 14
+#define UP_POLYA_FRACTION 0.72
+
+/* one direction of the polyA/T scan (io/multifasta.py:_polyat_scan);
+ * step = +1 from the start or -1 from the end, base = first index */
+static int up_polyat_scan(const char *seq, int64_t est_len,
+                          int64_t base, int64_t step, int64_t *mlen) {
+    int64_t count_A = 0, count_T = 0;
+    int64_t last_A = 0, last_T = 0;
+    int64_t last_A_count = 0, last_T_count = 0;
+    int64_t i = 0;
+    double thr = UP_POLYA_FRACTION * UP_POLYA_MIN_LEN;
+    int64_t running_A, running_T;
+    while (i < UP_POLYA_MIN_LEN && i < est_len) {
+        char c = seq[base + step * i];
+        if (c == 'A') { count_A++; last_A = i; last_A_count = count_A; }
+        if (c == 'T') { count_T++; last_T = i; last_T_count = count_T; }
+        i++;
+    }
+    running_A = count_A; running_T = count_T;
+    while (i < est_len && ((double)running_A >= thr
+                           || (double)running_T >= thr)) {
+        char drop = seq[base + step * (i - UP_POLYA_MIN_LEN)];
+        char c;
+        if (drop == 'A') running_A--;
+        if (drop == 'T') running_T--;
+        c = seq[base + step * i];
+        if (c == 'A') {
+            count_A++; running_A++; last_A = i; last_A_count = count_A;
+        }
+        if (c == 'T') {
+            count_T++; running_T++; last_T = i; last_T_count = count_T;
+        }
+        i++;
+    }
+    if (last_A < UP_POLYA_MIN_LEN - 1) last_A = UP_POLYA_MIN_LEN - 1;
+    if (last_T < UP_POLYA_MIN_LEN - 1) last_T = UP_POLYA_MIN_LEN - 1;
+    if ((double)last_A_count >= UP_POLYA_FRACTION * (double)(last_A + 1)
+        || (double)last_T_count
+           >= UP_POLYA_FRACTION * (double)(last_T + 1)) {
+        if ((double)last_A_count / (double)(last_A + 1)
+            >= (double)last_T_count / (double)(last_T + 1)) {
+            *mlen = last_A + 1;
+            return 'A';
+        }
+        *mlen = last_T + 1;
+        return 'T';
+    }
+    *mlen = 0;
+    return 0;
+}
+
+/* polyA/T masking in place; fills lens[4] =
+ * {pref_polyA, suff_polyA, pref_polyT, suff_polyT} (-1 = none).
+ * Returns 0, or -1 when est_len == 0 (python asserts: host fallback). */
+static int up_polyat_substitution(char *seq, int64_t est_len,
+                                  int64_t *lens) {
+    int64_t mlen, i;
+    int c;
+    lens[0] = lens[1] = lens[2] = lens[3] = -1;
+    if (est_len <= 0) return est_len < 0 ? -1 : -1;
+    if (est_len < UP_POLYA_MIN_LEN) return 0;
+    c = up_polyat_scan(seq, est_len, 0, 1, &mlen);
+    if (c) {
+        char sc = c == 'A' ? '*' : '#';
+        for (i = 0; i < mlen; i++) seq[i] = sc;
+        if (c == 'A') lens[0] = mlen; else lens[2] = mlen;
+    }
+    c = up_polyat_scan(seq, est_len, est_len - 1, -1, &mlen);
+    if (c) {
+        char sc = c == 'A' ? '*' : '#';
+        for (i = 0; i < mlen; i++) seq[est_len - 1 - i] = sc;
+        if (c == 'A') lens[1] = mlen; else lens[3] = mlen;
+    }
+    return 0;
+}
+
+/* find needle in (hay, n); returns offset or -1 */
+static int64_t up_find(const char *hay, int64_t n, const char *needle) {
+    int64_t m = (int64_t)strlen(needle);
+    int64_t i;
+    for (i = 0; i + m <= n; i++)
+        if (memcmp(hay + i, needle, (size_t)m) == 0) return i;
+    return -1;
+}
+
+/* strand interpretation (io/multifasta.py:set_est_strand_and_rc minus
+ * the RC itself): returns strand (+1/-1), sets *fixed */
+static int up_strand(const char *id, int64_t idlen, int *fixed) {
+    int64_t pos;
+    int strand = 1;
+    *fixed = 0;
+    /* GB id (io-multifasta.c:279-304) for the NM_/NR_ rule */
+    pos = up_find(id, idlen, "/gb=");
+    if (pos < 0) pos = up_find(id, idlen, "/GB=");
+    if (pos >= 0) {
+        const char *gb = id + pos + 4;
+        int64_t gblen = 0;
+        while (pos + 4 + gblen < idlen && gb[gblen] != ' '
+               && gb[gblen] != '/')
+            gblen++;
+        if (gblen >= 3 && gb[0] == 'N' && gb[2] == '_'
+            && (gb[1] == 'M' || gb[1] == 'R')) {
+            *fixed = 1;
+            return 1;
+        }
+    }
+    pos = up_find(id, idlen, "/clone_end=");
+    if (pos < 0) pos = up_find(id, idlen, "/CLONE_END=");
+    if (pos >= 0) {
+        const char *rest = id + pos + 11;
+        int64_t rlen = idlen - (pos + 11);
+        char sar[11];
+        int64_t sn = 0;
+        int valid = 0;
+        while (sn < 10 && sn < rlen) {
+            if (rest[sn] == '\0' || rest[sn] == '\'') break;
+            sar[sn] = rest[sn];
+            sn++;
+        }
+        if (sn == 1 && sar[0] == '3') { strand = 1; valid = 1; }
+        else if (sn == 1 && sar[0] == '5') { strand = -1; valid = 1; }
+        else strand = 1;
+        if (valid) {
+            int64_t fpos = up_find(id, idlen, "/fixed_strand=");
+            if (fpos < 0) fpos = up_find(id, idlen, "/FIXED_STRAND=");
+            if (fpos >= 0 && fpos + 14 < idlen)
+                *fixed = id[fpos + 14] == '1';
+        }
+    }
+    return strand;
+}
+
+int64_t worker_run(
+    const unsigned char *text, int64_t tlen,
+    const int64_t *st_start, const int64_t *st_end,
+    const int64_t *st_parent, const int64_t *st_slink,
+    const int64_t *st_depth, const unsigned char *st_single,
+    const int64_t *st_lo, const int64_t *st_hi, const int64_t *st_occ,
+    const int64_t *st_coff, const unsigned char *st_cchar,
+    const int64_t *st_cnode,
+    const int64_t *a256, int64_t alph_size,
+    const char *gen, int64_t glen,
+    const char *gen_orig, int64_t golen,
+    int64_t gen_pref_n,
+    const int64_t *icfg, const double *dcfg,
+    const char *ests_path, int64_t w, int64_t n,
+    char *out, int64_t cap,
+    int64_t *meta, int64_t meta_cap) {
+
+    up_ctx C = { text, tlen, st_start, st_end, st_parent, st_slink,
+                 st_depth, st_single, st_lo, st_hi, st_occ, st_coff,
+                 st_cchar, st_cnode, a256, alph_size, gen, glen,
+                 gen_orig, golen, gen_pref_n, icfg, dcfg };
+    static char comp_tbl[256];
+    static int comp_init = 0;
+    char *buf = NULL;
+    int64_t flen = 0;
+    sbuf S[6], DATA;
+    int64_t ret = -3;
+    int64_t rec = 0;         /* global record index */
+    int64_t n_units = 0;     /* owned units emitted */
+    int64_t meta_need = 2;
+    /* current record state */
+    char *id = NULL; int64_t idlen = 0;
+    char *seqbuf = NULL; int64_t seqlen = 0, seqcap = 0;
+    int in_record = 0;
+
+    memset(S, 0, sizeof(S));
+    memset(&DATA, 0, sizeof(DATA));
+
+    if (!comp_init) { up_comp_init(comp_tbl); comp_init = 1; }
+
+    {
+        FILE *f = fopen(ests_path, "rb");
+        long sz;
+        if (!f) return -3;
+        if (fseek(f, 0, SEEK_END) != 0 || (sz = ftell(f)) < 0
+            || fseek(f, 0, SEEK_SET) != 0) { fclose(f); return -3; }
+        buf = (char *)malloc((size_t)sz + 1);
+        if (!buf) { fclose(f); return -3; }
+        flen = (int64_t)fread(buf, 1, (size_t)sz, f);
+        fclose(f);
+    }
+
+    /* parse + process.  Records flush on '>' headers, the literal
+     * "#\\#" separator, and EOF.  Owned records (rec % n == w) run the
+     * full preprocessing + up_est_run; others are skipped cheaply. */
+    {
+        int64_t p = 0;
+        int flush_err = 0;
+        while (p <= flen && !flush_err) {
+            /* next line [p, q) with universal-newline semantics */
+            int64_t q = p, lend;
+            if (p == flen) {
+                if (!in_record && seqlen == 0 && id == NULL) break;
+            }
+            while (q < flen && buf[q] != '\n' && buf[q] != '\r') q++;
+            lend = q;
+            /* strip trailing chars < ' ' (my_getline) */
+            while (lend > p && (unsigned char)buf[lend - 1] < 32) lend--;
+            {
+                char *line = buf + p;
+                int64_t llen = lend - p;
+                int is_hdr = llen > 0 && line[0] == '>';
+                int is_sep = llen == 3 && line[0] == '#'
+                    && line[1] == '\\' && line[2] == '#';
+                if (is_hdr || is_sep || q >= flen) {
+                    /* flush current record */
+                    if (in_record) {
+                        if (!is_hdr && !is_sep && q >= flen && llen > 0
+                            && line[0] != '>') {
+                            /* last line belongs to the record */
+                            if (seqlen + llen > seqcap) {
+                                int64_t nc = seqcap ? seqcap : 1024;
+                                char *nb;
+                                while (seqlen + llen > nc) nc *= 2;
+                                nb = (char *)realloc(seqbuf, (size_t)nc);
+                                if (!nb) { flush_err = 1; goto advance; }
+                                seqbuf = nb; seqcap = nc;
+                            }
+                            memcpy(seqbuf + seqlen, line, (size_t)llen);
+                            seqlen += llen;
+                            llen = 0;
+                        }
+                        if (rec % n == w) {
+                            /* preprocess + run this unit */
+                            int fixed = 0;
+                            int strand = up_strand(id, idlen, &fixed);
+                            int64_t lens[4];
+                            char *sq = NULL, *orig = NULL;
+                            int64_t rc_run;
+                            int64_t suffpa;
+                            int64_t spos[6];
+                            int64_t si;
+                            if (seqlen == 0) { flush_err = 1; goto advance; }
+                            sq = (char *)malloc((size_t)seqlen * 2);
+                            if (!sq) { flush_err = 1; goto advance; }
+                            orig = sq + seqlen;
+                            if (strand == -1) {
+                                up_revcomp(seqbuf, seqlen, sq, comp_tbl);
+                                memcpy(orig, sq, (size_t)seqlen);
+                            } else {
+                                memcpy(sq, seqbuf, (size_t)seqlen);
+                                memcpy(orig, seqbuf, (size_t)seqlen);
+                            }
+                            if (up_polyat_substitution(sq, seqlen, lens)
+                                < 0) { free(sq); flush_err = 1;
+                                       goto advance; }
+                            suffpa = lens[1];
+                            for (si = 0; si < 6; si++) spos[si] = S[si].n;
+                            rc_run = up_est_run(
+                                &C, id, idlen, (const unsigned char *)sq,
+                                seqlen, orig, seqlen, suffpa, S);
+                            if (rc_run >= 0 && rc_run == 0 && !fixed) {
+                                /* forward failed: try the RC copy
+                                 * (copy_and_reverse semantics: RC of the
+                                 * MASKED seq; original == same bytes) */
+                                char *rsq = (char *)malloc(
+                                    (size_t)seqlen * 2);
+                                if (!rsq) { free(sq); flush_err = 1;
+                                            goto advance; }
+                                up_revcomp(sq, seqlen, rsq, comp_tbl);
+                                memcpy(rsq + seqlen, rsq,
+                                       (size_t)seqlen);
+                                if (up_polyat_substitution(rsq, seqlen,
+                                                           lens) < 0) {
+                                    free(rsq); free(sq); flush_err = 1;
+                                    goto advance;
+                                }
+                                rc_run = up_est_run(
+                                    &C, id, idlen,
+                                    (const unsigned char *)rsq, seqlen,
+                                    rsq + seqlen, seqlen, lens[1], S);
+                                free(rsq);
+                            }
+                            free(sq);
+                            if (rc_run < 0) {
+                                /* per-unit host fallback: roll back any
+                                 * partial stream writes, emit -1 lens */
+                                for (si = 0; si < 6; si++)
+                                    S[si].n = spos[si];
+                                meta_need = 2 + 7 * (n_units + 1);
+                                if (meta_need <= meta_cap) {
+                                    meta[2 + 7 * n_units] = rec;
+                                    for (si = 0; si < 6; si++)
+                                        meta[2 + 7 * n_units + 1 + si]
+                                            = -1;
+                                }
+                                n_units++;
+                            } else {
+                                meta_need = 2 + 7 * (n_units + 1);
+                                if (meta_need <= meta_cap) {
+                                    meta[2 + 7 * n_units] = rec;
+                                    for (si = 0; si < 6; si++)
+                                        meta[2 + 7 * n_units + 1 + si]
+                                            = S[si].n - spos[si];
+                                }
+                                /* append this unit's streams to DATA */
+                                for (si = 0; si < 6; si++) {
+                                    if (!sb_put(&DATA, S[si].d + spos[si],
+                                                S[si].n - spos[si])) {
+                                        flush_err = 1;
+                                        break;
+                                    }
+                                }
+                                /* reset S so buffers stay small */
+                                for (si = 0; si < 6; si++) S[si].n = 0;
+                                n_units++;
+                            }
+                        }
+                        rec++;
+                        in_record = 0;
+                        seqlen = 0;
+                    }
+                    if (is_hdr) {
+                        id = line + 1;
+                        idlen = llen - 1;
+                        in_record = 1;
+                        seqlen = 0;
+                    }
+                } else if (in_record && llen > 0) {
+                    if (seqlen + llen > seqcap) {
+                        int64_t nc = seqcap ? seqcap : 1024;
+                        char *nb;
+                        while (seqlen + llen > nc) nc *= 2;
+                        nb = (char *)realloc(seqbuf, (size_t)nc);
+                        if (!nb) { flush_err = 1; goto advance; }
+                        seqbuf = nb; seqcap = nc;
+                    }
+                    memcpy(seqbuf + seqlen, line, (size_t)llen);
+                    seqlen += llen;
+                }
+            }
+advance:
+            if (q >= flen) break;
+            /* skip the newline ('\r\n' counts as one terminator) */
+            if (buf[q] == '\r' && q + 1 < flen && buf[q + 1] == '\n')
+                p = q + 2;
+            else
+                p = q + 1;
+        }
+        if (flush_err) goto done;
+        /* a header at EOF leaves an empty pending record: python would
+         * flush it and crash on the empty sequence — fall back so the
+         * host path reproduces that behavior */
+        if (in_record) goto done;
+    }
+
+    meta_need = 2 + 7 * n_units;
+    if (meta_need > meta_cap || DATA.n > cap) {
+        if (meta_cap >= 2) { meta[0] = meta_need; meta[1] = DATA.n; }
+        ret = -2;
+        goto done;
+    }
+    meta[0] = n_units;
+    meta[1] = DATA.n;
+    if (DATA.n) memcpy(out, DATA.d, (size_t)DATA.n);
+    ret = 0;
+done:
+    free(buf);
+    free(seqbuf);
+    free(DATA.d);
     {
         int64_t i;
         for (i = 0; i < 6; i++) free(S[i].d);

@@ -537,6 +537,155 @@ _WORKER_CTX = None
 _UNIT_OUT = None
 
 
+def _native_cfg_arrays(config: Config):
+    """(icfg_ptr, dcfg ndarray) marshaled for unit_process/worker_run."""
+    import numpy as np
+
+    from pintron_tpu.native import np_scratch
+    icfg, icfg_ptr = np_scratch("up_icfg", 13)
+    icfg[:13] = [config.min_factor_len, config.max_intron_length,
+                 config.min_intron_length, config.max_pairings_in_MEG,
+                 1 if config.trans_red else 0,
+                 1 if config.short_edge_comp else 0,
+                 config.max_site_difference, config.max_gapLength_diff,
+                 config.max_number_of_factorizations,
+                 config.suffpref_length_on_est,
+                 config.suffpref_length_for_intron,
+                 config.suffpref_length_on_gen,
+                 1 if config.retain_externals else 0]
+    dcfg = np.array([config.min_string_depth_rate,
+                     config.max_prefix_discarded_rate,
+                     config.max_suffix_discarded_rate,
+                     config.max_freq_shortest_pairing,
+                     config.complexity_threshold,
+                     config.max_coverage_diff,
+                     float(config.max_single_factorization_time or 0)],
+                    dtype=np.float64)
+    return icfg_ptr, dcfg
+
+
+def _native_gates():
+    """True when the fused native paths may run at all."""
+    import os
+    if os.environ.get("PINTRON_NO_NATIVE_EST_PROCESS") \
+            or os.environ.get("PINTRON_NO_NATIVE_UNIT"):
+        return False
+    from pintron_tpu.meg.dot import log_graphs_enabled
+    return not log_graphs_enabled()
+
+
+def _native_worker_run(gen: mf.EstInfo, tree: SuffixTree,
+                       gen_seq_bytes: bytes, config: Config,
+                       ests_path: str, w: int, n: int):
+    """Whole-run native worker (worker_run in native/dp.c): parse
+    ests.txt, preprocess the owned records, and run every owned unit —
+    all in one C call.  Returns a list of (record_index, six-blob tuple
+    or None) in file order, where None marks a unit the C side declined
+    (host fallback recomputes just that unit); or None when the whole
+    run must fall back."""
+    import os
+    if not _native_gates() or os.environ.get("PINTRON_NO_NATIVE_WORKER"):
+        return None
+    from pintron_tpu.native import get_lib, np_scratch
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "worker_run"):
+        return None
+
+    import ctypes
+
+    global _GEN_KEEPALIVE, _UNIT_OUT
+    _GEN_KEEPALIVE = gen_seq_bytes
+
+    flat = tree.flat_arrays()
+    ptrs = flat["_ptrs"]
+    from pintron_tpu.meg.graph import _gen_maps
+    _ai, alph_size, _a256, a256_ptr = _gen_maps(gen_seq_bytes)
+    gen_orig = gen.original_seq.encode("latin1")
+    icfg_ptr, dcfg = _native_cfg_arrays(config)
+    meta, meta_ptr = np_scratch("wr_meta", 4096)
+
+    if _UNIT_OUT is None:
+        _UNIT_OUT = ctypes.create_string_buffer(1 << 20)
+    path_b = os.fspath(ests_path).encode()
+    while True:
+        rc = lib.worker_run(
+            tree.text, len(tree.text),
+            ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4], ptrs[5],
+            ptrs[6], ptrs[7], ptrs[8], ptrs[9], ptrs[10], ptrs[11],
+            a256_ptr, alph_size,
+            gen_seq_bytes, len(gen_seq_bytes),
+            gen_orig, len(gen_orig),
+            gen.pref_N_length,
+            icfg_ptr, dcfg.ctypes.data,
+            path_b, w, n,
+            _UNIT_OUT, len(_UNIT_OUT),
+            meta_ptr, meta.size)
+        if rc == -2:
+            need_meta, need_bytes = int(meta[0]), int(meta[1])
+            if need_bytes + 4096 > len(_UNIT_OUT):
+                _UNIT_OUT = ctypes.create_string_buffer(
+                    max(2 * len(_UNIT_OUT), need_bytes + 4096))
+            if need_meta > meta.size:
+                meta, meta_ptr = np_scratch("wr_meta", need_meta + 1024)
+            continue
+        if rc != 0:
+            return None
+        break
+    n_units = int(meta[0])
+    data = ctypes.string_at(_UNIT_OUT, int(meta[1]))
+    out = []
+    pos = 0
+    for u in range(n_units):
+        rec = int(meta[2 + 7 * u])
+        lens = [int(meta[2 + 7 * u + 1 + s]) for s in range(6)]
+        if lens[0] == -1:
+            out.append((rec, None))
+            continue
+        blobs = []
+        for ln in lens:
+            blobs.append(data[pos:pos + ln].decode("latin1"))
+            pos += ln
+        out.append((rec, tuple(blobs)))
+    return out
+
+
+def _unit_for_record(gen: mf.EstInfo, est: mf.EstInfo) -> List[mf.EstInfo]:
+    """Preprocess one parsed record into its work unit (a fixed-strand
+    EST alone, or a forward EST plus its RC copy)."""
+    mf.set_est_gb_identification(est)
+    mf.set_est_strand_and_rc(est, gen)
+    mf.polyat_substitution(est)
+    if not est.fixed_strand:
+        rev = est.copy_and_reverse()
+        mf.polyat_substitution(rev)
+        return [est, rev]
+    return [est]
+
+
+def _run_units(gen: mf.EstInfo, tree: SuffixTree, gen_seq_bytes: bytes,
+               config: Config, ests_path: str, w: int, n: int):
+    """Produce the per-unit six-blob tuples for records w::n of
+    ests.txt: whole-run native call when possible, per-unit or whole-run
+    host fallback otherwise."""
+    global _WORKER_CTX
+    _WORKER_CTX = (gen, tree, gen_seq_bytes, config)
+    try:
+        res = _native_worker_run(gen, tree, gen_seq_bytes, config,
+                                 ests_path, w, n)
+        if res is not None:
+            if all(t is not None for _, t in res):
+                return [t for _, t in res]
+            with open(ests_path) as fh:
+                ests = mf.read_multifasta(fh)
+            return [t if t is not None
+                    else _process_unit(_unit_for_record(gen, ests[rec]))
+                    for rec, t in res]
+        return [_process_unit(u)
+                for u in _worker_units_from_file(gen, ests_path, w, n)]
+    finally:
+        _WORKER_CTX = None
+
+
 def _native_unit_process(unit: List[mf.EstInfo], gen: mf.EstInfo,
                          tree: SuffixTree, gen_seq_bytes: bytes,
                          config: Config):
@@ -546,12 +695,7 @@ def _native_unit_process(unit: List[mf.EstInfo], gen: mf.EstInfo,
     sequential loop of main-est-fact.c:247-291.  Returns the six output
     blobs or None when the native path is unavailable (the caller then
     recomputes through the host path)."""
-    import os
-    if os.environ.get("PINTRON_NO_NATIVE_EST_PROCESS") \
-            or os.environ.get("PINTRON_NO_NATIVE_UNIT"):
-        return None
-    from pintron_tpu.meg.dot import log_graphs_enabled
-    if log_graphs_enabled():
+    if not _native_gates():
         return None
     from pintron_tpu.native import get_lib, np_scratch
     lib = get_lib()
@@ -559,8 +703,6 @@ def _native_unit_process(unit: List[mf.EstInfo], gen: mf.EstInfo,
         return None
 
     import ctypes
-
-    import numpy as np
 
     global _GEN_KEEPALIVE, _UNIT_OUT
     _GEN_KEEPALIVE = gen_seq_bytes
@@ -587,25 +729,7 @@ def _native_unit_process(unit: List[mf.EstInfo], gen: mf.EstInfo,
     blob = b"".join(parts)
     emeta, emeta_ptr = np_scratch("up_emeta", len(meta))
     emeta[:len(meta)] = meta
-    icfg, icfg_ptr = np_scratch("up_icfg", 13)
-    icfg[:13] = [config.min_factor_len, config.max_intron_length,
-                 config.min_intron_length, config.max_pairings_in_MEG,
-                 1 if config.trans_red else 0,
-                 1 if config.short_edge_comp else 0,
-                 config.max_site_difference, config.max_gapLength_diff,
-                 config.max_number_of_factorizations,
-                 config.suffpref_length_on_est,
-                 config.suffpref_length_for_intron,
-                 config.suffpref_length_on_gen,
-                 1 if config.retain_externals else 0]
-    dcfg = np.array([config.min_string_depth_rate,
-                     config.max_prefix_discarded_rate,
-                     config.max_suffix_discarded_rate,
-                     config.max_freq_shortest_pairing,
-                     config.complexity_threshold,
-                     config.max_coverage_diff,
-                     float(config.max_single_factorization_time or 0)],
-                    dtype=np.float64)
+    icfg_ptr, dcfg = _native_cfg_arrays(config)
     out_meta, out_meta_ptr = np_scratch("up_ometa", 8)
 
     if _UNIT_OUT is None:
@@ -652,15 +776,7 @@ def _worker_units_from_file(gen: mf.EstInfo, ests_path: str, w: int,
     for idx, est in enumerate(ests):
         if idx % n != w:
             continue
-        mf.set_est_gb_identification(est)
-        mf.set_est_strand_and_rc(est, gen)
-        mf.polyat_substitution(est)
-        if not est.fixed_strand:
-            rev = est.copy_and_reverse()
-            mf.polyat_substitution(rev)
-            yield [est, rev]
-        else:
-            yield [est]
+        yield _unit_for_record(gen, est)
 
 
 def _worker_main(conn) -> None:
@@ -698,14 +814,14 @@ def _worker_main(conn) -> None:
                     tree_cache[gen_seq_bytes] = tree
                 cached = (gen, tree, gen_seq_bytes, config)
                 ctx_cache[digest] = cached
-            _WORKER_CTX = cached
             if isinstance(units, tuple) and units and units[0] == "file":
                 _path, _w, _n = units[1], units[2], units[3]
-                unit_iter = _worker_units_from_file(cached[0], _path,
-                                                    _w, _n)
+                res = _run_units(cached[0], cached[1], cached[2],
+                                 cached[3], _path, _w, _n)
             else:
-                unit_iter = units
-            conn.send([_process_unit(u) for u in unit_iter])
+                _WORKER_CTX = cached
+                res = [_process_unit(u) for u in units]
+            conn.send(res)
         except Exception:
             import traceback
             try:
@@ -935,36 +1051,13 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
         except (ValueError, OSError, RuntimeError):
             results = None  # pool unavailable: fall through to sequential
     if results is None:
-        ests = mf.read_multifasta(open(wpath("ests.txt")))
-        est_list: List[mf.EstInfo] = []
-        for est in ests:
-            mf.set_est_gb_identification(est)
-            mf.set_est_strand_and_rc(est, gen)
-            est_list.append(est)
-            mf.polyat_substitution(est)
-            if not est.fixed_strand:
-                rev = est.copy_and_reverse()
-                est_list.append(rev)
-                mf.polyat_substitution(rev)
-        units: List[List[mf.EstInfo]] = []
-        i = 0
-        while i < len(est_list):
-            if not est_list[i].fixed_strand:
-                units.append([est_list[i], est_list[i + 1]])
-                i += 2
-            else:
-                units.append([est_list[i]])
-                i += 1
-        global _WORKER_CTX, _SEQ_TREE_CACHE
+        global _SEQ_TREE_CACHE
         cached = _SEQ_TREE_CACHE
         if cached is None or cached[0] != gen_seq_bytes:
             _SEQ_TREE_CACHE = (gen_seq_bytes, SuffixTree(gen_seq_bytes))
         tree = _SEQ_TREE_CACHE[1]
-        _WORKER_CTX = (gen, tree, gen_seq_bytes, config)
-        try:
-            results = [_process_unit(u) for u in units]
-        finally:
-            _WORKER_CTX = None
+        results = _run_units(gen, tree, gen_seq_bytes, config,
+                             wpath("ests.txt"), 0, 1)
 
     timers["algorithm"].stop()
     checkpoint("alignment-end")

@@ -84,10 +84,12 @@ def test_native_est_process_matches_host_path(tmp_path, seed):
     if made == 0:
         pytest.skip("empty random case")
     outs = {}
-    # three rungs of the ladder: the fused per-unit native call
-    # (unit_process), the per-EST native call (est_process) with Python
-    # driver glue, and the pure host cascade
+    # four rungs of the ladder: the whole-run native call (worker_run:
+    # C-side FASTA parse + preprocessing + all units), the fused
+    # per-unit native call (unit_process), the per-EST native call
+    # (est_process) with Python driver glue, and the pure host cascade
     for mode, env_extra in (("native", {}),
+                            ("unit", {"PINTRON_NO_NATIVE_WORKER": "1"}),
                             ("estproc", {"PINTRON_NO_NATIVE_UNIT": "1"}),
                             ("host", {"PINTRON_NO_NATIVE_EST_PROCESS": "1"})):
         work = tmp_path / mode
@@ -97,6 +99,7 @@ def test_native_est_process_matches_host_path(tmp_path, seed):
         env = dict(os.environ)
         env.pop("PINTRON_NO_NATIVE_EST_PROCESS", None)
         env.pop("PINTRON_NO_NATIVE_UNIT", None)
+        env.pop("PINTRON_NO_NATIVE_WORKER", None)
         env.update(env_extra)
         env["PINTRON_EST_WORKERS"] = "1"
         r = subprocess.run(
@@ -105,7 +108,7 @@ def test_native_est_process_matches_host_path(tmp_path, seed):
             env=env, capture_output=True, timeout=600)
         assert r.returncode == 0, r.stderr.decode()[-2000:]
         outs[mode] = {fn: (work / fn).read_bytes() for fn in CHECK_FILES}
-    for other in ("estproc", "host"):
+    for other in ("unit", "estproc", "host"):
         for fn in CHECK_FILES:
             if fn == "processed-megs-info.txt":
                 # timing values differ; compare only structure (line count
