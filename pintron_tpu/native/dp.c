@@ -537,6 +537,10 @@ int64_t st_build(const unsigned char *text, int64_t tlen,
  * pintron_tpu/index/gst.py:MaximalPairingScanner).  Tree arrays are
  * produced once per run by the Python SuffixTree. */
 
+static double wr_stats[8];
+void wr_get_stats(double *out8) { memcpy(out8, wr_stats, sizeof(wr_stats)); }
+void wr_reset_stats(void) { memset(wr_stats, 0, sizeof(wr_stats)); }
+
 typedef struct {
     const unsigned char *text; int64_t tlen;
     const int64_t *start, *end, *parent, *slink, *depth;
@@ -5691,6 +5695,7 @@ static int64_t up_est_run(const up_ctx *C,
             int64_t *sc_p, *sc_t, *sc_l;
             for (;;) {   /* vertex scan + complexity ladder */
                 int64_t mfl = base_mfl + inc;
+                double wt0 = fe_now();
                 for (;;) {
                     sc_p = up_i64(0, sc_cap);
                     sc_t = up_i64(1, sc_cap);
@@ -5707,6 +5712,8 @@ static int64_t up_est_run(const up_ctx *C,
                     if (n_scan < -1) { sc_cap = -n_scan; continue; }
                     break;
                 }
+                wr_stats[0] += fe_now() - wt0;
+                wt0 = fe_now();
                 {
                     int64_t cap_v = up_cap(3, n_scan + 16);
                     int64_t cap_e = up_cap(
@@ -5739,6 +5746,7 @@ static int64_t up_est_run(const up_ctx *C,
                         break;
                     }
                 }
+                wr_stats[1] += fe_now() - wt0;
                 if (flags[0] && base_mfl + inc + 1 + 2 < elen + 2) {
                     inc++;
                     continue;
@@ -5795,6 +5803,9 @@ static int64_t up_est_run(const up_ctx *C,
             {
                 double fact_time = fe_now() - t_fact0;
                 int has_facts = nf > 0;
+                double wfmt0;
+                wr_stats[2] += fact_time;
+                wfmt0 = fe_now();
 
                 if (!timeout_f || has_facts) {
                     /* megs.txt section */
@@ -5910,13 +5921,16 @@ static int64_t up_est_run(const up_ctx *C,
                         || !sb_put(&S[4], "\n", 1)
                         || !sb_put(&S[4], orig, olen)
                         || !sb_put(&S[4], "\n", 1)) return -3;
+                    wr_stats[3] += fe_now() - wfmt0;
                     return 1;   /* EST done (facts) */
                 }
                 if (fe_none || timeout_f) {
+                    wr_stats[3] += fe_now() - wfmt0;
                     if (!timeout_f) return 0;
                     inc++;
                     continue;   /* retry with longer seeds */
                 }
+                wr_stats[3] += fe_now() - wfmt0;
                 return 0;   /* no facts, no timeout: EST done */
             }
         }
