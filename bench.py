@@ -74,31 +74,49 @@ def main():
             if line.startswith(">"):
                 n_ests += 1
 
-    # warm-up (native lib build, imports)
+    # warm-up (native lib build, imports, worker pool)
     work = tempfile.mkdtemp(prefix="pintron-bench-")
     for fn in ("genomic.txt", "ests.txt"):
         shutil.copy(os.path.join(src, fn), work)
     run_est_fact(work)
 
-    # best-of-N: the box is shared and small workloads are noisy; the
-    # minimum is the least-contended measurement of the same fixed work.
+    # Honest headline: fresh-locus work per repetition.  The framework
+    # keeps a persistent result memo across runs on the same locus;
+    # repeating the identical input would let later reps degenerate to
+    # cache hits, which the single-process reference binary cannot do.
+    # PINTRON_FRESH_MEMO wipes the memo and rebuilds the index each
+    # run, so best-of-N de-noises without changing the work measured.
     reps = 9
-    dt = float("inf")
+    os.environ["PINTRON_FRESH_MEMO"] = "1"
+    try:
+        run_est_fact(work)  # one fresh-mode warm-up (scratch growth)
+        dt = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run_est_fact(work)
+            dt = min(dt, time.perf_counter() - t0)
+    finally:
+        del os.environ["PINTRON_FRESH_MEMO"]
+
+    # secondary: warm-repeat throughput (persistent memo retained),
+    # i.e. re-running the same locus — reported but not the headline
+    dt_warm = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         run_est_fact(work)
-        dt = min(dt, time.perf_counter() - t0)
+        dt_warm = min(dt_warm, time.perf_counter() - t0)
 
     ests_per_s = n_ests / dt
     ref_rate = measure_reference(src, n_ests)
     baseline = ref_rate if ref_rate else BASELINE_ESTS_PER_S
     out = {
-        "metric": "est-fact throughput (AMBN locus)",
+        "metric": "est-fact throughput (AMBN locus, fresh-locus work)",
         "value": round(ests_per_s, 2),
         "unit": "ESTs/s",
         "vs_baseline": round(ests_per_s / baseline, 3),
         "baseline_ests_per_s": round(baseline, 1),
         "baseline_source": "measured" if ref_rate else "stored",
+        "warm_repeat_ests_per_s": round(n_ests / dt_warm, 2),
     }
     print(json.dumps(out))
 

@@ -14,6 +14,9 @@
 #include <stdlib.h>
 #include <string.h>
 
+static double fe_now(void);
+static double ri_stats[8];
+
 #define BIG (1LL << 60)
 
 static inline int64_t min3(int64_t a, int64_t b, int64_t c) {
@@ -86,33 +89,65 @@ int64_t kband_core(const char *seq1, int64_t n, const char *seq2, int64_t m,
  * N wildcards, direction preference diag > up > left with strict
  * improvement.  Fills dirs (n+1)x(m+1) row-major int8 and returns the
  * final score.  Caller runs the traceback. */
+static int32_t *nw_buf = NULL;
+static int64_t nw_buf_cap = 0;
+
+static double nw_t0_tmp;
 int64_t nw_align(const char *est, int64_t n, const char *gen, int64_t m,
                  int8_t *dirs) {
-    int64_t *prev = (int64_t *)malloc((m + 1) * sizeof(int64_t));
-    int64_t *cur = (int64_t *)malloc((m + 1) * sizeof(int64_t));
+    nw_t0_tmp = fe_now();
+    /* Pass-structured fill (same values/directions as the classic cell
+     * loop): per row, (1) the branch-free diag/up minimum over the
+     * previous row — independent per cell, auto-vectorizes; (2) the
+     * sequential left-relaxation prefix scan; (3) direction bytes
+     * recomputed from the final values with the same tie order
+     * (diag > up > left, strict improvement). int32 rows. */
+    int64_t need = 3 * (m + 2);
+    int32_t *prev, *cur, *cost;
     int64_t i, j, score;
-    if (!prev || !cur) { free(prev); free(cur); return -1; }
-    for (j = 0; j <= m; j++) prev[j] = j;
-    /* no memset: the traceback only reads dirs[i][j] for i,j >= 1,
-     * all of which are written below */
+    if (need > nw_buf_cap) {
+        int32_t *nb = (int32_t *)realloc(
+            nw_buf, (size_t)(2 * need + 64) * sizeof(int32_t));
+        if (!nb) return -1;
+        nw_buf = nb;
+        nw_buf_cap = 2 * need + 64;
+    }
+    prev = nw_buf;
+    cur = prev + (m + 1);
+    cost = cur + (m + 1);
+    for (j = 0; j <= m; j++) prev[j] = (int32_t)j;
+    /* no dirs memset: the traceback only reads dirs[i][j] for
+     * i,j >= 1, all of which are written below */
     for (i = 1; i <= n; i++) {
         char e = est[i - 1];
-        int ewild = (e == 'n' || e == 'N');
-        cur[0] = i;
-        for (j = 1; j <= m; j++) {
-            char g = gen[j - 1];
-            int match = (e == g) || ewild || g == 'n' || g == 'N';
-            int64_t v = prev[j - 1] + (match ? 0 : 1);
-            int8_t d = 0;
-            if (prev[j] + 1 < v) { v = prev[j] + 1; d = 1; }
-            if (cur[j - 1] + 1 < v) { v = cur[j - 1] + 1; d = 2; }
-            cur[j] = v;
-            dirs[i * (m + 1) + j] = d;
+        int8_t *drow = dirs + i * (m + 1);
+        if (e == 'n' || e == 'N') {
+            for (j = 1; j <= m; j++) cost[j] = 0;
+        } else {
+            for (j = 1; j <= m; j++) {
+                char g = gen[j - 1];
+                cost[j] = (g != e) & (g != 'n') & (g != 'N');
+            }
         }
-        { int64_t *t = prev; prev = cur; cur = t; }
+        cur[0] = (int32_t)i;
+        for (j = 1; j <= m; j++) {
+            int32_t a = prev[j - 1] + cost[j];
+            int32_t b = prev[j] + 1;
+            cur[j] = a < b ? a : b;
+        }
+        for (j = 1; j <= m; j++) {
+            int32_t c = cur[j - 1] + 1;
+            if (c < cur[j]) cur[j] = c;
+        }
+        for (j = 1; j <= m; j++) {
+            int32_t v = cur[j];
+            drow[j] = v == prev[j - 1] + cost[j] ? 0
+                : (v == prev[j] + 1 ? 1 : 2);
+        }
+        { int32_t *t = prev; prev = cur; cur = t; }
     }
     score = prev[m];
-    free(prev); free(cur);
+    ri_stats[2] += fe_now() - nw_t0_tmp; ri_stats[5] += 1.0;
     return score;
 }
 
@@ -873,79 +908,94 @@ int64_t bps_search(const char *seq, int64_t len, const double *pwm,
  * L/G/R values at (n, m).  Single fused row pass: G[i][*] depends only
  * on L's current row, R[i][j] on G[i][j-1] and R's previous/current
  * rows, so no full value matrices are materialized. */
-static int64_t *ga_scratch = NULL;
-static int64_t ga_scratch_cap = 0;
+static int32_t *ga_buf = NULL;
+static int64_t ga_buf_cap = 0;
 
 void gap_align_fill(const char *est, int64_t n, const char *gen, int64_t m,
                     int8_t *Ldir, int8_t *Gdir, int8_t *Rdir,
                     int64_t *finals) {
-    int64_t need = 4 * (m + 1);
-    int64_t *Lprev, *Lcur, *Rprev, *Rcur, *Gcur, *tmp;
+    /* Pass-structured fill, value- and direction-identical to the
+     * classic per-cell loop: per row, each matrix does (1) a
+     * vectorizable maximum over previous-row terms, (2) the sequential
+     * left-relaxation prefix scan, (3) direction bytes recomputed from
+     * the final values with the original strict-improvement tie orders
+     * (L: diag > up > left; G: keep > take-L; R: diag > i_del > grow >
+     * up). */
+    int64_t need = 6 * (m + 2);
+    int32_t *Lprev, *Lcur, *Rprev, *Rcur, *Gcur, *ms, *tmp;
     int64_t i, j;
-    if (need + (m + 1) > ga_scratch_cap) {
-        int64_t nc = 2 * (need + m + 1) + 64;
-        int64_t *nd = (int64_t *)realloc(ga_scratch, nc * sizeof(int64_t));
+    if (need > ga_buf_cap) {
+        int32_t *nd = (int32_t *)realloc(
+            ga_buf, (size_t)(2 * need + 64) * sizeof(int32_t));
         if (!nd) { finals[0] = finals[1] = finals[2] = -(1LL << 40); return; }
-        ga_scratch = nd;
-        ga_scratch_cap = nc;
+        ga_buf = nd;
+        ga_buf_cap = 2 * need + 64;
     }
-    Lprev = ga_scratch;
+    Lprev = ga_buf;
     Lcur = Lprev + (m + 1);
     Rprev = Lcur + (m + 1);
     Rcur = Rprev + (m + 1);
     Gcur = Rcur + (m + 1);
+    ms = Gcur + (m + 1);
     for (j = 0; j <= m; j++) { Lprev[j] = 0; Rprev[j] = 0; Gcur[j] = 0; }
     finals[0] = 0; finals[1] = 0; finals[2] = 0;
     for (i = 1; i <= n; i++) {
         char e = est[i - 1];
         int ew = (e == 'n' || e == 'N');
-        int64_t cost = (i == n) ? 0 : 1;
+        int32_t cost = (i == n) ? 0 : 1;
         int8_t *Lrow = Ldir + i * (m + 1);
         int8_t *Grow = Gdir + i * (m + 1);
         int8_t *Rrow = Rdir + i * (m + 1);
+        if (ew) {
+            for (j = 1; j <= m; j++) ms[j] = 1;
+        } else {
+            for (j = 1; j <= m; j++) {
+                char g = gen[j - 1];
+                ms[j] = ((g == e) | (g == 'n') | (g == 'N')) ? 1 : -1;
+            }
+        }
+        /* L matrix */
         Lcur[0] = 0;
-        Rcur[0] = 0;
-        /* Gcur[0] stays 0 every row */
         for (j = 1; j <= m; j++) {
-            char g = gen[j - 1];
-            int match = (e == g) || ew || g == 'n' || g == 'N';
-            int64_t ms = match ? 1 : -1;
-            int64_t gprev = Gcur[j - 1];     /* G[i][j-1] before update? */
-            int64_t diag, up, left, v;
-            int8_t d;
-            /* L matrix */
-            diag = Lprev[j - 1] + ms;
-            up = Lprev[j] - 1;
-            left = Lcur[j - 1] - 1;
-            v = diag; d = 0;
-            if (up > v) { v = up; d = 1; }
-            if (left > v) { v = left; d = 2; }
-            Lcur[j] = v;
-            Lrow[j] = d;
-            /* G matrix: uses L current row and G current row (j-1).
-             * NOTE Gcur[j-1] at this point is already THIS row's value
-             * (updated last iteration), matching the reference row
-             * recurrence G[i][j] = max(G[i][j-1], L[i][j-1]). */
-            if (gprev < Lcur[j - 1]) {
-                Gcur[j] = Lcur[j - 1];
-                Grow[j] = -2;
-            } else {
-                Gcur[j] = gprev;
-                Grow[j] = 2;
-            }
-            /* R matrix */
-            diag = Rprev[j - 1] + ms;
-            up = Rprev[j] - 1;
-            {
-                int64_t i_del = Rcur[j - 1] - cost;
-                int64_t grow = Gcur[j - 1];
-                v = diag; d = 0;
-                if (i_del > v) { v = i_del; d = 2; }
-                if (grow > v) { v = grow; d = -2; }
-                if (up > v) { v = up; d = 1; }
-            }
-            Rcur[j] = v;
-            Rrow[j] = d;
+            int32_t a = Lprev[j - 1] + ms[j];
+            int32_t b = Lprev[j] - 1;
+            Lcur[j] = a > b ? a : b;
+        }
+        for (j = 1; j <= m; j++) {
+            int32_t c = Lcur[j - 1] - 1;
+            if (c > Lcur[j]) Lcur[j] = c;
+        }
+        for (j = 1; j <= m; j++) {
+            int32_t v = Lcur[j];
+            Lrow[j] = v == Lprev[j - 1] + ms[j] ? 0
+                : (v == Lprev[j] - 1 ? 1 : 2);
+        }
+        /* G matrix: G[i][j] = max(G[i][j-1], L[i][j-1]); Gcur[0] stays
+         * 0 every row; keep-G wins ties */
+        for (j = 1; j <= m; j++) {
+            int32_t gp = Gcur[j - 1];
+            int32_t lc = Lcur[j - 1];
+            if (gp < lc) { Gcur[j] = lc; Grow[j] = -2; }
+            else { Gcur[j] = gp; Grow[j] = 2; }
+        }
+        /* R matrix */
+        Rcur[0] = 0;
+        for (j = 1; j <= m; j++) {
+            int32_t a = Rprev[j - 1] + ms[j];
+            int32_t b = Rprev[j] - 1;
+            int32_t c = Gcur[j - 1];
+            if (b > a) a = b;
+            Rcur[j] = c > a ? c : a;
+        }
+        for (j = 1; j <= m; j++) {
+            int32_t c = Rcur[j - 1] - cost;
+            if (c > Rcur[j]) Rcur[j] = c;
+        }
+        for (j = 1; j <= m; j++) {
+            int32_t v = Rcur[j];
+            Rrow[j] = v == Rprev[j - 1] + ms[j] ? 0
+                : (v == Rcur[j - 1] - cost ? 2
+                   : (v == Gcur[j - 1] ? -2 : 1));
         }
         tmp = Lprev; Lprev = Lcur; Lcur = tmp;
         tmp = Rprev; Rprev = Rcur; Rcur = tmp;
@@ -2911,7 +2961,9 @@ int64_t refine_intron_core(
         cap_al = 2 * (n + m) + 64;
     }
 
+    { double rt0 = fe_now();
     gap_align_run(seq_est, n, seq_gen, m, est_al, gen_al, out7);
+    ri_stats[0] += fe_now() - rt0; ri_stats[4] += 1.0; }
     if (out7[0] < 0) return -1;
     /* the shift-table rows hold alignment-derived substrings in fixed
      * buffers; outsized alignments fall back to the python path */
@@ -2952,6 +3004,7 @@ int64_t refine_intron_core(
         }
     }
 
+    { double rt0 = fe_now();
     ok = ri_shift(est, est_len, gen, gen_len, &al, 'G', 'T', 1, 1, o3);
     if (!ok) ok = ri_shift(est, est_len, gen, gen_len, &al, 'G', 'T',
                            1, 0, o3);
@@ -2962,6 +3015,7 @@ int64_t refine_intron_core(
     if (!ok)
         ri_try_burset(est, est_len, gen, gen_len, al.nafl, al.ndrg,
                       al.nalg, d_es, a_ee, o3);
+    ri_stats[1] += fe_now() - rt0; }
     final0 = o3[0]; final1 = o3[1]; final2 = o3[2];
     if (final1 > a_ge || final0 < d_gs) return 0;
 
@@ -3100,6 +3154,8 @@ static char *ep_cbuf(int slot, int64_t need) {
  * 0 collect, 1 cascade, 2 filters, 3 refine_intron, 4 polyA,
  * 5 false-small, 6 new-small, 7 clean+final */
 static double ep_stats[16];
+void ri_get_stats(double *out8) { memcpy(out8, ri_stats, sizeof(ri_stats)); }
+void ri_reset_stats(void) { memset(ri_stats, 0, sizeof(ri_stats)); }
 void ep_get_stats(double *out16) {
     int i;
     for (i = 0; i < 16; i++) out16[i] = ep_stats[i];
@@ -3232,6 +3288,18 @@ static uint64_t epm_begin(const char *gen, int64_t glen,
             return idx + 1;
         idx = (idx + 1) & (EPS_CAP - 1);
     }
+}
+
+/* Wipe the persistent memo/sequence registry.  Benchmarks measuring
+ * fresh-locus work call this between repetitions (PINTRON_FRESH_MEMO);
+ * the memo otherwise persists by design across runs on the same
+ * locus. */
+void ep_memo_wipe(void) {
+    epm_wipe();
+    eps_wipe();
+    epm_gen_ptr = NULL;
+    epm_gen_len = -1;
+    epm_gen_hash = 0;
 }
 
 /* id of the (est, est_orig) pair for the current est_process call; 0

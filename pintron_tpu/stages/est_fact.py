@@ -663,11 +663,18 @@ def _unit_for_record(gen: mf.EstInfo, est: mf.EstInfo) -> List[mf.EstInfo]:
 
 
 def _run_units(gen: mf.EstInfo, tree: SuffixTree, gen_seq_bytes: bytes,
-               config: Config, ests_path: str, w: int, n: int):
+               config: Config, ests_path: str, w: int, n: int,
+               fresh: bool = False):
     """Produce the per-unit six-blob tuples for records w::n of
     ests.txt: whole-run native call when possible, per-unit or whole-run
-    host fallback otherwise."""
+    host fallback otherwise.  ``fresh`` wipes the persistent result memo
+    first, so the run measures fresh-locus work (benchmark mode)."""
     global _WORKER_CTX
+    if fresh:
+        from pintron_tpu.native import get_lib
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "ep_memo_wipe"):
+            lib.ep_memo_wipe()
     _WORKER_CTX = (gen, tree, gen_seq_bytes, config)
     try:
         res = _native_worker_run(gen, tree, gen_seq_bytes, config,
@@ -816,8 +823,13 @@ def _worker_main(conn) -> None:
                 ctx_cache[digest] = cached
             if isinstance(units, tuple) and units and units[0] == "file":
                 _path, _w, _n = units[1], units[2], units[3]
-                res = _run_units(cached[0], cached[1], cached[2],
-                                 cached[3], _path, _w, _n)
+                _fresh = bool(units[4]) if len(units) > 4 else False
+                _tree = cached[1]
+                if _fresh:
+                    # fresh-locus benchmark mode: rebuild the index too
+                    _tree = SuffixTree(cached[2])
+                res = _run_units(cached[0], _tree, cached[2],
+                                 cached[3], _path, _w, _n, fresh=_fresh)
             else:
                 _WORKER_CTX = cached
                 res = [_process_unit(u) for u in units]
@@ -883,18 +895,20 @@ class _PersistentPool:
                 results[k] = r
         return results
 
-    def run_file(self, gen, gen_seq_bytes, config, ests_path):
+    def run_file(self, gen, gen_seq_bytes, config, ests_path,
+                 fresh=False):
         """Like run(), but each worker parses ests.txt itself and
         preprocesses only its own records (record k -> unit k), so no
         sequence bytes cross the pipe and the parent does no EST work.
         Reassembly is by round-robin index, byte-identical to the
-        sequential order."""
+        sequential order.  ``fresh`` makes each worker wipe its
+        persistent caches first (fresh-locus benchmark mode)."""
         payload = (gen, gen_seq_bytes, config)
         digest = self._digest(gen, gen_seq_bytes, config)
         send_payload = payload if digest not in self.sent_digests else None
         for w, conn in enumerate(self.pipes):
             conn.send((digest, send_payload,
-                       ("file", ests_path, w, self.n)))
+                       ("file", ests_path, w, self.n, fresh)))
         self.sent_digests = {digest}
         per_worker = []
         for conn in self.pipes:
@@ -1037,6 +1051,10 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
     timers["algorithm"].start()
     nworkers = int(os.environ.get("PINTRON_EST_WORKERS", "0")) \
         or (os.cpu_count() or 1)
+    # Fresh-locus benchmark mode: wipe the persistent result memo and
+    # rebuild the index each run, so repeated runs on the same input
+    # measure fresh work instead of cache hits.
+    fresh = bool(os.environ.get("PINTRON_FRESH_MEMO"))
     results = None
     if nworkers > 1:
         # Pooled path: workers parse ests.txt themselves and preprocess
@@ -1047,17 +1065,18 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
         # workers here, across devices/hosts in pintron_tpu.parallel.
         try:
             results = _get_pool(nworkers).run_file(
-                gen, gen_seq_bytes, config, wpath("ests.txt"))
+                gen, gen_seq_bytes, config, wpath("ests.txt"),
+                fresh=fresh)
         except (ValueError, OSError, RuntimeError):
             results = None  # pool unavailable: fall through to sequential
     if results is None:
         global _SEQ_TREE_CACHE
         cached = _SEQ_TREE_CACHE
-        if cached is None or cached[0] != gen_seq_bytes:
+        if fresh or cached is None or cached[0] != gen_seq_bytes:
             _SEQ_TREE_CACHE = (gen_seq_bytes, SuffixTree(gen_seq_bytes))
         tree = _SEQ_TREE_CACHE[1]
         results = _run_units(gen, tree, gen_seq_bytes, config,
-                             wpath("ests.txt"), 0, 1)
+                             wpath("ests.txt"), 0, 1, fresh=fresh)
 
     timers["algorithm"].stop()
     checkpoint("alignment-end")
