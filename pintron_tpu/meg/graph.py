@@ -173,6 +173,8 @@ def _native_scan_arrays(lib, pattern: bytes, tree: SuffixTree,
     cached base pointers, n) or None if the native call fails.  The
     arrays are per-process scratch: valid until the next scan."""
     from pintron_tpu.native import np_scratch
+    from pintron_tpu.stages import est_fact as _ef
+    _ef._TEXT_KEEPALIVE = tree.text  # see the keepalive contract there
     flat = tree.flat_arrays()
     ptrs = flat["_ptrs"]
     plen = len(pattern)

@@ -89,6 +89,132 @@ int64_t kband_core(const char *seq1, int64_t n, const char *seq2, int64_t m,
  * N wildcards, direction preference diag > up > left with strict
  * improvement.  Fills dirs (n+1)x(m+1) row-major int8 and returns the
  * final score.  Caller runs the traceback. */
+/* ---- left-relaxation prefix scans --------------------------------------
+ * The DP rows' left-dependency  cur[j] = opt(t0[j], cur[j-1] +/- 1)
+ * equals a prefix extremum over slope-shifted values:
+ *   min version:  cur[j] = min_{k<=j}(t0[k] + (j-k))  ->  s=t0-j, prefmin
+ *   max version:  cur[j] = max_{k<=j}(t0[k] - (j-k))  ->  s=t0+j, prefmax
+ * which SIMD-izes with log-step in-register shuffles (the plain scan is
+ * one cell per ~3 cycles; this is ~8 cells per ~6 ops).  cur[0] is the
+ * boundary term (k = 0). */
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+
+/* shift x right by one/two/four int32 lanes, filling with `fill` */
+static inline __m256i up_shr1(__m256i x, __m256i fill) {
+    __m256i t = _mm256_permute2x128_si256(fill, x, 0x20);
+    return _mm256_alignr_epi8(x, t, 12);
+}
+static inline __m256i up_shr2(__m256i x, __m256i fill) {
+    __m256i t = _mm256_permute2x128_si256(fill, x, 0x20);
+    return _mm256_alignr_epi8(x, t, 8);
+}
+static inline __m256i up_shr4(__m256i x, __m256i fill) {
+    return _mm256_permute2x128_si256(fill, x, 0x20);
+}
+#endif
+
+/* cur[j] = min(t0[j], cur[j-1] + 1) for j = 1..m, in place (cur[1..m]
+ * holds t0 on entry; cur[0] is the row boundary). */
+static void relax_min_slope1(int32_t *cur, int64_t m) {
+    int64_t j = 1;
+#if defined(__AVX2__)
+    const __m256i INF = _mm256_set1_epi32(2147483647);
+    const __m256i idx0 = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+    int32_t carry = cur[0];
+    for (; j + 8 <= m + 1; j += 8) {
+        __m256i jv = _mm256_add_epi32(_mm256_set1_epi32((int32_t)j),
+                                      idx0);
+        __m256i x = _mm256_loadu_si256((const __m256i *)(cur + j));
+        __m256i s = _mm256_sub_epi32(x, jv);
+        s = _mm256_min_epi32(s, up_shr1(s, INF));
+        s = _mm256_min_epi32(s, up_shr2(s, INF));
+        s = _mm256_min_epi32(s, up_shr4(s, INF));
+        s = _mm256_min_epi32(s, _mm256_set1_epi32(carry));
+        _mm256_storeu_si256((__m256i *)(cur + j),
+                            _mm256_add_epi32(s, jv));
+        carry = _mm256_extract_epi32(s, 7);
+    }
+    for (; j <= m; j++) {
+        int32_t s = cur[j] - (int32_t)j;
+        if (carry < s) s = carry;
+        cur[j] = s + (int32_t)j;
+        carry = s;
+    }
+#else
+    for (; j <= m; j++) {
+        int32_t c = cur[j - 1] + 1;
+        if (c < cur[j]) cur[j] = c;
+    }
+#endif
+}
+
+/* cur[j] = max(t0[j], cur[j-1] - 1) for j = 1..m, in place. */
+static void relax_max_slope1(int32_t *cur, int64_t m) {
+    int64_t j = 1;
+#if defined(__AVX2__)
+    const __m256i NINF = _mm256_set1_epi32(-2147483647 - 1);
+    const __m256i idx0 = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+    int32_t carry = cur[0];
+    for (; j + 8 <= m + 1; j += 8) {
+        __m256i jv = _mm256_add_epi32(_mm256_set1_epi32((int32_t)j),
+                                      idx0);
+        __m256i x = _mm256_loadu_si256((const __m256i *)(cur + j));
+        __m256i s = _mm256_add_epi32(x, jv);
+        s = _mm256_max_epi32(s, up_shr1(s, NINF));
+        s = _mm256_max_epi32(s, up_shr2(s, NINF));
+        s = _mm256_max_epi32(s, up_shr4(s, NINF));
+        s = _mm256_max_epi32(s, _mm256_set1_epi32(carry));
+        _mm256_storeu_si256((__m256i *)(cur + j),
+                            _mm256_sub_epi32(s, jv));
+        carry = _mm256_extract_epi32(s, 7);
+    }
+    for (; j <= m; j++) {
+        int32_t s = cur[j] + (int32_t)j;
+        if (carry > s) s = carry;
+        cur[j] = s - (int32_t)j;
+        carry = s;
+    }
+#else
+    for (; j <= m; j++) {
+        int32_t c = cur[j - 1] - 1;
+        if (c > cur[j]) cur[j] = c;
+    }
+#endif
+}
+
+/* gcur[j] = max(gcur[j-1], lcur[j-1]) for j = 1..m with gcur[0] = 0 and
+ * lcur[0] = 0, i.e. the running maximum of lcur shifted by one. */
+static void g_scan_max(const int32_t *lcur, int32_t *gcur, int64_t m) {
+    int64_t j = 1;
+#if defined(__AVX2__)
+    const __m256i NINF = _mm256_set1_epi32(-2147483647 - 1);
+    int32_t carry = -2147483647 - 1;
+    for (; j + 8 <= m + 1; j += 8) {
+        __m256i x = _mm256_loadu_si256((const __m256i *)(lcur + j - 1));
+        x = _mm256_max_epi32(x, up_shr1(x, NINF));
+        x = _mm256_max_epi32(x, up_shr2(x, NINF));
+        x = _mm256_max_epi32(x, up_shr4(x, NINF));
+        x = _mm256_max_epi32(x, _mm256_set1_epi32(carry));
+        _mm256_storeu_si256((__m256i *)(gcur + j), x);
+        carry = _mm256_extract_epi32(x, 7);
+    }
+    for (; j <= m; j++) {
+        int32_t v = lcur[j - 1];
+        if (carry > v) v = carry;
+        gcur[j] = v;
+        carry = v;
+    }
+#else
+    for (; j <= m; j++) {
+        int32_t gp = gcur[j - 1];
+        int32_t lc = lcur[j - 1];
+        gcur[j] = gp < lc ? lc : gp;
+    }
+#endif
+}
+
 static int32_t *nw_buf = NULL;
 static int64_t nw_buf_cap = 0;
 
@@ -135,10 +261,7 @@ int64_t nw_align(const char *est, int64_t n, const char *gen, int64_t m,
             int32_t b = prev[j] + 1;
             cur[j] = a < b ? a : b;
         }
-        for (j = 1; j <= m; j++) {
-            int32_t c = cur[j - 1] + 1;
-            if (c < cur[j]) cur[j] = c;
-        }
+        relax_min_slope1(cur, m);
         for (j = 1; j <= m; j++) {
             int32_t v = cur[j];
             drow[j] = v == prev[j - 1] + cost[j] ? 0
@@ -650,6 +773,33 @@ static int cmp_tl(const void *a, const void *b) {
 /* Full per-EST vertex scan.  Emits (p, t, l) triples (post per-column
  * sort + in-column dedup) into out_*; returns the count, or -needed if
  * out_cap is too small, or -1 on allocation failure. */
+/* per-locus prev-char class table: prevk[t] = alph_index256[text[t-1]]
+ * (one load per occurrence instead of two dependent ones); single-slot
+ * cache keyed by (text pointer, length) like the python-side keepalive
+ * contract */
+static unsigned char *vs_prevk = NULL;
+static const unsigned char *vs_prevk_text = NULL;
+static int64_t vs_prevk_len = -1;
+
+static const unsigned char *vs_prevk_get(const unsigned char *text,
+                                         int64_t tlen,
+                                         const int64_t *alph_index256) {
+    int64_t t;
+    if (vs_prevk_text == text && vs_prevk_len == tlen) return vs_prevk;
+    {
+        unsigned char *nb = (unsigned char *)realloc(vs_prevk,
+                                                     (size_t)tlen + 1);
+        if (!nb) return NULL;
+        vs_prevk = nb;
+    }
+    vs_prevk[0] = 255;   /* t == 0 has no previous char */
+    for (t = 1; t < tlen; t++)
+        vs_prevk[t] = (unsigned char)alph_index256[text[t - 1]];
+    vs_prevk_text = text;
+    vs_prevk_len = tlen;
+    return vs_prevk;
+}
+
 int64_t vertex_scan(
     const unsigned char *text, int64_t tlen,
     const unsigned char *pattern, int64_t plen,
@@ -670,8 +820,9 @@ int64_t vertex_scan(
     int64_t col_cap = 1024;
     pair_tl *col = (pair_tl *)malloc(col_cap * sizeof(pair_tl));
     unsigned char *rm = (unsigned char *)malloc(col_cap);
+    const unsigned char *prevk = vs_prevk_get(text, tlen, alph_index256);
     int64_t i;
-    if (!col || !rm) { free(col); free(rm); return -1; }
+    if (!col || !rm || !prevk) { free(col); free(rm); return -1; }
 
     for (i = 0; i < plen; i++) {
         unsigned char avoid = prev_symbol;
@@ -711,7 +862,7 @@ int64_t vertex_scan(
                         int64_t t = occ[j];
                         int emit;
                         if (t > 0)
-                            emit = alph_index256[text[t - 1]] != symbol_k;
+                            emit = prevk[t] != symbol_k;
                         else
                             emit = (symbol_k != 0 || alph_size > 1);
                         if (emit) {
@@ -961,10 +1112,7 @@ void gap_align_fill(const char *est, int64_t n, const char *gen, int64_t m,
             int32_t b = Lprev[j] - 1;
             Lcur[j] = a > b ? a : b;
         }
-        for (j = 1; j <= m; j++) {
-            int32_t c = Lcur[j - 1] - 1;
-            if (c > Lcur[j]) Lcur[j] = c;
-        }
+        relax_max_slope1(Lcur, m);
         for (j = 1; j <= m; j++) {
             int32_t v = Lcur[j];
             Lrow[j] = v == Lprev[j - 1] + ms[j] ? 0
@@ -972,12 +1120,9 @@ void gap_align_fill(const char *est, int64_t n, const char *gen, int64_t m,
         }
         /* G matrix: G[i][j] = max(G[i][j-1], L[i][j-1]); Gcur[0] stays
          * 0 every row; keep-G wins ties */
-        for (j = 1; j <= m; j++) {
-            int32_t gp = Gcur[j - 1];
-            int32_t lc = Lcur[j - 1];
-            if (gp < lc) { Gcur[j] = lc; Grow[j] = -2; }
-            else { Gcur[j] = gp; Grow[j] = 2; }
-        }
+        g_scan_max(Lcur, Gcur, m);
+        for (j = 1; j <= m; j++)
+            Grow[j] = Gcur[j - 1] < Lcur[j - 1] ? -2 : 2;
         /* R matrix */
         Rcur[0] = 0;
         for (j = 1; j <= m; j++) {
@@ -987,9 +1132,12 @@ void gap_align_fill(const char *est, int64_t n, const char *gen, int64_t m,
             if (b > a) a = b;
             Rcur[j] = c > a ? c : a;
         }
-        for (j = 1; j <= m; j++) {
-            int32_t c = Rcur[j - 1] - cost;
-            if (c > Rcur[j]) Rcur[j] = c;
+        if (cost) {
+            relax_max_slope1(Rcur, m);
+        } else {
+            /* last row: plain running max */
+            for (j = 1; j <= m; j++)
+                if (Rcur[j - 1] > Rcur[j]) Rcur[j] = Rcur[j - 1];
         }
         for (j = 1; j <= m; j++) {
             int32_t v = Rcur[j];

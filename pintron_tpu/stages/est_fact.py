@@ -45,8 +45,11 @@ class FactorizedEst:
 # The native memo epoch (epm_begin in dp.c) fast-paths on the genomic
 # buffer's (pointer, length); holding the previous gen bytes object here
 # guarantees its buffer is never freed-and-recycled at the same address,
-# so a pointer match always means "same content".
+# so a pointer match always means "same content".  _TEXT_KEEPALIVE plays
+# the same role for the suffix-tree text buffer (the native vertex
+# scan's per-locus prev-char table caches on its pointer).
 _GEN_KEEPALIVE: Optional[bytes] = None
+_TEXT_KEEPALIVE: Optional[bytes] = None
 
 
 def _native_est_process(meg_arrays, config: Config, gen_seq_bytes: bytes,
@@ -593,8 +596,9 @@ def _native_worker_run(gen: mf.EstInfo, tree: SuffixTree,
 
     import ctypes
 
-    global _GEN_KEEPALIVE, _UNIT_OUT
+    global _GEN_KEEPALIVE, _TEXT_KEEPALIVE, _UNIT_OUT
     _GEN_KEEPALIVE = gen_seq_bytes
+    _TEXT_KEEPALIVE = tree.text
 
     flat = tree.flat_arrays()
     ptrs = flat["_ptrs"]
@@ -711,8 +715,9 @@ def _native_unit_process(unit: List[mf.EstInfo], gen: mf.EstInfo,
 
     import ctypes
 
-    global _GEN_KEEPALIVE, _UNIT_OUT
+    global _GEN_KEEPALIVE, _TEXT_KEEPALIVE, _UNIT_OUT
     _GEN_KEEPALIVE = gen_seq_bytes
+    _TEXT_KEEPALIVE = tree.text
 
     flat = tree.flat_arrays()
     ptrs = flat["_ptrs"]
