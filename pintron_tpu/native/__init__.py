@@ -203,9 +203,12 @@ def _build_and_load():
         + [ctypes.c_char_p, ctypes.c_int64]      # gen original seq
         + [ctypes.c_int64]                       # gen pref_N_length
         + [ctypes.c_void_p, ctypes.c_void_p]     # icfg, dcfg
-        + [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]  # path, w, n
-        + [ctypes.c_char_p, ctypes.c_int64]      # out, cap
-        + [ctypes.c_void_p, ctypes.c_int64])     # meta, meta_cap
+        + [ctypes.c_char_p, ctypes.c_void_p,     # path, claim counter
+           ctypes.c_int64, ctypes.c_int64]       # w, n
+        + [ctypes.POINTER(ctypes.c_void_p),      # out: data buffer
+           ctypes.POINTER(ctypes.c_void_p)])     # out: unit meta
+    lib.up_buf_free.restype = None
+    lib.up_buf_free.argtypes = [ctypes.c_void_p]
     return lib
 
 

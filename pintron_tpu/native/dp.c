@@ -6396,9 +6396,8 @@ int64_t worker_run(
     const char *gen_orig, int64_t golen,
     int64_t gen_pref_n,
     const int64_t *icfg, const double *dcfg,
-    const char *ests_path, int64_t w, int64_t n,
-    char *out, int64_t cap,
-    int64_t *meta, int64_t meta_cap) {
+    const char *ests_path, int64_t *claim, int64_t w, int64_t n,
+    char **out_data, int64_t **out_meta) {
 
     up_ctx C = { text, tlen, st_start, st_end, st_parent, st_slink,
                  st_depth, st_single, st_lo, st_hi, st_occ, st_coff,
@@ -6412,7 +6411,8 @@ int64_t worker_run(
     int64_t ret = -3;
     int64_t rec = 0;         /* global record index */
     int64_t n_units = 0;     /* owned units emitted */
-    int64_t meta_need = 2;
+    int64_t *um = NULL;      /* 7 int64s per owned unit */
+    int64_t um_cap = 0;
     /* current record state */
     char *id = NULL; int64_t idlen = 0;
     char *seqbuf = NULL; int64_t seqlen = 0, seqcap = 0;
@@ -6436,11 +6436,18 @@ int64_t worker_run(
     }
 
     /* parse + process.  Records flush on '>' headers, the literal
-     * "#\\#" separator, and EOF.  Owned records (rec % n == w) run the
-     * full preprocessing + up_est_run; others are skipped cheaply. */
+     * "#\\#" separator, and EOF.  Owned records run the full
+     * preprocessing + up_est_run; others are skipped cheaply.
+     * Ownership: static stride (rec % n == w) when claim is NULL, else
+     * dynamic via atomic fetch-add on the shared counter — each record
+     * is claimed by exactly one worker, so the reassembly-by-record
+     * output is byte-identical either way while the load balances
+     * itself. */
     {
         int64_t p = 0;
         int flush_err = 0;
+        int64_t next_claim = claim
+            ? __atomic_fetch_add(claim, 1, __ATOMIC_RELAXED) : -1;
         while (p <= flen && !flush_err) {
             /* next line [p, q) with universal-newline semantics */
             int64_t q = p, lend;
@@ -6475,7 +6482,8 @@ int64_t worker_run(
                             seqlen += llen;
                             llen = 0;
                         }
-                        if (rec % n == w) {
+                        if (claim ? (rec == next_claim)
+                                  : (rec % n == w)) {
                             /* preprocess + run this unit */
                             int fixed = 0;
                             int strand = up_strand(id, idlen, &fixed);
@@ -6527,27 +6535,27 @@ int64_t worker_run(
                                 free(rsq);
                             }
                             free(sq);
+                            if (7 * (n_units + 1) > um_cap) {
+                                int64_t nc = um_cap ? 2 * um_cap : 448;
+                                int64_t *nm = (int64_t *)realloc(
+                                    um, (size_t)nc * 8);
+                                if (!nm) { flush_err = 1; goto advance; }
+                                um = nm; um_cap = nc;
+                            }
                             if (rc_run < 0) {
                                 /* per-unit host fallback: roll back any
                                  * partial stream writes, emit -1 lens */
                                 for (si = 0; si < 6; si++)
                                     S[si].n = spos[si];
-                                meta_need = 2 + 7 * (n_units + 1);
-                                if (meta_need <= meta_cap) {
-                                    meta[2 + 7 * n_units] = rec;
-                                    for (si = 0; si < 6; si++)
-                                        meta[2 + 7 * n_units + 1 + si]
-                                            = -1;
-                                }
+                                um[7 * n_units] = rec;
+                                for (si = 0; si < 6; si++)
+                                    um[7 * n_units + 1 + si] = -1;
                                 n_units++;
                             } else {
-                                meta_need = 2 + 7 * (n_units + 1);
-                                if (meta_need <= meta_cap) {
-                                    meta[2 + 7 * n_units] = rec;
-                                    for (si = 0; si < 6; si++)
-                                        meta[2 + 7 * n_units + 1 + si]
-                                            = S[si].n - spos[si];
-                                }
+                                um[7 * n_units] = rec;
+                                for (si = 0; si < 6; si++)
+                                    um[7 * n_units + 1 + si]
+                                        = S[si].n - spos[si];
                                 /* append this unit's streams to DATA */
                                 for (si = 0; si < 6; si++) {
                                     if (!sb_put(&DATA, S[si].d + spos[si],
@@ -6560,6 +6568,9 @@ int64_t worker_run(
                                 for (si = 0; si < 6; si++) S[si].n = 0;
                                 n_units++;
                             }
+                            if (claim)
+                                next_claim = __atomic_fetch_add(
+                                    claim, 1, __ATOMIC_RELAXED);
                         }
                         rec++;
                         in_record = 0;
@@ -6599,23 +6610,22 @@ advance:
         if (in_record) goto done;
     }
 
-    meta_need = 2 + 7 * n_units;
-    if (meta_need > meta_cap || DATA.n > cap) {
-        if (meta_cap >= 2) { meta[0] = meta_need; meta[1] = DATA.n; }
-        ret = -2;
-        goto done;
-    }
-    meta[0] = n_units;
-    meta[1] = DATA.n;
-    if (DATA.n) memcpy(out, DATA.d, (size_t)DATA.n);
-    ret = 0;
+    *out_data = DATA.d;      /* ownership transfers to the caller */
+    *out_meta = um;
+    DATA.d = NULL;
+    um = NULL;
+    ret = n_units;
 done:
     free(buf);
     free(seqbuf);
     free(DATA.d);
+    free(um);
     {
         int64_t i;
         for (i = 0; i < 6; i++) free(S[i].d);
     }
     return ret;
 }
+
+/* free a buffer returned by worker_run */
+void up_buf_free(void *p) { free(p); }

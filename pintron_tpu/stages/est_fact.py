@@ -579,7 +579,8 @@ def _native_gates():
 
 def _native_worker_run(gen: mf.EstInfo, tree: SuffixTree,
                        gen_seq_bytes: bytes, config: Config,
-                       ests_path: str, w: int, n: int):
+                       ests_path: str, w: int, n: int,
+                       claim_addr: Optional[int] = None):
     """Whole-run native worker (worker_run in native/dp.c): parse
     ests.txt, preprocess the owned records, and run every owned unit —
     all in one C call.  Returns a list of (record_index, six-blob tuple
@@ -606,51 +607,47 @@ def _native_worker_run(gen: mf.EstInfo, tree: SuffixTree,
     _ai, alph_size, _a256, a256_ptr = _gen_maps(gen_seq_bytes)
     gen_orig = gen.original_seq.encode("latin1")
     icfg_ptr, dcfg = _native_cfg_arrays(config)
-    meta, meta_ptr = np_scratch("wr_meta", 4096)
 
-    if _UNIT_OUT is None:
-        _UNIT_OUT = ctypes.create_string_buffer(1 << 20)
     path_b = os.fspath(ests_path).encode()
-    while True:
-        rc = lib.worker_run(
-            tree.text, len(tree.text),
-            ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4], ptrs[5],
-            ptrs[6], ptrs[7], ptrs[8], ptrs[9], ptrs[10], ptrs[11],
-            a256_ptr, alph_size,
-            gen_seq_bytes, len(gen_seq_bytes),
-            gen_orig, len(gen_orig),
-            gen.pref_N_length,
-            icfg_ptr, dcfg.ctypes.data,
-            path_b, w, n,
-            _UNIT_OUT, len(_UNIT_OUT),
-            meta_ptr, meta.size)
-        if rc == -2:
-            need_meta, need_bytes = int(meta[0]), int(meta[1])
-            if need_bytes + 4096 > len(_UNIT_OUT):
-                _UNIT_OUT = ctypes.create_string_buffer(
-                    max(2 * len(_UNIT_OUT), need_bytes + 4096))
-            if need_meta > meta.size:
-                meta, meta_ptr = np_scratch("wr_meta", need_meta + 1024)
-            continue
-        if rc != 0:
-            return None
-        break
-    n_units = int(meta[0])
-    data = ctypes.string_at(_UNIT_OUT, int(meta[1]))
-    out = []
-    pos = 0
-    for u in range(n_units):
-        rec = int(meta[2 + 7 * u])
-        lens = [int(meta[2 + 7 * u + 1 + s]) for s in range(6)]
-        if lens[0] == -1:
-            out.append((rec, None))
-            continue
-        blobs = []
-        for ln in lens:
-            blobs.append(data[pos:pos + ln].decode("latin1"))
-            pos += ln
-        out.append((rec, tuple(blobs)))
-    return out
+    data_p = ctypes.c_void_p()
+    meta_p = ctypes.c_void_p()
+    n_units = lib.worker_run(
+        tree.text, len(tree.text),
+        ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4], ptrs[5],
+        ptrs[6], ptrs[7], ptrs[8], ptrs[9], ptrs[10], ptrs[11],
+        a256_ptr, alph_size,
+        gen_seq_bytes, len(gen_seq_bytes),
+        gen_orig, len(gen_orig),
+        gen.pref_N_length,
+        icfg_ptr, dcfg.ctypes.data,
+        path_b, claim_addr, w, n,
+        ctypes.byref(data_p), ctypes.byref(meta_p))
+    if n_units < 0:
+        return None
+    try:
+        meta = ctypes.cast(
+            meta_p, ctypes.POINTER(ctypes.c_int64 * (7 * n_units))
+        ).contents if n_units else []
+        total = sum(max(meta[7 * u + 1 + s], 0)
+                    for u in range(n_units) for s in range(6))
+        data = ctypes.string_at(data_p, total) if total else b""
+        out = []
+        pos = 0
+        for u in range(n_units):
+            rec = int(meta[7 * u])
+            lens = [int(meta[7 * u + 1 + s]) for s in range(6)]
+            if lens[0] == -1:
+                out.append((rec, None))
+                continue
+            blobs = []
+            for ln in lens:
+                blobs.append(data[pos:pos + ln].decode("latin1"))
+                pos += ln
+            out.append((rec, tuple(blobs)))
+        return out
+    finally:
+        lib.up_buf_free(data_p)
+        lib.up_buf_free(meta_p)
 
 
 def _unit_for_record(gen: mf.EstInfo, est: mf.EstInfo) -> List[mf.EstInfo]:
@@ -668,11 +665,15 @@ def _unit_for_record(gen: mf.EstInfo, est: mf.EstInfo) -> List[mf.EstInfo]:
 
 def _run_units(gen: mf.EstInfo, tree: SuffixTree, gen_seq_bytes: bytes,
                config: Config, ests_path: str, w: int, n: int,
-               fresh: bool = False):
-    """Produce the per-unit six-blob tuples for records w::n of
-    ests.txt: whole-run native call when possible, per-unit or whole-run
-    host fallback otherwise.  ``fresh`` wipes the persistent result memo
-    first, so the run measures fresh-locus work (benchmark mode)."""
+               fresh: bool = False, claim_addr: Optional[int] = None):
+    """Produce (record_index, six-blob tuple) pairs for this worker's
+    share of ests.txt: whole-run native call when possible, per-unit or
+    whole-run host fallback otherwise.  The share is records w::n, or —
+    when ``claim_addr`` points at a shared atomic counter — whatever
+    records this worker wins by fetch-add (dynamic balancing; each
+    record still processed exactly once, reassembly is by record
+    index).  ``fresh`` wipes the persistent result memo first, so the
+    run measures fresh-locus work (benchmark mode)."""
     global _WORKER_CTX
     if fresh:
         from pintron_tpu.native import get_lib
@@ -682,17 +683,23 @@ def _run_units(gen: mf.EstInfo, tree: SuffixTree, gen_seq_bytes: bytes,
     _WORKER_CTX = (gen, tree, gen_seq_bytes, config)
     try:
         res = _native_worker_run(gen, tree, gen_seq_bytes, config,
-                                 ests_path, w, n)
+                                 ests_path, w, n, claim_addr=claim_addr)
         if res is not None:
-            if all(t is not None for _, t in res):
-                return [t for _, t in res]
-            with open(ests_path) as fh:
-                ests = mf.read_multifasta(fh)
-            return [t if t is not None
-                    else _process_unit(_unit_for_record(gen, ests[rec]))
-                    for rec, t in res]
-        return [_process_unit(u)
-                for u in _worker_units_from_file(gen, ests_path, w, n)]
+            if not all(t is not None for _, t in res):
+                with open(ests_path) as fh:
+                    ests = mf.read_multifasta(fh)
+                res = [(rec, t if t is not None else _process_unit(
+                            _unit_for_record(gen, ests[rec])))
+                       for rec, t in res]
+            return res
+        if claim_addr is not None:
+            # a stride fallback would double-process records other
+            # workers claimed; surface the failure so the parent
+            # retries the whole run deterministically
+            raise RuntimeError("native worker unavailable mid-claim")
+        return [(w + k * n, _process_unit(u))
+                for k, u in enumerate(
+                    _worker_units_from_file(gen, ests_path, w, n))]
     finally:
         _WORKER_CTX = None
 
@@ -829,12 +836,14 @@ def _worker_main(conn) -> None:
             if isinstance(units, tuple) and units and units[0] == "file":
                 _path, _w, _n = units[1], units[2], units[3]
                 _fresh = bool(units[4]) if len(units) > 4 else False
+                _claim = units[5] if len(units) > 5 else None
                 _tree = cached[1]
                 if _fresh:
                     # fresh-locus benchmark mode: rebuild the index too
                     _tree = SuffixTree(cached[2])
                 res = _run_units(cached[0], _tree, cached[2],
-                                 cached[3], _path, _w, _n, fresh=_fresh)
+                                 cached[3], _path, _w, _n, fresh=_fresh,
+                                 claim_addr=_claim)
             else:
                 _WORKER_CTX = cached
                 res = [_process_unit(u) for u in units]
@@ -857,12 +866,24 @@ class _PersistentPool:
     index, so output is byte-identical to sequential order."""
 
     def __init__(self, n: int):
+        import ctypes
+        import mmap
         import multiprocessing
         ctx = multiprocessing.get_context("fork")
         self.n = n
         self.pipes = []
         self.procs = []
         self.sent_digests = set()
+        # shared atomic record-claim counter for dynamic balancing: an
+        # anonymous MAP_SHARED page created BEFORE the forks, so every
+        # worker inherits the same mapping at the same address
+        try:
+            self.claim_mm = mmap.mmap(-1, 8)
+            self.claim_addr = ctypes.addressof(
+                ctypes.c_char.from_buffer(self.claim_mm))
+        except (OSError, ValueError):
+            self.claim_mm = None
+            self.claim_addr = None
         for _ in range(n):
             parent_conn, child_conn = ctx.Pipe()
             proc = ctx.Process(target=_worker_main, args=(child_conn,),
@@ -903,17 +924,23 @@ class _PersistentPool:
     def run_file(self, gen, gen_seq_bytes, config, ests_path,
                  fresh=False):
         """Like run(), but each worker parses ests.txt itself and
-        preprocesses only its own records (record k -> unit k), so no
-        sequence bytes cross the pipe and the parent does no EST work.
-        Reassembly is by round-robin index, byte-identical to the
-        sequential order.  ``fresh`` makes each worker wipe its
-        persistent caches first (fresh-locus benchmark mode)."""
+        preprocesses only its own records, so no sequence bytes cross
+        the pipe and the parent does no EST work.  Workers claim records
+        dynamically off a shared atomic counter when available (static
+        round-robin otherwise); reassembly is by record index, so the
+        output is byte-identical to the sequential order either way.
+        ``fresh`` makes each worker wipe its persistent caches first
+        (fresh-locus benchmark mode)."""
         payload = (gen, gen_seq_bytes, config)
         digest = self._digest(gen, gen_seq_bytes, config)
         send_payload = payload if digest not in self.sent_digests else None
+        claim = self.claim_addr if self._dynamic_ok() else None
+        if claim is not None:
+            import struct
+            struct.pack_into("q", self.claim_mm, 0, 0)
         for w, conn in enumerate(self.pipes):
             conn.send((digest, send_payload,
-                       ("file", ests_path, w, self.n, fresh)))
+                       ("file", ests_path, w, self.n, fresh, claim)))
         self.sent_digests = {digest}
         per_worker = []
         for conn in self.pipes:
@@ -923,9 +950,28 @@ class _PersistentPool:
             per_worker.append(res)
         total = sum(len(r) for r in per_worker)
         results = [None] * total
-        for w, res in enumerate(per_worker):
-            results[w::self.n] = res
+        for res in per_worker:
+            for rec, blobs in res:
+                if rec >= total or results[rec] is not None:
+                    raise RuntimeError("inconsistent record claims")
+                results[rec] = blobs
+        if any(r is None for r in results):
+            raise RuntimeError("missing record results")
         return results
+
+    def _dynamic_ok(self) -> bool:
+        """Dynamic claiming requires the native whole-run worker; the
+        gates are environment/machine-level, identical in parent and
+        (forked) workers, so deciding here is safe."""
+        if self.claim_addr is None or not _native_gates():
+            return False
+        import os
+        if os.environ.get("PINTRON_NO_NATIVE_WORKER") \
+                or os.environ.get("PINTRON_STATIC_UNITS"):
+            return False
+        from pintron_tpu.native import get_lib
+        lib = get_lib()
+        return lib is not None and hasattr(lib, "worker_run")
 
     def shutdown(self) -> None:
         for conn in self.pipes:
@@ -1080,8 +1126,9 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
         if fresh or cached is None or cached[0] != gen_seq_bytes:
             _SEQ_TREE_CACHE = (gen_seq_bytes, SuffixTree(gen_seq_bytes))
         tree = _SEQ_TREE_CACHE[1]
-        results = _run_units(gen, tree, gen_seq_bytes, config,
-                             wpath("ests.txt"), 0, 1, fresh=fresh)
+        results = [blobs for _rec, blobs in
+                   _run_units(gen, tree, gen_seq_bytes, config,
+                              wpath("ests.txt"), 0, 1, fresh=fresh)]
 
     timers["algorithm"].stop()
     checkpoint("alignment-end")
