@@ -87,19 +87,21 @@ class SuffixTree:
         import numpy as np
         tlen = self.n
         cap = 2 * tlen + 4
-        start = np.zeros(cap, dtype=np.int64)
-        end = np.zeros(cap, dtype=np.int64)
-        parent = np.zeros(cap, dtype=np.int64)
-        slink = np.zeros(cap, dtype=np.int64)
-        depth = np.zeros(cap, dtype=np.int64)
-        leaf_idx = np.zeros(cap, dtype=np.int64)
-        lo = np.zeros(cap, dtype=np.int64)
-        hi = np.zeros(cap, dtype=np.int64)
-        occ = np.zeros(max(tlen, 1), dtype=np.int64)
-        single = np.zeros(cap, dtype=np.uint8)
-        coff = np.zeros(cap + 1, dtype=np.int64)
-        cchar = np.zeros(cap, dtype=np.uint8)
-        cnode = np.zeros(cap, dtype=np.int64)
+        # one int64 + one uint8 allocation, sliced into the 13 output
+        # arrays (st_build writes every entry it uses, so no zeroing)
+        ibuf = np.empty(10 * cap + max(tlen, 1) + 1, dtype=np.int64)
+        bbuf = np.empty(2 * cap, dtype=np.uint8)
+
+        def isl(k):
+            return ibuf[k * cap:(k + 1) * cap]
+
+        start, end, parent, slink = isl(0), isl(1), isl(2), isl(3)
+        depth, leaf_idx, lo, hi = isl(4), isl(5), isl(6), isl(7)
+        cnode = isl(8)
+        coff = ibuf[9 * cap:10 * cap + 1]
+        occ = ibuf[10 * cap + 1:10 * cap + 1 + max(tlen, 1)]
+        single = bbuf[:cap]
+        cchar = bbuf[cap:]
         nn = lib.st_build(self.text, tlen,
                           start.ctypes.data, end.ctypes.data,
                           parent.ctypes.data, slink.ctypes.data,

@@ -1431,8 +1431,18 @@ void gap_align_run(const char *est, int64_t n, const char *gen, int64_t m,
 int64_t nw_align_run(const char *est, int64_t n, const char *gen, int64_t m,
                      char *est_al, char *gen_al, int64_t *out_len) {
     int64_t stride = m + 1;
-    int8_t *dirs = dir_scratch_get((n + 1) * stride);
+    int8_t *dirs;
     int64_t score, i, j, cap = n + m, w;
+    if (n == m && memcmp(est, gen, (size_t)n) == 0) {
+        /* byte-equal inputs: the all-diagonal alignment is the unique
+         * zero-cost optimum (any indel costs +1), so the DP and
+         * traceback are redundant */
+        memcpy(est_al, est, (size_t)n);
+        memcpy(gen_al, gen, (size_t)n);
+        *out_len = n;
+        return 0;
+    }
+    dirs = dir_scratch_get((n + 1) * stride);
     if (!dirs) return -1;
     score = nw_align(est, n, gen, m, dirs);
     if (score < 0) return -1;
@@ -2639,6 +2649,7 @@ int64_t meg_format(
 int64_t edit_total(const char *s1, int64_t l1, const char *s2, int64_t l2) {
     if (l1 == 0) return l2;
     if (l2 == 0) return l1;
+    if (l1 == l2 && memcmp(s1, s2, (size_t)l1) == 0) return 0;
     int64_t *row = (int64_t *)malloc((size_t)(l1 + 1) * sizeof(int64_t));
     if (!row) return -1;
     for (int64_t j = 0; j <= l1; j++) row[j] = j;
