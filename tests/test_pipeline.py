@@ -7,7 +7,9 @@ import pytest
 
 from pintron_tpu.pipeline import pintron_pipeline
 
-CASES = [("test-788", "AAMP")]
+# byte-identical e2e cases (golden gene labels; the CPB2 golden was
+# generated with the default AAMP label)
+CASES = [("test-788", "AAMP"), ("test-AMBN", "AMBN"), ("test-CPB2", "AAMP")]
 
 
 @pytest.mark.parametrize("case,gene", CASES)
