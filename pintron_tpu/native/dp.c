@@ -1272,40 +1272,48 @@ void refine_borders_core(const char *p, int64_t lp, int64_t min_cut,
     int64_t tw = lp + max_errs < lt ? lp + max_errs : lt;
     /* row minima (value, first position) of the (lp+1) x (tw+1) edit
      * matrix with rows over p prefixes, for the forward and reversed
-     * strings */
+     * strings.  Rows are int32 in the same pass form as nw_align
+     * (vectorizable diag/up minimum, then the SIMD prefix-scan left
+     * relaxation, then a min reduction + earliest-position scan). */
     int64_t *min_pp = (int64_t *)malloc((lp + 1) * sizeof(int64_t));
     int64_t *pos_pp = (int64_t *)malloc((lp + 1) * sizeof(int64_t));
     int64_t *min_sp = (int64_t *)malloc((lp + 1) * sizeof(int64_t));
     int64_t *pos_sp = (int64_t *)malloc((lp + 1) * sizeof(int64_t));
-    int64_t *prev = (int64_t *)malloc((tw + 1) * sizeof(int64_t));
-    int64_t *cur = (int64_t *)malloc((tw + 1) * sizeof(int64_t));
+    int32_t *prev = (int32_t *)malloc((tw + 2) * sizeof(int32_t));
+    int32_t *cur = (int32_t *)malloc((tw + 2) * sizeof(int32_t));
+    char *tb = (char *)malloc((size_t)tw + 2);
     int64_t i, j, pass;
     int64_t off_p, off_t1, off_t2, best, best_burset;
-    if (!min_pp || !pos_pp || !min_sp || !pos_sp || !prev || !cur) {
+    if (!min_pp || !pos_pp || !min_sp || !pos_sp || !prev || !cur
+        || !tb) {
         out6[0] = -1;
         goto done;
     }
     for (pass = 0; pass < 2; pass++) {
         int64_t *mn = pass ? min_sp : min_pp;
         int64_t *ps = pass ? pos_sp : pos_pp;
-        int64_t *tmp;
-        for (j = 0; j <= tw; j++) prev[j] = j;
+        int32_t *tmp;
+        /* contiguous window text; reversed pass: rt = reverse(t),
+         * window rt[:tw] reads t[lt-1], t[lt-2], ..., t[lt-tw] */
+        for (j = 1; j <= tw; j++) tb[j] = pass ? t[lt - j] : t[j - 1];
+        for (j = 0; j <= tw; j++) prev[j] = (int32_t)j;
         mn[0] = 0; ps[0] = 0;
         for (i = 1; i <= lp; i++) {
             char pc = pass ? p[lp - i] : p[i - 1];
-            int64_t rmin, rpos;
-            cur[0] = i;
-            rmin = i; rpos = 0;
+            int32_t rmin;
+            int64_t rpos;
+            cur[0] = (int32_t)i;
             for (j = 1; j <= tw; j++) {
-                /* reversed pass: rt = reverse(t), window rt[:tw] reads
-                 * t[lt-1], t[lt-2], ..., t[lt-tw] */
-                char tc = pass ? t[lt - j] : t[j - 1];
-                int64_t v = prev[j - 1] + (tc != pc);
-                if (prev[j] + 1 < v) v = prev[j] + 1;
-                if (cur[j - 1] + 1 < v) v = cur[j - 1] + 1;
-                cur[j] = v;
-                if (v < rmin) { rmin = v; rpos = j; }
+                int32_t a = prev[j - 1] + (tb[j] != pc);
+                int32_t b = prev[j] + 1;
+                cur[j] = a < b ? a : b;
             }
+            relax_min_slope1(cur, tw);
+            rmin = cur[0];
+            for (j = 1; j <= tw; j++)
+                if (cur[j] < rmin) rmin = cur[j];
+            rpos = 0;
+            while (cur[rpos] != rmin) rpos++;
             mn[i] = rmin; ps[i] = rpos;
             tmp = prev; prev = cur; cur = tmp;
         }
@@ -1335,7 +1343,7 @@ void refine_borders_core(const char *p, int64_t lp, int64_t min_cut,
     out6[5] = best_burset;
 done:
     free(min_pp); free(pos_pp); free(min_sp); free(pos_sp);
-    free(prev); free(cur);
+    free(prev); free(cur); free(tb);
 }
 
 /* Full gap alignment: fill + traceback in one call (python mirror

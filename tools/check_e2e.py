@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Run the full pipeline end-to-end on every golden case that ships
+inputs, and classify the final outputs against golden:
+byte-identical / canonical (numbering-invariant) / stage-5 class.
+
+The gene label passed to cds-annotation must match the one the golden
+run used (it is embedded in the GTF); the table below records those.
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+import tarfile
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# golden gene labels (most cases were generated with the default AAMP)
+GENES = {"test-AMBN": "AMBN", "test-TP53": "TP53"}
+
+
+def main():
+    from pintron_tpu.regression import compare_outputs
+    golden_dir = os.path.join(REPO, "tests", "golden")
+    cases = sorted(fn[:-7] for fn in os.listdir(golden_dir)
+                   if fn.endswith(".tar.gz"))
+    counts = {"byte": 0, "canonical": 0, "stage5-class": 0, "skipped": 0}
+    for case in cases:
+        gold = tempfile.mkdtemp(prefix=f"e2e-g-{case}-")
+        with tarfile.open(os.path.join(golden_dir, f"{case}.tar.gz")) as tf:
+            tf.extractall(gold)
+        if not os.path.exists(os.path.join(gold, "genomic.txt")):
+            ref = f"/root/reference/regressionTest/{case}"
+            if os.path.exists(os.path.join(ref, "genomic.txt")):
+                for fn in ("genomic.txt", "ests.txt"):
+                    shutil.copy(os.path.join(ref, fn), gold)
+            else:
+                print(f"SKIP {case}: no inputs")
+                counts["skipped"] += 1
+                continue
+        work = tempfile.mkdtemp(prefix=f"e2e-w-{case}-")
+        for fn in ("genomic.txt", "ests.txt"):
+            shutil.copy(os.path.join(gold, fn), work)
+        gene = GENES.get(case, "AAMP")
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, "-m", "pintron_tpu.pipeline",
+             "--workdir", work, "-g", "genomic.txt", "-s", "ests.txt",
+             "-o", "full.json", "-t", "pintron-all-isoforms.gtf",
+             f"--gene={gene}", "--organism=human", "-k"],
+            cwd=REPO, capture_output=True, text=True)
+        dt = time.time() - t0
+        if r.returncode:
+            print(f"FAIL {case}: pipeline rc={r.returncode}")
+            print(r.stderr[-800:])
+            continue
+        res = compare_outputs(work, gold)
+        if res["json_byte"] and res["gtf_byte"]:
+            cls = "byte-identical"
+            counts["byte"] += 1
+        elif res["json_canonical"] and res["gtf_canonical"]:
+            cls = "canonical"
+            counts["canonical"] += 1
+        else:
+            cls = "stage5-class (or diff)"
+            counts["stage5-class"] += 1
+        print(f"{case:45s} {cls:24s} {dt:5.1f}s")
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(gold, ignore_errors=True)
+    print(counts)
+
+
+if __name__ == "__main__":
+    main()
