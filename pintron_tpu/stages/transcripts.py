@@ -102,6 +102,152 @@ def _substring(string: str, left: int, right: int) -> str:
     return string[left:right + 1]
 
 
+class _TxIndex:
+    """Exact candidate index for the O(T^2) pairwise phases.
+
+    overlap(t1, t2) can only be nonzero when check_L_suffix(t1.left_ext,
+    e2) holds for some exon e2 of t2 — and every found-branch of
+    check_L_suffix requires |R[e2]-R[e1]| <= 2 or |L[e2]-L[e1]| <= 2
+    (MaximalTranscripts.c:3959 branch structure; the direct exon1 ==
+    exon2 match has both gaps 0).  So the transcripts a given t1 can
+    interact with are exactly those holding an exon within a +-2
+    coordinate window of t1's first exon (direction 1), plus those whose
+    first exon falls in a +-2 window of any exon of t1 (direction 2).
+    The maps are updated by the _set_* mutation helpers whenever a
+    phase's in-place exon-table repairs move coordinates or reassign a
+    transcript's external exons, so candidate queries stay exact while
+    the phase runs; `mutations` lets the phase loops re-query after any
+    repair.  Failing pairs are side-effect-free in overlap/extends, so
+    skipping non-candidates is output-identical to the full scan."""
+
+    __slots__ = ("mt", "tl", "occ", "rmap", "lmap", "ler", "lel",
+                 "left_of", "mutations")
+
+    def __init__(self, mt: "MaximalTranscripts", tl: List["Transcript"]):
+        self.mt = mt
+        self.tl = tl
+        self.occ: dict = {}      # exon -> {t_idx: count}
+        self.rmap: dict = {}     # R coord -> set(exon)
+        self.lmap: dict = {}     # L coord -> set(exon)
+        self.ler: dict = {}      # R[left_ext] -> set(t_idx)
+        self.lel: dict = {}      # L[left_ext] -> set(t_idx)
+        self.left_of: dict = {}  # exon -> set(t_idx with left_ext == e)
+        self.mutations = 0
+        R, L = mt.right, mt.left
+        for ti, t in enumerate(tl):
+            for k in range(t.exons):
+                e = _tx_exon_at(t, k)
+                cnt = self.occ.setdefault(e, {})
+                cnt[ti] = cnt.get(ti, 0) + 1
+                self.rmap.setdefault(R[e], set()).add(e)
+                self.lmap.setdefault(L[e], set()).add(e)
+            e = t.left_ext
+            self.ler.setdefault(R[e], set()).add(ti)
+            self.lel.setdefault(L[e], set()).add(ti)
+            self.left_of.setdefault(e, set()).add(ti)
+
+    def candidates(self, i: int) -> List[int]:
+        mt, tl = self.mt, self.tl
+        R, L = mt.right, mt.left
+        t = tl[i]
+        out: set = set()
+        e1 = t.left_ext
+        for dv in (-2, -1, 0, 1, 2):
+            for e2 in self.rmap.get(R[e1] + dv, ()):
+                out.update(self.occ.get(e2, ()))
+            for e2 in self.lmap.get(L[e1] + dv, ()):
+                out.update(self.occ.get(e2, ()))
+        for k in range(t.exons):
+            e = _tx_exon_at(t, k)
+            for dv in (-2, -1, 0, 1, 2):
+                out.update(self.ler.get(R[e] + dv, ()))
+                out.update(self.lel.get(L[e] + dv, ()))
+        out.discard(i)
+        return sorted(out)
+
+    # -- mutation hooks ----------------------------------------------
+
+    def exon_r_changed(self, e: int, old: int, new: int) -> None:
+        if old == new:
+            return
+        s = self.rmap.get(old)
+        if s is not None:
+            s.discard(e)
+        self.rmap.setdefault(new, set()).add(e)
+        for ti in self.left_of.get(e, ()):
+            s = self.ler.get(old)
+            if s is not None:
+                s.discard(ti)
+            self.ler.setdefault(new, set()).add(ti)
+        self.mutations += 1
+
+    def exon_l_changed(self, e: int, old: int, new: int) -> None:
+        if old == new:
+            return
+        s = self.lmap.get(old)
+        if s is not None:
+            s.discard(e)
+        self.lmap.setdefault(new, set()).add(e)
+        for ti in self.left_of.get(e, ()):
+            s = self.lel.get(old)
+            if s is not None:
+                s.discard(ti)
+            self.lel.setdefault(new, set()).add(ti)
+        self.mutations += 1
+
+    def _occ_del(self, e: int, ti: int) -> None:
+        cnt = self.occ.get(e)
+        if cnt is None:
+            return
+        c = cnt.get(ti, 0)
+        if c <= 1:
+            cnt.pop(ti, None)
+        else:
+            cnt[ti] = c - 1
+
+    def _occ_add(self, e: int, ti: int) -> None:
+        cnt = self.occ.setdefault(e, {})
+        cnt[ti] = cnt.get(ti, 0) + 1
+        R, L = self.mt.right, self.mt.left
+        self.rmap.setdefault(R[e], set()).add(e)
+        self.lmap.setdefault(L[e], set()).add(e)
+
+    def left_ext_changed(self, ti: int, old: int, new: int) -> None:
+        if old == new:
+            return
+        R, L = self.mt.right, self.mt.left
+        self._occ_del(old, ti)
+        self._occ_add(new, ti)
+        s = self.left_of.get(old)
+        if s is not None:
+            s.discard(ti)
+        self.left_of.setdefault(new, set()).add(ti)
+        s = self.ler.get(R[old])
+        if s is not None:
+            s.discard(ti)
+        self.ler.setdefault(R[new], set()).add(ti)
+        s = self.lel.get(L[old])
+        if s is not None:
+            s.discard(ti)
+        self.lel.setdefault(L[new], set()).add(ti)
+        self.mutations += 1
+
+    def right_ext_changed(self, ti: int, old: int, new: int) -> None:
+        if old == new:
+            return
+        self._occ_del(old, ti)
+        self._occ_add(new, ti)
+        self.mutations += 1
+
+
+def _tx_exon_at(t: "Transcript", k: int) -> int:
+    if k == 0:
+        return t.left_ext
+    if k == t.exons - 1:
+        return t.right_ext
+    return t.exon_list[k - 1]
+
+
 class MaximalTranscripts:
     def __init__(self):
         self.gen_start = 0
@@ -131,6 +277,40 @@ class MaximalTranscripts:
         self.source_total_paths = 0
         self.total_paths = 0
         self.filtered: List[int] = []
+        self._ix: Optional[_TxIndex] = None
+
+    # -- candidate index plumbing --------------------------------------
+
+    def _index_for(self, tl: List["Transcript"]) -> Optional[_TxIndex]:
+        import os
+        if os.environ.get("PINTRON_NO_TX_INDEX"):
+            return None
+        self._ix = _TxIndex(self, tl)
+        return self._ix
+
+    def _set_r(self, e: int, new: int) -> None:
+        old = self.right[e]
+        self.right[e] = new
+        if self._ix is not None:
+            self._ix.exon_r_changed(e, old, new)
+
+    def _set_l(self, e: int, new: int) -> None:
+        old = self.left[e]
+        self.left[e] = new
+        if self._ix is not None:
+            self._ix.exon_l_changed(e, old, new)
+
+    def _set_left_ext(self, tl, ti: int, new: int) -> None:
+        old = tl[ti].left_ext
+        tl[ti].left_ext = new
+        if self._ix is not None and self._ix.tl is tl:
+            self._ix.left_ext_changed(ti, old, new)
+
+    def _set_right_ext(self, tl, ti: int, new: int) -> None:
+        old = tl[ti].right_ext
+        tl[ti].right_ext = new
+        if self._ix is not None and self._ix.tl is tl:
+            self._ix.right_ext_changed(ti, old, new)
 
     # ------------------------------------------------------------------
     # Input (Get_Transcripts_from_File, :1233)
@@ -453,7 +633,7 @@ class MaximalTranscripts:
                                 + (L_[last1] - L_[last2])
                             seqs[last2] = seqs[last2] \
                                 + _substring(s1, idx, len(s1) - 1)
-                            R_[last2] = R_[last1]
+                            self._set_r(last2, R_[last1])
                         if not (ii[last2] == 1 and self.polya[last2] == 0):
                             self.polya[last2] = 1
                     else:
@@ -465,7 +645,7 @@ class MaximalTranscripts:
                                     + (L_[last1] - L_[last2])
                                 seqs[last2] = seqs[last2] \
                                     + _substring(s1, idx, len(s1) - 1)
-                                R_[last2] = R_[last1]
+                                self._set_r(last2, R_[last1])
                     if k == 0:
                         if ii[current_exon2] != 1 and t2.type != 1:
                             if L_[first_exon1] < L_[current_exon2] \
@@ -477,7 +657,7 @@ class MaximalTranscripts:
                                     + _substring(
                                         s1, 0,
                                         L_[current_exon2] - L_[first_exon1] - 1)
-                                L_[current_exon2] = L_[first_exon1]
+                                self._set_l(current_exon2, L_[first_exon1])
                 return 2, k
             return 0, 0
         if l == t2.exons - 1:
@@ -513,7 +693,7 @@ class MaximalTranscripts:
                                     + _substring(
                                         s1, 0,
                                         L_[current_exon2] - L_[first_exon1] - 1)
-                                L_[current_exon2] = L_[first_exon1]
+                                self._set_l(current_exon2, L_[first_exon1])
                     return 2, k
                 return 0, 0
             return 0, 0
@@ -538,74 +718,119 @@ class MaximalTranscripts:
     # First_Filtering (:5274)
     # ------------------------------------------------------------------
 
+    def _scan_pairs(self, n: int, body, skip_i=None) -> None:
+        """Run ``body(i, j)`` over ordered pairs i < j in ascending j,
+        ending i's scan when body returns truthy — either the plain
+        O(n^2) scan, or (when the candidate index is active) only over
+        pairs the index proves can interact, re-querying after any
+        exon-table mutation so candidacy stays exact."""
+        ix = self._ix
+        if ix is None:
+            i = 0
+            while i < n:
+                if skip_i is not None and skip_i(i):
+                    i += 1
+                    continue
+                j = i + 1
+                stop = 0
+                while j < n and not stop:
+                    stop = body(i, j)
+                    j += 1
+                i += 1
+            return
+        i = 0
+        while i < n:
+            if skip_i is not None and skip_i(i):
+                i += 1
+                continue
+            jj = i + 1
+            stop = 0
+            while jj < n and not stop:
+                cands = [c for c in ix.candidates(i) if jj <= c < n]
+                if not cands:
+                    break
+                mut0 = ix.mutations
+                exhausted = True
+                for j in cands:
+                    stop = body(i, j)
+                    if stop:
+                        break
+                    if ix.mutations != mut0:
+                        jj = j + 1
+                        exhausted = False
+                        break
+                if exhausted or stop:
+                    break
+            i += 1
+
     def first_filtering(self) -> None:
         tl = self.transcripts
         n = len(tl)
         contained = [0] * n
         ii, L_, R_ = self.is_internal, self.left, self.right
-        i = 0
-        while i < n:
-            if not contained[i]:
-                j = i + 1
-                stop = 0
-                while j < n and not stop:
-                    if tl[i].type == 1:
-                        if tl[j].type == 0:
-                            inclusion, limit = self.overlap(tl[j], tl[i], 0, 1, 1)
-                        else:
-                            inclusion, limit = 0, 0
+        self._index_for(tl)
+
+        def body(i: int, j: int) -> int:
+            stop = 0
+            if tl[i].type == 1:
+                if tl[j].type == 0:
+                    inclusion, limit = self.overlap(tl[j], tl[i], 0, 1, 1)
+                else:
+                    inclusion, limit = 0, 0
+            else:
+                if tl[j].type == 1:
+                    inclusion, limit = self.overlap(tl[i], tl[j], 0, 1, 1)
+                    if inclusion == 2:
+                        inclusion = -2
+                else:
+                    inclusion, limit = self.extends(tl[i], tl[j], 0, 1, 1)
+            if inclusion in (-2, 2):
+                if limit == 0 and tl[i].exons == tl[j].exons:
+                    if inclusion == -2:
+                        if tl[j].type != 1:
+                            if R_[tl[j].left_ext] == R_[tl[i].left_ext] \
+                                    and limit == 0:
+                                if ii[tl[j].left_ext] == -1:
+                                    if ii[tl[i].left_ext] == 1:
+                                        self._set_left_ext(tl, j, tl[i].left_ext)
+                                    elif ii[tl[i].left_ext] == -1 and \
+                                            L_[tl[i].left_ext] < L_[tl[j].left_ext]:
+                                        self._set_left_ext(tl, j, tl[i].left_ext)
+                            if L_[tl[j].right_ext] == L_[tl[i].right_ext] \
+                                    and limit + tl[i].exons == tl[j].exons:
+                                if ii[tl[j].right_ext] == -2:
+                                    if ii[tl[i].right_ext] == 1:
+                                        self._set_right_ext(tl, j, tl[i].right_ext)
+                                    elif ii[tl[i].right_ext] == -2 and \
+                                            R_[tl[i].right_ext] > R_[tl[j].right_ext]:
+                                        self._set_right_ext(tl, j, tl[i].right_ext)
+                        contained[i] = 1
+                        tl[j].ESTs += tl[i].ESTs
+                        stop = 1
                     else:
-                        if tl[j].type == 1:
-                            inclusion, limit = self.overlap(tl[i], tl[j], 0, 1, 1)
-                            if inclusion == 2:
-                                inclusion = -2
-                        else:
-                            inclusion, limit = self.extends(tl[i], tl[j], 0, 1, 1)
-                    if inclusion in (-2, 2):
-                        if limit == 0 and tl[i].exons == tl[j].exons:
-                            if inclusion == -2:
-                                if tl[j].type != 1:
-                                    if R_[tl[j].left_ext] == R_[tl[i].left_ext] \
-                                            and limit == 0:
-                                        if ii[tl[j].left_ext] == -1:
-                                            if ii[tl[i].left_ext] == 1:
-                                                tl[j].left_ext = tl[i].left_ext
-                                            elif ii[tl[i].left_ext] == -1 and \
-                                                    L_[tl[i].left_ext] < L_[tl[j].left_ext]:
-                                                tl[j].left_ext = tl[i].left_ext
-                                    if L_[tl[j].right_ext] == L_[tl[i].right_ext] \
-                                            and limit + tl[i].exons == tl[j].exons:
-                                        if ii[tl[j].right_ext] == -2:
-                                            if ii[tl[i].right_ext] == 1:
-                                                tl[j].right_ext = tl[i].right_ext
-                                            elif ii[tl[i].right_ext] == -2 and \
-                                                    R_[tl[i].right_ext] > R_[tl[j].right_ext]:
-                                                tl[j].right_ext = tl[i].right_ext
-                                contained[i] = 1
-                                tl[j].ESTs += tl[i].ESTs
-                                stop = 1
-                            else:
-                                if tl[i].type != 1:
-                                    if R_[tl[j].left_ext] == R_[tl[i].left_ext] \
-                                            and limit == 0:
-                                        if ii[tl[i].left_ext] == -1:
-                                            if ii[tl[j].left_ext] == 1:
-                                                tl[i].left_ext = tl[j].left_ext
-                                            elif ii[tl[j].left_ext] == -1 and \
-                                                    L_[tl[j].left_ext] < L_[tl[i].left_ext]:
-                                                tl[i].left_ext = tl[j].left_ext
-                                    if L_[tl[j].right_ext] == L_[tl[i].right_ext] \
-                                            and limit + tl[j].exons == tl[i].exons:
-                                        if ii[tl[i].right_ext] == -2:
-                                            if ii[tl[j].right_ext] == 1:
-                                                tl[i].right_ext = tl[j].right_ext
-                                            elif ii[tl[j].right_ext] == -2 and \
-                                                    R_[tl[j].right_ext] > R_[tl[i].right_ext]:
-                                                tl[i].right_ext = tl[j].right_ext
-                                contained[j] = 1
-                                tl[i].ESTs += tl[j].ESTs
-                    j += 1
-            i += 1
+                        if tl[i].type != 1:
+                            if R_[tl[j].left_ext] == R_[tl[i].left_ext] \
+                                    and limit == 0:
+                                if ii[tl[i].left_ext] == -1:
+                                    if ii[tl[j].left_ext] == 1:
+                                        self._set_left_ext(tl, i, tl[j].left_ext)
+                                    elif ii[tl[j].left_ext] == -1 and \
+                                            L_[tl[j].left_ext] < L_[tl[i].left_ext]:
+                                        self._set_left_ext(tl, i, tl[j].left_ext)
+                            if L_[tl[j].right_ext] == L_[tl[i].right_ext] \
+                                    and limit + tl[j].exons == tl[i].exons:
+                                if ii[tl[i].right_ext] == -2:
+                                    if ii[tl[j].right_ext] == 1:
+                                        self._set_right_ext(tl, i, tl[j].right_ext)
+                                    elif ii[tl[j].right_ext] == -2 and \
+                                            R_[tl[j].right_ext] > R_[tl[i].right_ext]:
+                                        self._set_right_ext(tl, i, tl[j].right_ext)
+                        contained[j] = 1
+                        tl[i].ESTs += tl[j].ESTs
+            return stop
+
+        self._scan_pairs(n, body, skip_i=lambda i: contained[i])
+        self._ix = None
         self.transcripts = [tl[i] for i in range(n) if not contained[i]]
 
     # ------------------------------------------------------------------
@@ -618,20 +843,25 @@ class MaximalTranscripts:
         self.matrix = [[0] * n for _ in range(n)]
         self.in_degree = [0] * n
         self.out_degree = [0] * n
-        for i in range(n):
-            for j in range(i + 1, n):
-                if tl[i].type == 1 or tl[j].type == 1:
-                    ext, limit = 0, 0
-                else:
-                    ext, limit = self.extends(tl[i], tl[j], 1, 1, 0)
-                if ext == 1:
-                    self.matrix[i][j] = limit
-                    self.out_degree[i] += 1
-                    self.in_degree[j] += 1
-                elif ext == -1:
-                    self.matrix[j][i] = limit
-                    self.out_degree[j] += 1
-                    self.in_degree[i] += 1
+        self._index_for(tl)
+
+        def body(i: int, j: int) -> int:
+            if tl[i].type == 1 or tl[j].type == 1:
+                ext, limit = 0, 0
+            else:
+                ext, limit = self.extends(tl[i], tl[j], 1, 1, 0)
+            if ext == 1:
+                self.matrix[i][j] = limit
+                self.out_degree[i] += 1
+                self.in_degree[j] += 1
+            elif ext == -1:
+                self.matrix[j][i] = limit
+                self.out_degree[j] += 1
+                self.in_degree[i] += 1
+            return 0
+
+        self._scan_pairs(n, body)
+        self._ix = None
 
     def _remove_node(self, head: Optional[Node], node: int) -> Optional[Node]:
         """Remove_Node_from_a_node_list (:5247), including the head-removal
@@ -971,75 +1201,76 @@ class MaximalTranscripts:
     def filter_path_transcripts(self) -> None:
         ptl = self.path_transcripts
         ii, L_, R_ = self.is_internal, self.left, self.right
-        i = 0
-        while i < self.total_paths:
-            if not self.filtered[i]:
-                j = i + 1
-                stop = False
-                while j < self.total_paths and not stop:
-                    if not self.filtered[j]:
-                        if ptl[i].type == 1:
-                            if ptl[j].type == 0:
-                                included, typ = self.overlap(ptl[j], ptl[i],
-                                                             0, 1, 1)
-                            else:
-                                _r, typ = self.overlap(ptl[i], ptl[j], 0, 1, 1)
-                                included = 0
-                        else:
-                            if ptl[j].type == 1:
-                                included, typ = self.overlap(ptl[i], ptl[j],
-                                                             0, 1, 1)
-                                if included == 2:
-                                    included = -2
-                            else:
-                                included, typ = self.extends(ptl[i], ptl[j],
-                                                             0, 1, 1)
-                        if included in (2, -2):
-                            if included == 2:
-                                if ptl[i].type != 1:
-                                    if R_[ptl[i].left_ext] == R_[ptl[j].left_ext] \
-                                            and typ == 0:
-                                        if ii[ptl[i].left_ext] == -1:
-                                            if ii[ptl[j].left_ext] == 1:
-                                                ptl[i].left_ext = ptl[j].left_ext
-                                            elif ii[ptl[j].left_ext] == -1 and \
-                                                    L_[ptl[j].left_ext] < L_[ptl[i].left_ext]:
-                                                ptl[i].left_ext = ptl[j].left_ext
-                                    if L_[ptl[i].right_ext] == L_[ptl[j].right_ext] \
-                                            and typ + ptl[j].exons == ptl[i].exons:
-                                        if ii[ptl[i].right_ext] == -2:
-                                            if ii[ptl[j].right_ext] == 1:
-                                                ptl[i].right_ext = ptl[j].right_ext
-                                            elif ii[ptl[j].right_ext] == -2 and \
-                                                    R_[ptl[j].right_ext] > R_[ptl[i].right_ext]:
-                                                ptl[i].right_ext = ptl[j].right_ext
-                                self.filtered[j] = 1
-                                for p in self.transcript_paths[j]:
-                                    self._add_path(self.transcript_paths[i], p)
-                            else:
-                                if ptl[j].type != 1:
-                                    if R_[ptl[i].left_ext] == R_[ptl[j].left_ext] \
-                                            and typ == 0:
-                                        if ii[ptl[j].left_ext] == -1:
-                                            if ii[ptl[i].left_ext] == 1:
-                                                ptl[j].left_ext = ptl[i].left_ext
-                                            elif ii[ptl[i].left_ext] == -1 and \
-                                                    L_[ptl[i].left_ext] < L_[ptl[j].left_ext]:
-                                                ptl[j].left_ext = ptl[i].left_ext
-                                    if L_[ptl[i].right_ext] == L_[ptl[j].right_ext] \
-                                            and typ + ptl[i].exons == ptl[j].exons:
-                                        if ii[ptl[j].right_ext] == -2:
-                                            if ii[ptl[i].right_ext] == 1:
-                                                ptl[j].right_ext = ptl[i].right_ext
-                                            elif ii[ptl[i].right_ext] == -2 and \
-                                                    R_[ptl[i].right_ext] > R_[ptl[j].right_ext]:
-                                                ptl[j].right_ext = ptl[i].right_ext
-                                self.filtered[i] = 1
-                                for p in self.transcript_paths[i]:
-                                    self._add_path(self.transcript_paths[j], p)
-                                stop = True
-                    j += 1
-            i += 1
+        self._index_for(ptl)
+
+        def body(i: int, j: int) -> int:
+            stop = 0
+            if not self.filtered[j]:
+                if ptl[i].type == 1:
+                    if ptl[j].type == 0:
+                        included, typ = self.overlap(ptl[j], ptl[i],
+                                                     0, 1, 1)
+                    else:
+                        _r, typ = self.overlap(ptl[i], ptl[j], 0, 1, 1)
+                        included = 0
+                else:
+                    if ptl[j].type == 1:
+                        included, typ = self.overlap(ptl[i], ptl[j],
+                                                     0, 1, 1)
+                        if included == 2:
+                            included = -2
+                    else:
+                        included, typ = self.extends(ptl[i], ptl[j],
+                                                     0, 1, 1)
+                if included in (2, -2):
+                    if included == 2:
+                        if ptl[i].type != 1:
+                            if R_[ptl[i].left_ext] == R_[ptl[j].left_ext] \
+                                    and typ == 0:
+                                if ii[ptl[i].left_ext] == -1:
+                                    if ii[ptl[j].left_ext] == 1:
+                                        self._set_left_ext(ptl, i, ptl[j].left_ext)
+                                    elif ii[ptl[j].left_ext] == -1 and \
+                                            L_[ptl[j].left_ext] < L_[ptl[i].left_ext]:
+                                        self._set_left_ext(ptl, i, ptl[j].left_ext)
+                            if L_[ptl[i].right_ext] == L_[ptl[j].right_ext] \
+                                    and typ + ptl[j].exons == ptl[i].exons:
+                                if ii[ptl[i].right_ext] == -2:
+                                    if ii[ptl[j].right_ext] == 1:
+                                        self._set_right_ext(ptl, i, ptl[j].right_ext)
+                                    elif ii[ptl[j].right_ext] == -2 and \
+                                            R_[ptl[j].right_ext] > R_[ptl[i].right_ext]:
+                                        self._set_right_ext(ptl, i, ptl[j].right_ext)
+                        self.filtered[j] = 1
+                        for p in self.transcript_paths[j]:
+                            self._add_path(self.transcript_paths[i], p)
+                    else:
+                        if ptl[j].type != 1:
+                            if R_[ptl[i].left_ext] == R_[ptl[j].left_ext] \
+                                    and typ == 0:
+                                if ii[ptl[j].left_ext] == -1:
+                                    if ii[ptl[i].left_ext] == 1:
+                                        self._set_left_ext(ptl, j, ptl[i].left_ext)
+                                    elif ii[ptl[i].left_ext] == -1 and \
+                                            L_[ptl[i].left_ext] < L_[ptl[j].left_ext]:
+                                        self._set_left_ext(ptl, j, ptl[i].left_ext)
+                            if L_[ptl[i].right_ext] == L_[ptl[j].right_ext] \
+                                    and typ + ptl[i].exons == ptl[j].exons:
+                                if ii[ptl[j].right_ext] == -2:
+                                    if ii[ptl[i].right_ext] == 1:
+                                        self._set_right_ext(ptl, j, ptl[i].right_ext)
+                                    elif ii[ptl[i].right_ext] == -2 and \
+                                            R_[ptl[i].right_ext] > R_[ptl[j].right_ext]:
+                                        self._set_right_ext(ptl, j, ptl[i].right_ext)
+                        self.filtered[i] = 1
+                        for p in self.transcript_paths[i]:
+                            self._add_path(self.transcript_paths[j], p)
+                        stop = 1
+            return stop
+
+        self._scan_pairs(self.total_paths, body,
+                         skip_i=lambda i: self.filtered[i])
+        self._ix = None
 
     # ------------------------------------------------------------------
     # Filter_Path_Transcripts_by_Introns (:3034)
