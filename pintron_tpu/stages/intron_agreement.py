@@ -306,9 +306,57 @@ def try_agreement(gen_seq: str, intron_from: Intron,
     return False
 
 
+class _GiIndex:
+    """Coordinate-window index over a FIXED genomic-intron list.
+
+    try_agreement can only succeed when |start - s| < 12 and
+    |end - e| < 12 (agree-introns.c:90-99), and the single-site variant
+    when |start - s| < 16 or |end - e| < 16; registry entries' start/end
+    never change during the agreement waterfall, so a static sorted
+    index answers "which list positions could match" exactly.  Matches
+    are returned in ascending list position, preserving the scan's
+    first-success semantics (skipped entries are guaranteed failures,
+    which are side-effect-free)."""
+
+    __slots__ = ("glist", "starts", "ends")
+
+    def __init__(self, glist: List[GenomicIntron]):
+        self.glist = glist
+        self.starts = sorted((gi.start, k) for k, gi in enumerate(glist))
+        self.ends = sorted((gi.end, k) for k, gi in enumerate(glist))
+
+    def _range(self, arr, v, rng):
+        import bisect
+        lo = bisect.bisect_left(arr, (v - rng + 1, -1))
+        hi = bisect.bisect_right(arr, (v + rng - 1, 1 << 62))
+        return arr[lo:hi]
+
+    def window_and(self, s: int, e: int, rng: int) -> List[int]:
+        """positions with |start-s| < rng and |end-e| < rng, ascending"""
+        g = self.glist
+        return sorted(k for _v, k in self._range(self.starts, s, rng)
+                      if abs(g[k].end - e) < rng)
+
+    def window_or(self, s: int, e: int, rng: int) -> List[int]:
+        """positions with |start-s| < rng or |end-e| < rng, ascending"""
+        ks = {k for _v, k in self._range(self.starts, s, rng)}
+        ks.update(k for _v, k in self._range(self.ends, e, rng))
+        return sorted(ks)
+
+
 def try_agreement_to_intron_list(gen_seq: str, intron_from: Intron,
                                  genomic_list: List[GenomicIntron],
-                                 allowed_error: int) -> bool:
+                                 allowed_error: int,
+                                 index: Optional[_GiIndex] = None) -> bool:
+    if index is not None:
+        s = intron_from.gen_intron.start
+        e = intron_from.gen_intron.end
+        for k in index.window_and(s, e, 12):
+            gi = genomic_list[k]
+            if gi.supportingESTs > 0:
+                if try_agreement(gen_seq, intron_from, gi, allowed_error):
+                    return True
+        return False
     for gi in genomic_list:
         if gi.supportingESTs > 0:
             if try_agreement(gen_seq, intron_from, gi, allowed_error):
@@ -439,7 +487,19 @@ def try_agreement_on_single_site(gen_seq: str, intron_from: Intron,
 def try_agreement_to_intron_list_on_single_site(gen_seq: str,
                                                 intron_from: Intron,
                                                 genomic_list,
-                                                registry) -> bool:
+                                                registry,
+                                                index: Optional[_GiIndex]
+                                                = None) -> bool:
+    if index is not None:
+        s = intron_from.gen_intron.start
+        e = intron_from.gen_intron.end
+        for k in index.window_or(s, e, 16):
+            gi = genomic_list[k]
+            if gi.supportingESTs > 0:
+                if try_agreement_on_single_site(gen_seq, intron_from, gi,
+                                                registry):
+                    return True
+        return False
     for gi in genomic_list:
         if gi.supportingESTs > 0:
             if try_agreement_on_single_site(gen_seq, intron_from, gi,
@@ -539,15 +599,16 @@ def run_intron_agreement(workdir: str = ".") -> None:
     gen_length = len(gen_seq)
     registry: List[GenomicIntron] = []
 
-    # attach EST infos and build intron compositions
+    # attach EST infos and build intron compositions (first record with a
+    # given id wins, like the reference's linear scan)
+    first_by_id = {}
+    for ei in estinfo_list:
+        first_by_id.setdefault(ei.est_id, ei)
     compositions: List[Tuple[EstFactorizations, List[Intron], mf.EstInfo]] = []
     for est in ests:
-        info = None
-        for ei in estinfo_list:
-            if ei.est_id == est.est_id:
-                mf.set_est_gb_identification(ei)
-                info = ei
-                break
+        info = first_by_id.get(est.est_id)
+        if info is not None:
+            mf.set_est_gb_identification(info)
         assert info is not None
         exon_composition = est.factorizations[0]
         composition = get_intron_composition(info, gen_length, gen_seq,
@@ -582,15 +643,32 @@ def run_intron_agreement(workdir: str = ".") -> None:
     genomic_agreement_list = [gi for gi in registry
                               if gi.agree_type not in (0, 1)]
 
+    # static coordinate-window indexes over the (fixed) per-priority
+    # genomic lists; registry start/end never change during the waterfall
+    if os.environ.get("PINTRON_NO_GI_INDEX"):
+        ix_ref = ix_can = ix_agr = None
+    else:
+        ix_ref = _GiIndex(genomic_refseq_list)
+        ix_can = _GiIndex(genomic_canonical_list)
+        ix_agr = _GiIndex(genomic_agreement_list)
+
     # waterfall: canonical -> refseq
     for intron in canonical_list:
-        try_agreement_to_intron_list(gen_seq, intron, genomic_refseq_list, 0)
+        try_agreement_to_intron_list(gen_seq, intron, genomic_refseq_list,
+                                     0, index=ix_ref)
 
     # canonical -> better-Burset canonical
     for intron in canonical_list:
         if not intron.agreed:
             freq_from = intron.gen_intron.burset_frequency
-            for gi in genomic_canonical_list:
+            if ix_can is not None:
+                s0 = intron.gen_intron.start
+                e0 = intron.gen_intron.end
+                gi_iter = (genomic_canonical_list[k]
+                           for k in ix_can.window_and(s0, e0, 12))
+            else:
+                gi_iter = iter(genomic_canonical_list)
+            for gi in gi_iter:
                 if (gi.start != intron.gen_intron.start
                         or gi.end != intron.gen_intron.end):
                     if gi.burset_frequency > freq_from:
@@ -602,18 +680,22 @@ def run_intron_agreement(workdir: str = ".") -> None:
     not_agreed_list: List[Intron] = []
     for intron in agreement_list:
         ok = try_agreement_to_intron_list(gen_seq, intron,
-                                          genomic_refseq_list, 4)
+                                          genomic_refseq_list, 4,
+                                          index=ix_ref)
         if not ok:
             ok = try_agreement_to_intron_list(gen_seq, intron,
-                                              genomic_canonical_list, 4)
+                                              genomic_canonical_list, 4,
+                                              index=ix_can)
             if ok:
                 agreed_list.append(intron)
             else:
                 ok = try_agreement_to_intron_list_on_single_site(
-                    gen_seq, intron, genomic_refseq_list, registry)
+                    gen_seq, intron, genomic_refseq_list, registry,
+                    index=ix_ref)
                 if not ok:
                     ok = try_agreement_to_intron_list_on_single_site(
-                        gen_seq, intron, genomic_canonical_list, registry)
+                        gen_seq, intron, genomic_canonical_list, registry,
+                        index=ix_can)
                     if ok:
                         agreed_list.append(intron)
                     else:
@@ -628,7 +710,14 @@ def run_intron_agreement(workdir: str = ".") -> None:
     for intron in not_agreed_list:
         freq_from = intron.gen_intron.burset_frequency
         ok = False
-        for gi in genomic_agreement_list:
+        if ix_agr is not None:
+            s0 = intron.gen_intron.start
+            e0 = intron.gen_intron.end
+            gi_iter = (genomic_agreement_list[k]
+                       for k in ix_agr.window_and(s0, e0, 12))
+        else:
+            gi_iter = iter(genomic_agreement_list)
+        for gi in gi_iter:
             if (gi.start != intron.gen_intron.start
                     or gi.end != intron.gen_intron.end):
                 if gi.burset_frequency > freq_from:
