@@ -840,7 +840,12 @@ class MaximalTranscripts:
     def build_extension_matrix(self) -> None:
         tl = self.transcripts
         n = len(tl)
-        self.matrix = [[0] * n for _ in range(n)]
+        # sparse extension matrix: rows map j -> limit (nonzero edges
+        # only; overlap result 1 always has limit >= 1), plus column
+        # sets for the in-neighbour scans.  All scans iterate sorted
+        # keys, reproducing the dense ascending-index order.
+        self.matrix = [dict() for _ in range(n)]
+        self.matrix_cols = [set() for _ in range(n)]
         self.in_degree = [0] * n
         self.out_degree = [0] * n
         self._index_for(tl)
@@ -851,11 +856,15 @@ class MaximalTranscripts:
             else:
                 ext, limit = self.extends(tl[i], tl[j], 1, 1, 0)
             if ext == 1:
-                self.matrix[i][j] = limit
+                if limit != 0:
+                    self.matrix[i][j] = limit
+                    self.matrix_cols[j].add(i)
                 self.out_degree[i] += 1
                 self.in_degree[j] += 1
             elif ext == -1:
-                self.matrix[j][i] = limit
+                if limit != 0:
+                    self.matrix[j][i] = limit
+                    self.matrix_cols[i].add(j)
                 self.out_degree[j] += 1
                 self.in_degree[i] += 1
             return 0
@@ -882,33 +891,36 @@ class MaximalTranscripts:
         prev.next = next_one
         return head
 
+    def _mzero(self, i: int, j: int) -> None:
+        self.matrix[i].pop(j, None)
+        self.matrix_cols[j].discard(i)
+
     def _partial_reduction_for_node(self, a: int, b: int, c: int) -> None:
         m = self.matrix
-        n = len(self.transcripts)
         out_node_list: Optional[Node] = None
         node_list: Optional[Node] = None
         no_outcoming = 1
-        for i in range(n):
-            if m[c][i] != 0 and i != b:
+        for i in sorted(m[c]):
+            if i != b:
                 no_outcoming = 0
                 out_node_list = Node(i, out_node_list)
-        for i in range(n):
-            if m[i][c] != 0 and i != a:
+        for i in sorted(self.matrix_cols[c]):
+            if i != a:
                 node_list = Node(i, node_list)
 
         help_node_list: Optional[Node] = None
         head = node_list
         while head is not None:
             nxt = head.next
-            if m[head.index][a] != 0:
-                m[head.index][c] = 0
+            if a in m[head.index]:
+                self._mzero(head.index, c)
                 self.out_degree[head.index] -= 1
                 self.in_degree[c] -= 1
                 help_node_list = Node(head.index, help_node_list)
                 node_list = self._remove_node(node_list, head.index)
-            elif m[head.index][b] != 0:
+            elif b in m[head.index]:
                 if no_outcoming:
-                    m[head.index][c] = 0
+                    self._mzero(head.index, c)
                     self.out_degree[head.index] -= 1
                     self.in_degree[c] -= 1
                     help_node_list = Node(head.index, help_node_list)
@@ -917,11 +929,11 @@ class MaximalTranscripts:
                     attached = 1
                     oh = out_node_list
                     while oh is not None and attached:
-                        if m[head.index][oh.index] == 0:
+                        if oh.index not in m[head.index]:
                             attached = 0
                         oh = oh.next
                     if attached:
-                        m[head.index][c] = 0
+                        self._mzero(head.index, c)
                         self.out_degree[head.index] -= 1
                         self.in_degree[c] -= 1
                         help_node_list = Node(head.index, help_node_list)
@@ -936,10 +948,10 @@ class MaximalTranscripts:
                 stop = False
                 hh = help_node_list
                 while hh is not None and not stop:
-                    if m[head.index][hh.index] != 0:
+                    if hh.index in m[head.index]:
                         stop = True
                         changed = True
-                        m[head.index][c] = 0
+                        self._mzero(head.index, c)
                         self.out_degree[head.index] -= 1
                         self.in_degree[c] -= 1
                         help_node_list = Node(head.index, help_node_list)
@@ -952,7 +964,7 @@ class MaximalTranscripts:
                     head = head.next
 
         if node_list is None:
-            m[c][b] = 0
+            self._mzero(c, b)
             self.out_degree[c] -= 1
             self.in_degree[b] -= 1
 
@@ -960,15 +972,15 @@ class MaximalTranscripts:
         n = len(self.transcripts)
         m = self.matrix
         for i in range(n):
-            for j in range(n):
-                if m[i][j] != 0:
+            for j in sorted(m[i]):
+                if j in m[i]:
                     # Partial_Graph_reduction_for_arc (:5027)
                     initial = 0
                     while True:
                         c = -1
-                        if m[i][j] != 0:
-                            for cand in range(initial, n):
-                                if m[i][cand] != 0 and m[cand][j] != 0:
+                        if j in m[i]:
+                            for cand in sorted(m[i]):
+                                if cand >= initial and j in m[cand]:
                                     c = cand
                                     break
                         if c == -1:
@@ -1137,9 +1149,8 @@ class MaximalTranscripts:
 
         if self._adjacency is None:
             n = len(self.transcripts)
-            self._adjacency = [
-                [i for i in range(n) if self.matrix[r][i] != 0]
-                for r in range(n)]
+            self._adjacency = [sorted(self.matrix[r])
+                               for r in range(n)]
         adjacency = self._adjacency
         while qhead < len(queue):
             enq = queue[qhead]
@@ -1303,6 +1314,11 @@ class MaximalTranscripts:
                 q += 1
             return False
 
+        # first record with given (left, right) wins, like the linear scan
+        first_by_coords = {}
+        for rec in introns:
+            first_by_coords.setdefault((rec[0], rec[1]), rec)
+
         ptl = self.path_transcripts
         for i in range(self.total_paths):
             if self.filtered[i]:
@@ -1313,11 +1329,7 @@ class MaximalTranscripts:
                     else ptl[i].exon_list[j]
                 istart = self.right[donor] + 1
                 iend = self.left[accept] - 1
-                found = None
-                for rec in introns:
-                    if istart == rec[0] and iend == rec[1]:
-                        found = rec
-                        break
+                found = first_by_coords.get((istart, iend))
                 if found is not None:
                     if found[2] < 2 and not is_refseq_supported(found[3]):
                         if (found[6].lower() != "gt"
