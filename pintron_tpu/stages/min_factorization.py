@@ -94,27 +94,24 @@ def update_windows(windows: List[Tuple[int, int]], factor: Factor
         windows.append((fs, fe))
         return windows
 
-    # find the window where the factor start falls
-    i_start = None
-    start_inside = False
-    for k, (ws, we) in enumerate(windows):
-        if fs <= we:
-            i_start = k
-            if fs >= ws:
-                start_inside = True
-            break
-    if i_start is None:
+    # find the window where the factor start falls (windows are kept
+    # sorted and disjoint, so the linear "first k with fs <= we" scan is
+    # a bisection on the window ends)
+    import bisect
+    k = bisect.bisect_left(windows, fs, key=lambda w: w[1])
+    if k >= len(windows):
         windows.append((fs, fe))
         return windows
+    i_start = k
+    start_inside = fs >= windows[k][0]
 
-    i_end = None
-    end_inside = False
-    for k, (ws, we) in enumerate(windows):
-        if fe <= we:
-            i_end = k
-            if fe >= ws:
-                end_inside = True
-            break
+    k = bisect.bisect_left(windows, fe, key=lambda w: w[1])
+    if k < len(windows):
+        i_end = k
+        end_inside = fe >= windows[k][0]
+    else:
+        i_end = None
+        end_inside = False
 
     if i_end is not None and not end_inside and i_end == 0:
         windows.insert(0, (fs, fe))
@@ -178,17 +175,23 @@ def windows_list_create(ests: List[EstFactorizations]
 def color_matrix_create(ests: List[EstFactorizations]
                         ) -> List[Tuple[int, int]]:
     """color_matrix_create in windows mode (main-min-factorization.c:58)."""
+    import bisect
     windows = windows_list_create(ests)
+    nw = len(windows)
     for est in ests:
         for fact in est.factorizations:
             bv = 0
             for f in fact:
-                pos = -1
-                for k, (ws, we) in enumerate(windows):
-                    if ws <= f.gen_start and we >= f.gen_end:
-                        pos = k
-                        break
+                # first window with we >= gen_end; windows are sorted
+                # and disjoint, so no later window can contain either —
+                # the reference's fallback is the last index
+                k = bisect.bisect_left(windows, f.gen_end,
+                                       key=lambda w: w[1])
+                if k < nw and windows[k][0] <= f.gen_start \
+                        and windows[k][1] >= f.gen_end:
                     pos = k
+                else:
+                    pos = nw - 1
                 bv |= 1 << pos
             est.bin_factorizations.append(bv)
     return windows
@@ -207,18 +210,23 @@ def simplification(ests: List[EstFactorizations], n_factors: int
                    ) -> Simplification:
     """simplify_matrix.c:137-250 fixpoint of forcing rules."""
     p = Simplification(n_factors, len(ests))
+    mask = (1 << n_factors) - 1
     while True:
         el_column = False
         for est in ests:
             # simplify_column: factor present in EVERY factorization of
-            # this EST -> surely used
-            elim = False
-            for i in range(n_factors):
-                if p.factors_used >> i & 1:
-                    continue
-                if all(bv >> i & 1 for bv in est.bin_factorizations):
-                    p.factors_used |= 1 << i
-                    elim = True
+            # this EST -> surely used.  AND-reduce the rows: a bit set
+            # in every row and not yet used is newly forced (all() over
+            # an empty row list is vacuously true, like the reference).
+            common = mask
+            for bv in est.bin_factorizations:
+                common &= bv
+            new = common & ~p.factors_used & mask
+            if new:
+                p.factors_used |= new
+                elim = True
+            else:
+                elim = False
             el_column = elim  # reference keeps only the LAST est's flag
 
         el_row = False
@@ -231,20 +239,19 @@ def simplification(ests: List[EstFactorizations], n_factors: int
                         elim = True
             el_row = elim
 
-        el_col_zero = False
-        for column in range(n_factors):
-            all_zero = True
-            for n_est, est in enumerate(ests):
-                if not all_zero:
-                    break
-                if (not (p.ests_ok >> n_est & 1)
-                        and not (p.factors_used >> column & 1)):
-                    all_zero = all(not (bv >> column & 1)
-                                   for bv in est.bin_factorizations)
-            if (all_zero and not (p.factors_used >> column & 1)
-                    and not (p.factors_not_used >> column & 1)):
-                p.factors_not_used |= 1 << column
-                el_col_zero = True
+        # columns with no bit set in any factorization of any
+        # still-unsatisfied EST are surely unused (for a column already
+        # in factors_used the per-est check never runs in the
+        # reference, leaving all_zero true — but such columns are
+        # filtered right after, so the OR over active rows is exact)
+        active_or = 0
+        for n_est, est in enumerate(ests):
+            if not (p.ests_ok >> n_est & 1):
+                for bv in est.bin_factorizations:
+                    active_or |= bv
+        new_nu = ~active_or & ~p.factors_used & ~p.factors_not_used & mask
+        el_col_zero = bool(new_nu)
+        p.factors_not_used |= new_nu
 
         if not (el_column or el_row or el_col_zero):
             break
