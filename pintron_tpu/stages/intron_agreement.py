@@ -61,14 +61,31 @@ class Intron:
         self.agree_type = 2
 
 
+class IntronRegistry(list):
+    """Registry list plus an exact (start, end) -> entry side index.
+    The linear-scan lookup can never create coordinate duplicates, so
+    the dict lookup is equivalent; plain lists still take the scan."""
+
+    def __init__(self):
+        super().__init__()
+        self.by_coords: Dict[Tuple[int, int], GenomicIntron] = {}
+
+
 def add_genomic_intron(gen_seq: str, registry: List[GenomicIntron],
                        start: int, end: int) -> GenomicIntron:
     """agree-introns.c:545-587: registry lookup or creation; NEW introns
     go to the HEAD of the registry (list order matters downstream)."""
-    for gi in registry:
-        if gi.start == start and gi.end == end:
+    by = getattr(registry, "by_coords", None)
+    if by is not None:
+        gi = by.get((start, end))
+        if gi is not None:
             gi.supportingESTs += 1
             return gi
+    else:
+        for gi in registry:
+            if gi.start == start and gi.end == end:
+                gi.supportingESTs += 1
+                return gi
     gi = GenomicIntron(start, end)
     # set_pattern + set_intron_Burset_frequency; getBursetFrequency
     # UPPERCASES the stored patterns in place (refine-intron.c:To_upper)
@@ -77,6 +94,8 @@ def add_genomic_intron(gen_seq: str, registry: List[GenomicIntron],
     gi.burset_frequency = get_burset_frequency(gi.donor_pt, gi.acceptor_pt)
     gi.supportingESTs = 1
     registry.insert(0, gi)
+    if by is not None:
+        by[(start, end)] = gi
     return gi
 
 
@@ -597,7 +616,7 @@ def run_intron_agreement(workdir: str = ".") -> None:
 
     gen_seq = gen.seq
     gen_length = len(gen_seq)
-    registry: List[GenomicIntron] = []
+    registry: List[GenomicIntron] = IntronRegistry()
 
     # attach EST infos and build intron compositions (first record with a
     # given id wins, like the reference's linear scan)
