@@ -183,6 +183,27 @@ def _build_and_load():
         + [ctypes.c_void_p] * 4                # out off, f, polya, polyad
         + [ctypes.c_int64] * 2                 # cap_facts, cap_factors
         + [ctypes.c_void_p])                   # counts
+    lib.est_process_cands.restype = ctypes.c_int64
+    lib.est_process_cands.argtypes = (
+        list(lib.est_process.argtypes)
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64])
+    #   pre_off, pre_f, pre_n (caller-owned candidate arrays)
+    lib.est_collect_noisy.restype = ctypes.c_int64
+    lib.est_collect_noisy.argtypes = (
+        [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # cands
+        + [ctypes.c_char_p, ctypes.c_int64]    # gen
+        + [ctypes.c_char_p, ctypes.c_int64]    # est (masked)
+        + [ctypes.c_char_p, ctypes.c_int64]    # est original
+        + [ctypes.c_int64, ctypes.c_double]    # est_length, complexity
+        + [ctypes.c_void_p, ctypes.c_int64]    # out records (9/i64), cap
+        + [ctypes.c_void_p])                   # meta[2]: need, seq_id
+    lib.epm_fill_noisy.restype = ctypes.c_int64
+    lib.epm_fill_noisy.argtypes = (
+        [ctypes.c_char_p, ctypes.c_int64]      # gen
+        + [ctypes.c_char_p, ctypes.c_int64]    # est (masked)
+        + [ctypes.c_char_p, ctypes.c_int64]    # est original
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64])
+    #   coords (4/i64), ok flags, n
     lib.unit_process.restype = ctypes.c_int64
     lib.unit_process.argtypes = (
         [ctypes.c_char_p, ctypes.c_int64]        # tree text

@@ -5540,6 +5540,180 @@ done:
     return 0;
 }
 
+/* ---- device-offload collect/fill (PINTRON_DEVICE=1) ---------------------
+ * The noisy-exon K-band checks (ep_clean_noisy) are the cascade's
+ * regular, batchable DP workload: per exon, one banded edit distance
+ * keyed in the memo purely by factor coordinates.  The device path runs
+ * a COLLECT pass (the cascade up to — not including — ep_clean_noisy)
+ * that lists every un-memoized K-band problem, evaluates the whole
+ * batch across ESTs on the TPU (ops/align.py wavefront kernels, bit-
+ * equal to kband_core), pre-FILLS the memo with the device verdicts,
+ * then runs est_process normally: ep_clean_noisy memo-hits every exon
+ * and the CPU K-band never runs.  Outputs are byte-identical by
+ * construction (same memo entries the CPU would have produced).
+ *
+ * est_collect_noisy: emits 9-int64 records
+ *   {es, ee, gs, ge, g_off, g_len, e_off, e_len, max_err}
+ * (window offsets are into gen/est after real_substring clamping, so the
+ * python side slices bytes directly).  Returns the record count, or
+ *   -1 memo unavailable (caller falls back to the plain CPU path)
+ *   -2 cap too small (meta[0] = records needed)
+ *   -3 allocation failure
+ * meta[1] = the persistent memo sequence id (for cross-EST dedup). */
+int64_t est_collect_noisy(
+    const int64_t *cand_off, const int64_t *cand_f, int64_t n_cand,
+    const char *gen, int64_t glen,
+    const char *est, int64_t elen,
+    const char *est_orig, int64_t eolen,
+    int64_t est_length, double complexity_threshold,
+    int64_t *out, int64_t cap, int64_t *meta) {
+
+    int64_t ci, k, n_out = 0, need = 0;
+    uint64_t set_cap = 64, set_fill = 0;
+    uint64_t *set;
+    int64_t ret = -3;
+
+    epm_seq_id = epm_begin(gen, glen, est, elen, est_orig, eolen);
+    meta[0] = 0;
+    meta[1] = (int64_t)epm_seq_id;
+    if (epm_seq_id == 0 || !epm_tab) return -1;
+
+    /* local dedup set over (es,ee,gs,ge): same coords may recur across
+     * candidates; one problem per memo key */
+    {
+        int64_t total = 0;
+        for (ci = 0; ci < n_cand; ci++)
+            total += cand_off[ci + 1] - cand_off[ci];
+        while ((int64_t)set_cap < 2 * total + 2) set_cap <<= 1;
+    }
+    set = (uint64_t *)calloc((size_t)set_cap * 2, sizeof(uint64_t));
+    if (!set) return -3;
+
+    for (ci = 0; ci < n_cand; ci++) {
+        efct f = {NULL, 0, 0, 0, 0};
+        int is_ok;
+        int64_t a = cand_off[ci], b = cand_off[ci + 1];
+        if (!efct_reserve(&f, b - a)) goto fail;
+        for (k = a; k < b; k++) {
+            efac e;
+            e.es = cand_f[4 * k];
+            e.ee = cand_f[4 * k + 1];
+            e.gs = cand_f[4 * k + 2];
+            e.ge = cand_f[4 * k + 3];
+            f.f[f.n++] = e;
+        }
+        is_ok = ep_check_not_ss(&f, est_length);
+        if (is_ok) is_ok = ep_check_exon_start_end(&f);
+        if (is_ok) {
+            if (!ep_handle_endpoints(&f, gen, glen, est, elen)) {
+                efct_free(&f);
+                goto fail;
+            }
+            if (f.n == 0) is_ok = 0;
+        }
+        if (is_ok) {
+            ep_clean_external(&f, gen, glen, est, elen);
+            if (f.n == 0) is_ok = 0;
+        }
+        if (is_ok) {
+            ep_clean_low_complexity(&f, gen, glen, est, elen,
+                                    complexity_threshold);
+            if (f.n == 0) is_ok = 0;
+        }
+        if (is_ok) {
+            for (k = 0; k < f.n; k++) {
+                efac *e = &f.f[k];
+                uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
+                uint64_t h, idx;
+                int found, dup = 0;
+                epm_ent *me;
+                if (e->gs > e->ge) continue;  /* ok=0 without a DP */
+                epm_key4(mk, 4, e);
+                me = epm_find(mk, &found);
+                if (found) continue;
+                if (me) me->gen = epm_gen - 1;  /* un-claim: no value yet */
+                /* dedup within this collect call */
+                h = 1469598103934665603ULL;
+                h ^= (uint64_t)e->es; h *= 1099511628211ULL;
+                h ^= (uint64_t)e->ee; h *= 1099511628211ULL;
+                h ^= (uint64_t)e->gs; h *= 1099511628211ULL;
+                h ^= (uint64_t)e->ge; h *= 1099511628211ULL;
+                if (h == 0) h = 1;
+                idx = h & (set_cap - 1);
+                for (;;) {
+                    uint64_t k0 = set[2 * idx], k1 = set[2 * idx + 1];
+                    uint64_t w0 = ((uint64_t)(uint32_t)e->es << 32)
+                                  | (uint32_t)e->ee;
+                    uint64_t w1 = ((uint64_t)(uint32_t)e->gs << 32)
+                                  | (uint32_t)e->ge;
+                    if (k0 == 0 && k1 == 0 && set_fill < set_cap - 1) {
+                        set[2 * idx] = w0 ? w0 : 1;
+                        set[2 * idx + 1] = w1;
+                        set_fill++;
+                        break;
+                    }
+                    if (k0 == (w0 ? w0 : 1) && k1 == w1) { dup = 1; break; }
+                    idx = (idx + 1) & (set_cap - 1);
+                }
+                if (dup) continue;
+                need++;
+                if (n_out < cap) {
+                    int64_t exon_length = e->ge - e->gs + 1;
+                    const char *gx, *ex;
+                    int64_t gl = rs_sub(gen, glen, e->gs, exon_length,
+                                        &gx);
+                    int64_t el = rs_sub(est, elen, e->es,
+                                        e->ee - e->es + 1, &ex);
+                    int64_t *rec = out + 9 * n_out;
+                    rec[0] = e->es; rec[1] = e->ee;
+                    rec[2] = e->gs; rec[3] = e->ge;
+                    rec[4] = gx - gen; rec[5] = gl;
+                    rec[6] = ex - est; rec[7] = el;
+                    rec[8] = ep_max_edit(exon_length);
+                    n_out++;
+                }
+            }
+        }
+        efct_free(&f);
+    }
+    free(set);
+    meta[0] = need;
+    if (need > cap) return -2;
+    return n_out;
+fail:
+    free(set);
+    return ret;
+}
+
+/* Pre-fill the noisy-exon memo entries with device-computed verdicts.
+ * coords is 4*n int64 (es,ee,gs,ge per problem), ok is n int64 (the
+ * ep_kband *ok flag).  Returns 0, or -1 when the memo is unavailable
+ * (caller falls back to the CPU path). */
+int64_t epm_fill_noisy(
+    const char *gen, int64_t glen,
+    const char *est, int64_t elen,
+    const char *est_orig, int64_t eolen,
+    const int64_t *coords, const int64_t *ok, int64_t n) {
+
+    int64_t i;
+    epm_seq_id = epm_begin(gen, glen, est, elen, est_orig, eolen);
+    if (epm_seq_id == 0 || !epm_tab) return -1;
+    for (i = 0; i < n; i++) {
+        efac e;
+        uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
+        int found;
+        epm_ent *me;
+        e.es = coords[4 * i];
+        e.ee = coords[4 * i + 1];
+        e.gs = coords[4 * i + 2];
+        e.ge = coords[4 * i + 3];
+        epm_key4(mk, 4, &e);
+        me = epm_find(mk, &found);
+        if (me) me->v[0] = ok[i];
+    }
+    return 0;
+}
+
 /* ---- est_process: the full per-EST post-MEG flow ------------------------
  * Returns the number of FINAL factorizations (>= 0), or:
  *   -1 timeout during candidate enumeration
@@ -5549,8 +5723,11 @@ done:
  *   -4 unsupported case (python fallback; e.g. outsized refine-intron)
  * counts[0] = number of flag pairs written to out_polya/out_polyad (the
  * pre-refinement factorization count; the python writer zips flags with
- * the final factorizations exactly like the host path). */
-int64_t est_process(
+ * the final factorizations exactly like the host path).
+ * When pre_off != NULL the candidate enumeration is skipped and the
+ * (pre_off, pre_f, pre_n) arrays — the exact meg_factorizations output —
+ * are consumed instead (device-offload flow; arrays stay caller-owned). */
+static int64_t est_process_impl(
     const int64_t *vp, const int64_t *vt, const int64_t *vl,
     const int64_t *vcol, const int64_t *adj_off, const int64_t *adj,
     int64_t nv, int64_t ncols,
@@ -5564,7 +5741,8 @@ int64_t est_process(
     int64_t sp_est, int64_t sp_intron, int64_t sp_gen,
     int64_t *out_off, int64_t *out_f,
     int64_t *out_polya, int64_t *out_polyad,
-    int64_t cap_facts, int64_t cap_factors, int64_t *counts) {
+    int64_t cap_facts, int64_t cap_factors, int64_t *counts,
+    const int64_t *pre_off, const int64_t *pre_f, int64_t pre_n) {
 
     int64_t *cand_off = NULL, *cand_f = NULL, n_cand = 0;
     int64_t est_length = ncols - 2;
@@ -5573,13 +5751,21 @@ int64_t est_process(
     int64_t rc, ci, k;
     int64_t n_flags = 0;
     int64_t ret = -3;
+    int owned = 1;
     double t0 = fe_now(), t1;
 
     epm_seq_id = epm_begin(gen, glen, est, elen, est_orig, eolen);
-    rc = fe_collect(vp, vt, vl, vcol, adj_off, adj, nv, ncols, gen, glen,
-                    min_factor_len, min_intron_length, deadline,
-                    &cand_off, &cand_f, &n_cand);
-    if (rc != 0) return rc;
+    if (pre_off != NULL) {
+        cand_off = (int64_t *)pre_off;
+        cand_f = (int64_t *)pre_f;
+        n_cand = pre_n;
+        owned = 0;
+    } else {
+        rc = fe_collect(vp, vt, vl, vcol, adj_off, adj, nv, ncols, gen,
+                        glen, min_factor_len, min_intron_length, deadline,
+                        &cand_off, &cand_f, &n_cand);
+        if (rc != 0) return rc;
+    }
     t1 = fe_now(); ep_stats[0] += t1 - t0; t0 = t1;
 
     /* per-candidate cascade (est_fact.py:get_est_factorizations) */
@@ -5631,7 +5817,7 @@ int64_t est_process(
             efct_free(&f);
         }
     }
-    free(cand_off); free(cand_f);
+    if (owned) { free(cand_off); free(cand_f); }
     cand_off = cand_f = NULL;
     t1 = fe_now(); ep_stats[1] += t1 - t0; t0 = t1;
 
@@ -5808,12 +5994,67 @@ int64_t est_process(
         ret = lst.n;
     }
 fail:
-    free(cand_off);
-    free(cand_f);
+    if (owned) {
+        free(cand_off);
+        free(cand_f);
+    }
     eflst_free(&lst);
     eflst_free(&cleaned);
     ep_stats[7] += fe_now() - t0;
     return ret;
+}
+
+int64_t est_process(
+    const int64_t *vp, const int64_t *vt, const int64_t *vl,
+    const int64_t *vcol, const int64_t *adj_off, const int64_t *adj,
+    int64_t nv, int64_t ncols,
+    const char *gen, int64_t glen,
+    const char *est, int64_t elen,
+    const char *est_orig, int64_t eolen,
+    int64_t min_factor_len, int64_t min_intron_length, double deadline,
+    double complexity_threshold, int64_t max_site_difference,
+    double max_coverage_diff, int64_t max_gapLength_diff,
+    int64_t max_number_of_factorizations,
+    int64_t sp_est, int64_t sp_intron, int64_t sp_gen,
+    int64_t *out_off, int64_t *out_f,
+    int64_t *out_polya, int64_t *out_polyad,
+    int64_t cap_facts, int64_t cap_factors, int64_t *counts) {
+    return est_process_impl(
+        vp, vt, vl, vcol, adj_off, adj, nv, ncols, gen, glen, est, elen,
+        est_orig, eolen, min_factor_len, min_intron_length, deadline,
+        complexity_threshold, max_site_difference, max_coverage_diff,
+        max_gapLength_diff, max_number_of_factorizations, sp_est,
+        sp_intron, sp_gen, out_off, out_f, out_polya, out_polyad,
+        cap_facts, cap_factors, counts, NULL, NULL, 0);
+}
+
+/* est_process consuming a pre-enumerated candidate set (the exact
+ * meg_factorizations output) — the device-offload flow enumerates once,
+ * collects + batches the K-band problems on the TPU, pre-fills the memo
+ * (epm_fill_noisy) and then runs the cascade here. */
+int64_t est_process_cands(
+    const int64_t *vp, const int64_t *vt, const int64_t *vl,
+    const int64_t *vcol, const int64_t *adj_off, const int64_t *adj,
+    int64_t nv, int64_t ncols,
+    const char *gen, int64_t glen,
+    const char *est, int64_t elen,
+    const char *est_orig, int64_t eolen,
+    int64_t min_factor_len, int64_t min_intron_length, double deadline,
+    double complexity_threshold, int64_t max_site_difference,
+    double max_coverage_diff, int64_t max_gapLength_diff,
+    int64_t max_number_of_factorizations,
+    int64_t sp_est, int64_t sp_intron, int64_t sp_gen,
+    int64_t *out_off, int64_t *out_f,
+    int64_t *out_polya, int64_t *out_polyad,
+    int64_t cap_facts, int64_t cap_factors, int64_t *counts,
+    const int64_t *pre_off, const int64_t *pre_f, int64_t pre_n) {
+    return est_process_impl(
+        vp, vt, vl, vcol, adj_off, adj, nv, ncols, gen, glen, est, elen,
+        est_orig, eolen, min_factor_len, min_intron_length, deadline,
+        complexity_threshold, max_site_difference, max_coverage_diff,
+        max_gapLength_diff, max_number_of_factorizations, sp_est,
+        sp_intron, sp_gen, out_off, out_f, out_polya, out_polyad,
+        cap_facts, cap_factors, counts, pre_off, pre_f, pre_n);
 }
 
 /* ======================================================================

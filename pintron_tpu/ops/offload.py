@@ -1,0 +1,120 @@
+"""Device evaluation of the production K-band problem batches.
+
+This is the bridge that makes the TPU load-bearing in the est-fact
+pipeline: the native collect pass (``est_collect_noisy`` in dp.c) lists
+every noisy-exon K-band check the filter cascade will need
+(reference: est-factorizations.c:1828-1899 -> compute-alignments.c:319-453),
+``eval_kband`` evaluates the whole cross-EST batch with the XLA/Pallas
+wavefront kernels (ops/align.py, ops/pallas_align.py — bit-equal to the
+C ``kband_core``), and the verdicts are pre-filled into the native memo
+(``epm_fill_noisy``) so the cascade memo-hits every exon.
+
+Routing mirrors ``ep_kband`` (dp.c) exactly:
+  * equal sequences           -> ok (no DP)
+  * zero error budget         -> not ok
+  * length gap > budget       -> not ok
+  * band covers the matrix    -> full edit distance (batched)
+  * otherwise                 -> K-band DP (batched)
+Problems are bucketed by padded power-of-two shapes so jit caches stay
+small; within a bucket the whole batch advances in lockstep on the VPU
+lanes (batch on sublanes, band/columns on lanes).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+def _p2(x: int, lo: int = 16) -> int:
+    v = lo
+    while v < x:
+        v <<= 1
+    return v
+
+
+def _encode(seqs: Sequence[bytes], width: int):
+    out = np.zeros((len(seqs), width), dtype=np.int8)
+    lens = np.zeros((len(seqs),), dtype=np.int32)
+    for i, s in enumerate(seqs):
+        b = np.frombuffer(s, dtype=np.uint8)
+        out[i, : len(b)] = b.astype(np.int8)
+        lens[i] = len(b)
+    return out, lens
+
+
+# running counters for benchmarks/diagnostics: total problems seen,
+# problems actually evaluated on device, and DP cells computed there
+STATS = {"problems": 0, "device_problems": 0, "device_cells": 0,
+         "batches": 0}
+
+
+def reset_stats() -> None:
+    for k in STATS:
+        STATS[k] = 0
+
+
+def eval_kband(problems: List[Tuple[bytes, bytes, int]]) -> np.ndarray:
+    """Evaluate a batch of (gen_window, est_window, max_err) K-band
+    problems on the default JAX device.  Returns int64 ok flags with
+    ep_kband's exact semantics (dp.c:3862-3878)."""
+    from pintron_tpu.ops.align import (banded_edit_distance,
+                                       batch_edit_distance_score)
+
+    use_pallas = bool(os.environ.get("PINTRON_DEVICE_PALLAS"))
+    ok = np.zeros(len(problems), dtype=np.int64)
+    full_groups = {}
+    band_groups = {}
+    for i, (g, e, ub) in enumerate(problems):
+        if len(g) == len(e) and g == e:
+            ok[i] = 1
+            continue
+        if ub == 0:
+            continue
+        a, b = (g, e) if len(g) >= len(e) else (e, g)
+        n, m = len(a), len(b)
+        if n - m > ub:
+            continue
+        if 2 * ub + 1 >= n:
+            key = (_p2(n), _p2(max(m, 1)))
+            full_groups.setdefault(key, []).append((i, a, b, ub))
+        else:
+            key = (_p2(n), _p2(m), _p2(ub, lo=2))
+            band_groups.setdefault(key, []).append((i, a, b, ub))
+
+    STATS["problems"] += len(problems)
+
+    for (N, M), items in sorted(full_groups.items()):
+        s1, l1 = _encode([a for _, a, _, _ in items], N)
+        s2, l2 = _encode([b for _, _, b, _ in items], M)
+        r = np.asarray(batch_edit_distance_score(s1, l1, s2, l2,
+                                                 max_rows=M))
+        for (i, _a, _b, ub), dist in zip(items, r):
+            ok[i] = int(dist) <= ub
+        STATS["device_problems"] += len(items)
+        STATS["device_cells"] += sum(
+            len(a) * len(b) for _, a, b, _ in items)
+        STATS["batches"] += 1
+
+    for (N, M, K), items in sorted(band_groups.items()):
+        s1, l1 = _encode([a for _, a, _, _ in items], N)
+        s2, l2 = _encode([b for _, _, b, _ in items], M)
+        band = np.array([ub for _, _, _, ub in items], dtype=np.int32)
+        if use_pallas:
+            from pintron_tpu.ops.pallas_align import \
+                banded_edit_distance_pallas
+            r = np.asarray(banded_edit_distance_pallas(
+                s1, l1, s2, l2, band, max_rows=M, k_max=K))
+        else:
+            r = np.asarray(banded_edit_distance(
+                s1, l1, s2, l2, band, max_rows=M, k_max=K))
+        for (i, _a, _b, ub), dist in zip(items, r):
+            ok[i] = int(dist) <= ub
+        STATS["device_problems"] += len(items)
+        STATS["device_cells"] += sum(
+            len(b) * (2 * ub + 1) for _, _a, b, ub in items)
+        STATS["batches"] += 1
+
+    return ok

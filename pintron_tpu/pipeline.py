@@ -55,8 +55,12 @@ def pintron_pipeline(workdir: str = ".",
         declared output artifacts are removed so a later --resume cannot
         pick up a truncated checkpoint.  The stages communicate through
         files, so process isolation changes nothing on success.  Guards
-        <= 0 run the stage inline."""
-        if minutes <= 0:
+        <= 0 run the stage inline.  PINTRON_DEVICE=1 also runs inline:
+        the TPU backend cannot be (re)initialized in a forked child, so
+        the device-offload flow keeps the chip attached to this process
+        and relies on the per-EST timeout ladder instead of the fork
+        guard."""
+        if minutes <= 0 or os.environ.get("PINTRON_DEVICE"):
             fn()
             return
         import multiprocessing

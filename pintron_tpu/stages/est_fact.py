@@ -54,12 +54,14 @@ _TEXT_KEEPALIVE: Optional[bytes] = None
 
 def _native_est_process(meg_arrays, config: Config, gen_seq_bytes: bytes,
                         est_bytes: bytes, est_orig_bytes: bytes,
-                        deadline: Optional[float]):
+                        deadline: Optional[float], cands=None):
     """One-call native flow: candidate enumeration + filter cascade +
     intron refinement + polyA + refinement pass (est_process in
     native/dp.c).  Returns (factorizations, polya, polyad) or None when
     the native path is unavailable/unsupported; raises TimeoutExpired on
-    enumeration timeout."""
+    enumeration timeout.  When ``cands`` = (off, f, n) numpy arrays (the
+    device-offload flow's pre-enumerated candidates), the enumeration is
+    skipped and est_process_cands consumes them instead."""
     from pintron_tpu.native import get_lib, np_scratch
     lib = get_lib()
     if lib is None or not hasattr(lib, "est_process"):
@@ -76,7 +78,7 @@ def _native_est_process(meg_arrays, config: Config, gen_seq_bytes: bytes,
         out_pd, pd_ptr = np_scratch("ep_pd", cap_facts)
         cap_facts = min(out_off.size - 1, out_pa.size, out_pd.size)
         cap_factors = out_f.size // 4
-        nf = lib.est_process(
+        args = (
             ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4], ptrs[5],
             nv, ncols,
             gen_seq_bytes, len(gen_seq_bytes),
@@ -92,6 +94,12 @@ def _native_est_process(meg_arrays, config: Config, gen_seq_bytes: bytes,
             config.suffpref_length_on_gen,
             off_ptr, f_ptr, pa_ptr, pd_ptr,
             cap_facts, cap_factors, counts_ptr)
+        if cands is not None:
+            c_off, c_f, c_n = cands
+            nf = lib.est_process_cands(
+                *args, c_off.ctypes.data, c_f.ctypes.data, c_n)
+        else:
+            nf = lib.est_process(*args)
         if nf == -2:
             cap_facts = int(counts[1]) + 1
             cap_factors = int(counts[2]) + 1
@@ -159,12 +167,55 @@ def _native_candidate_factorizations(meg_arrays, config: Config,
     return out
 
 
+def _native_cand_arrays(meg_arrays, config: Config, gen_seq_bytes: bytes,
+                        deadline: Optional[float]):
+    """Raw-array variant of _native_candidate_factorizations for the
+    device-offload flow: returns owned numpy copies (off, f, n) suitable
+    for est_collect_noisy / est_process_cands, None when unavailable, or
+    raises TimeoutExpired."""
+    import numpy as np
+
+    from pintron_tpu.native import get_lib, np_scratch
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "meg_factorizations"):
+        return None
+    nv, ncols, ptrs = meg_arrays[6], meg_arrays[7], meg_arrays[8]
+    need2, need2_ptr = np_scratch("fact_need2", 2)
+    cap_facts, cap_factors = 1024, 8192
+    while True:
+        out_off, off_ptr = np_scratch("fact_off", cap_facts + 1)
+        out_f, f_ptr = np_scratch("fact_f", 4 * cap_factors)
+        cap_facts = out_off.size - 1
+        cap_factors = out_f.size // 4
+        nf = lib.meg_factorizations(
+            ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4], ptrs[5],
+            nv, ncols, gen_seq_bytes, len(gen_seq_bytes),
+            config.min_factor_len, config.min_intron_length,
+            deadline if deadline is not None else 0.0,
+            off_ptr, f_ptr,
+            cap_facts, cap_factors, need2_ptr)
+        if nf == -2:
+            cap_facts = int(need2[0]) + 1
+            cap_factors = int(need2[1]) + 1
+            continue
+        if nf == -1:
+            raise TimeoutExpired()
+        if nf < 0:
+            return None
+        break
+    # np_scratch buffers are reused across calls: copy out
+    off = np.array(out_off[:nf + 1], dtype=np.int64)
+    nfac = int(off[nf])
+    f = np.array(out_f[:4 * nfac], dtype=np.int64)
+    return off, f, nf
+
+
 def get_est_factorizations(est_info: mf.EstInfo, V: MEG, config: Config,
                            gen_info: mf.EstInfo,
                            deadline: Optional[float],
                            meg_arrays=None,
-                           gen_seq_bytes: Optional[bytes] = None
-                           ) -> Optional[FactorizedEst]:
+                           gen_seq_bytes: Optional[bytes] = None,
+                           cands=None) -> Optional[FactorizedEst]:
     """est-factorizations.c:126-594.  Returns None on timeout."""
     est = FactorizedEst(est_info)
     est_length = len(V) - 2
@@ -180,7 +231,8 @@ def get_est_factorizations(est_info: mf.EstInfo, V: MEG, config: Config,
             res = _native_est_process(
                 meg_arrays, config, gen_seq_bytes,
                 est_seq.encode("latin1"),
-                est_info.original_seq.encode("latin1"), deadline)
+                est_info.original_seq.encode("latin1"), deadline,
+                cands=cands)
         except TimeoutExpired:
             return None
         if res is not None:
@@ -324,7 +376,8 @@ def get_est_factorizations(est_info: mf.EstInfo, V: MEG, config: Config,
 def internal_get_est_factorizations(gen_info: mf.EstInfo,
                                     est_info: mf.EstInfo, config: Config,
                                     V: MEG, meg_arrays=None,
-                                    gen_seq_bytes: Optional[bytes] = None
+                                    gen_seq_bytes: Optional[bytes] = None,
+                                    cands=None
                                     ) -> Tuple[Optional[FactorizedEst],
                                                bool]:
     """compute-est-fact.c:154-190.  Returns (factorized, timeout_expired)."""
@@ -333,7 +386,8 @@ def internal_get_est_factorizations(gen_info: mf.EstInfo,
         deadline = time.monotonic() + config.max_single_factorization_time
     fe = get_est_factorizations(est_info, V, config, gen_info, deadline,
                                 meg_arrays=meg_arrays,
-                                gen_seq_bytes=gen_seq_bytes)
+                                gen_seq_bytes=gen_seq_bytes,
+                                cands=cands)
     timeout = deadline is not None and time.monotonic() > deadline
     if fe is not None:
         if not fe.refined:
@@ -700,6 +754,237 @@ def _run_units(gen: mf.EstInfo, tree: SuffixTree, gen_seq_bytes: bytes,
         return [(w + k * n, _process_unit(u))
                 for k, u in enumerate(
                     _worker_units_from_file(gen, ests_path, w, n))]
+    finally:
+        _WORKER_CTX = None
+
+
+def _collect_noisy(lib, cands, gen_seq_bytes: bytes, est_bytes: bytes,
+                   est_orig_bytes: bytes, est_length: int, config: Config):
+    """Native collect pass (est_collect_noisy in dp.c): list the noisy-
+    exon K-band problems the cascade will need for this EST.  Returns
+    (coords Nx4 int64, problems [(gen_win, est_win, max_err)], seq_id)
+    or None when the memo is unavailable (plain CPU path then)."""
+    import numpy as np
+
+    from pintron_tpu.native import np_scratch
+    c_off, c_f, c_n = cands
+    meta, meta_ptr = np_scratch("cn_meta", 2)
+    cap = 256
+    while True:
+        out, out_ptr = np_scratch("cn_out", 9 * cap)
+        cap = out.size // 9
+        n = lib.est_collect_noisy(
+            c_off.ctypes.data, c_f.ctypes.data, c_n,
+            gen_seq_bytes, len(gen_seq_bytes),
+            est_bytes, len(est_bytes),
+            est_orig_bytes, len(est_orig_bytes),
+            est_length, config.complexity_threshold,
+            out_ptr, cap, meta_ptr)
+        if n == -2:
+            cap = int(meta[0]) + 1
+            continue
+        if n < 0:
+            return None
+        break
+    recs = np.array(out[:9 * n], dtype=np.int64).reshape(n, 9)
+    coords = np.ascontiguousarray(recs[:, :4])
+    probs = []
+    for r in recs:
+        g = gen_seq_bytes[int(r[4]):int(r[4]) + int(r[5])]
+        e = est_bytes[int(r[6]):int(r[6]) + int(r[7])]
+        probs.append((g, e, int(r[8])))
+    return coords, probs, int(meta[1])
+
+
+def _own_meg_arrays(flat):
+    """Deep-copy a scratch-backed MegFlat arrays tuple (build_meg_native
+    reuses per-process scratch on every call) into owned arrays.  The
+    device flow holds many ESTs' MEGs at once across subsequent
+    build_meg calls, so scratch-backed views would be clobbered."""
+    import numpy as np
+    p, t, l, col, off, adj, nv, ncols, _ptrs = flat
+    nadj = int(off[nv]) if nv else 0
+    own = (np.array(p[:nv]), np.array(t[:nv]), np.array(l[:nv]),
+           np.array(col[:nv]), np.array(off[:nv + 1]),
+           np.array(adj[:nadj]))
+    ptrs = tuple(a.ctypes.data for a in own)
+    return own + (nv, ncols, ptrs)
+
+
+def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
+                      gen_seq_bytes: bytes, config: Config,
+                      ests_path: str, fresh: bool = False):
+    """Device-offload est-fact flow (PINTRON_DEVICE=1).
+
+    The per-EST cascade's regular DP workload — the noisy-exon K-band
+    checks (est-factorizations.c:1828-1899) — is batched ACROSS the
+    whole EST set and evaluated on the TPU (ops/offload.py), then
+    pre-filled into the native memo so the C cascade memo-hits every
+    exon; everything else (enumeration, irregular filters, refinement)
+    stays native host code.  Outputs are byte-identical to the CPU path
+    by construction.  Rounds mirror the sequential control flow:
+    round 1 runs every unit's first EST, later rounds run the RC copies
+    of units whose forward strand failed plus any timeout-ladder
+    retries (compute-est-fact.c:192-293; main-est-fact.c:247-291).
+
+    Returns the per-record six-blob tuples in file order, or None when
+    the native/device path is unavailable (caller falls back)."""
+    import io
+
+    import numpy as np
+
+    from pintron_tpu.native import get_lib
+    from pintron_tpu.ops.offload import eval_kband
+    lib = get_lib()
+    if (lib is None or not hasattr(lib, "est_collect_noisy")
+            or not _native_gates()):
+        return None
+
+    global _WORKER_CTX, _GEN_KEEPALIVE, _TEXT_KEEPALIVE
+    _GEN_KEEPALIVE = gen_seq_bytes
+    _TEXT_KEEPALIVE = tree.text
+    if fresh and hasattr(lib, "ep_memo_wipe"):
+        lib.ep_memo_wipe()
+
+    with open(ests_path) as fh:
+        ests = mf.read_multifasta(fh)
+    units = [_unit_for_record(gen, e) for e in ests]
+    # per-unit output streams in _process_unit's return order:
+    # (raw, megs, processed-megs, megs-info, processed-ests, intronic)
+    bufs = [tuple(io.StringIO() for _ in range(6)) for _ in units]
+
+    _WORKER_CTX = (gen, tree, gen_seq_bytes, config)
+    try:
+        attempts = [{"unit": i, "est_idx": 0, "inc": 0,
+                     "prev_tp": 0, "prev_te": 0}
+                    for i in range(len(units))]
+        while attempts:
+            round_recs = []
+            problems = []        # deduped global device batch
+            prob_index = {}      # (seq_id, coords) -> index into problems
+            next_attempts = []
+
+            for att in attempts:
+                est = units[att["unit"]][att["est_idx"]]
+                t_meg0 = time.monotonic()
+                while True:
+                    V, att["inc"], meg_arrays = build_meg(
+                        est, tree, gen_seq_bytes, config, att["inc"])
+                    tp, te = megmod.meg_stats(V)
+                    same = (att["prev_tp"] > 2 and att["prev_te"] > 0
+                            and (att["prev_tp"] <= tp
+                                 or att["prev_te"] <= te))
+                    if not same:
+                        break
+                    att["inc"] += 1
+                att["prev_tp"], att["prev_te"] = tp, te
+                meg_time = time.monotonic() - t_meg0
+                if meg_arrays is not None:
+                    meg_arrays = _own_meg_arrays(meg_arrays)
+                    V = megmod.MegFlat(meg_arrays)
+
+                rec = {"att": att, "est": est, "V": V,
+                       "meg_arrays": meg_arrays, "cands": None,
+                       "probmap": None, "meg_time": meg_time}
+                if meg_arrays is not None:
+                    deadline = None
+                    if config.max_single_factorization_time:
+                        deadline = (time.monotonic()
+                                    + config.max_single_factorization_time)
+                    try:
+                        cands = _native_cand_arrays(
+                            meg_arrays, config, gen_seq_bytes, deadline)
+                    except TimeoutExpired:
+                        # enumeration timeout, no facts: bump seed length
+                        # and retry next round (compute-est-fact.c:241-286)
+                        att["inc"] += 1
+                        next_attempts.append(att)
+                        continue
+                    if cands is not None:
+                        rec["cands"] = cands
+                        est_bytes = est.seq.encode("latin1")
+                        est_orig_bytes = est.original_seq.encode("latin1")
+                        rec["est_bytes"] = est_bytes
+                        rec["est_orig_bytes"] = est_orig_bytes
+                        col = _collect_noisy(
+                            lib, cands, gen_seq_bytes, est_bytes,
+                            est_orig_bytes, int(meg_arrays[7]) - 2,
+                            config)
+                        if col is not None:
+                            coords, probs, seq_id = col
+                            idxs = []
+                            for c, p in zip(coords, probs):
+                                key = (seq_id, int(c[0]), int(c[1]),
+                                       int(c[2]), int(c[3]))
+                                j = prob_index.get(key)
+                                if j is None:
+                                    j = len(problems)
+                                    prob_index[key] = j
+                                    problems.append(p)
+                                idxs.append(j)
+                            rec["probmap"] = (coords, idxs)
+                round_recs.append(rec)
+
+            # one device batch for the whole round's K-band problems
+            ok_all = eval_kband(problems) if problems else None
+
+            for rec in round_recs:
+                att = rec["att"]
+                est = rec["est"]
+                if rec["probmap"] is not None and rec["probmap"][1]:
+                    coords, idxs = rec["probmap"]
+                    okvec = np.ascontiguousarray(
+                        ok_all[np.asarray(idxs, dtype=np.int64)])
+                    lib.epm_fill_noisy(
+                        gen_seq_bytes, len(gen_seq_bytes),
+                        rec["est_bytes"], len(rec["est_bytes"]),
+                        rec["est_orig_bytes"], len(rec["est_orig_bytes"]),
+                        coords.ctypes.data, okvec.ctypes.data,
+                        len(idxs))
+
+                t_fact0 = time.monotonic()
+                factorized, timeout = internal_get_est_factorizations(
+                    gen, est, config, rec["V"],
+                    meg_arrays=rec["meg_arrays"],
+                    gen_seq_bytes=gen_seq_bytes, cands=rec["cands"])
+                fact_time = time.monotonic() - t_fact0
+
+                raw, megs, pmegs, tmeg, pests, intronic = \
+                    bufs[att["unit"]]
+                has_facts = (factorized is not None
+                             and factorized.factorizations)
+                if not timeout or has_facts:
+                    megs.write("\n\n***********\n\n")
+                    megs.write(f">{est.est_id}\n")
+                    megs.write(f"{est.original_seq}\n")
+                    write_meg(megs, rec["V"])
+                if has_facts:
+                    intronic.write(f">{est.est_id}\n")
+                    write_intronic_edges(intronic, rec["V"])
+                    pmegs.write(f">{est.est_id}\n")
+                    pmegs.write(f"{est.original_seq}\n")
+                    write_meg(pmegs, rec["V"])
+                    tmeg.write(f"{int(rec['meg_time'] * 1e6)} "
+                               f"{int(fact_time * 1e6)} "
+                               f"{len(factorized.factorizations)}\n")
+                    write_multifasta_output(gen, factorized, raw,
+                                            config.retain_externals)
+                    pests.write(f">{est.est_id}\n{est.original_seq}\n")
+                    continue  # unit resolved (RC copy skipped)
+                if timeout:
+                    att["inc"] += 1
+                    next_attempts.append(att)
+                    continue
+                # resolved with no factorizations: try the RC copy
+                if (att["est_idx"] == 0
+                        and len(units[att["unit"]]) > 1):
+                    next_attempts.append(
+                        {"unit": att["unit"], "est_idx": 1, "inc": 0,
+                         "prev_tp": 0, "prev_te": 0})
+            attempts = next_attempts
+
+        return [(i, tuple(s.getvalue() for s in b))
+                for i, b in enumerate(bufs)]
     finally:
         _WORKER_CTX = None
 
@@ -1107,7 +1392,19 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
     # measure fresh work instead of cache hits.
     fresh = bool(os.environ.get("PINTRON_FRESH_MEMO"))
     results = None
-    if nworkers > 1:
+    if os.environ.get("PINTRON_DEVICE"):
+        # TPU-offload path: single process, K-band cascade checks
+        # batched across the whole EST set on the device (the fork pool
+        # is the CPU-parallel alternative; JAX must not cross forks).
+        global _SEQ_TREE_CACHE
+        cached = _SEQ_TREE_CACHE
+        if fresh or cached is None or cached[0] != gen_seq_bytes:
+            _SEQ_TREE_CACHE = (gen_seq_bytes, SuffixTree(gen_seq_bytes))
+        dev = _run_units_device(gen, _SEQ_TREE_CACHE[1], gen_seq_bytes,
+                                config, wpath("ests.txt"), fresh=fresh)
+        if dev is not None:
+            results = [blobs for _rec, blobs in dev]
+    if results is None and nworkers > 1:
         # Pooled path: workers parse ests.txt themselves and preprocess
         # only their own records (one record = one independent work
         # unit — a fixed-strand EST alone, or a forward EST plus its RC
@@ -1121,7 +1418,6 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
         except (ValueError, OSError, RuntimeError):
             results = None  # pool unavailable: fall through to sequential
     if results is None:
-        global _SEQ_TREE_CACHE
         cached = _SEQ_TREE_CACHE
         if fresh or cached is None or cached[0] != gen_seq_bytes:
             _SEQ_TREE_CACHE = (gen_seq_bytes, SuffixTree(gen_seq_bytes))

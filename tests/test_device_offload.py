@@ -1,0 +1,116 @@
+"""Device-offload path (PINTRON_DEVICE=1): the batched K-band verdicts
+must match the native ep_kband routing exactly, and the full est-fact
+stage with the device flag on must produce byte-identical artifacts."""
+
+import os
+import shutil
+import tarfile
+import tempfile
+
+import numpy as np
+import pytest
+
+from pintron_tpu.native import get_lib
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN = os.path.join(REPO, "tests", "golden")
+
+ALPHA = np.array(list("ACGT"))
+
+
+def _host_ep_kband_ok(lib, g: bytes, e: bytes, ub: int) -> int:
+    """Reference reimplementation of ep_kband's *ok flag (dp.c) using
+    the native scalar kernels."""
+    if len(g) == len(e) and g == e:
+        return 1
+    if ub == 0:
+        return 0
+    a, b = (g, e) if len(g) >= len(e) else (e, g)
+    n, m = len(a), len(b)
+    if n - m > ub:
+        return 0
+    if 2 * ub + 1 >= n:
+        return int(int(lib.edit_total(a, n, b, m)) <= ub)
+    r = int(lib.kband_core(a, n, b, m, ub))
+    return int(0 <= r <= ub)
+
+
+def test_eval_kband_matches_native():
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    from pintron_tpu.ops.offload import eval_kband
+
+    rng = np.random.default_rng(11)
+    problems = []
+    for _ in range(120):
+        n = int(rng.integers(1, 300))
+        g = "".join(rng.choice(ALPHA, n)).encode()
+        mode = int(rng.integers(0, 4))
+        if mode == 0:          # identical
+            e = g
+        elif mode == 1:        # few mutations, similar length
+            el = list(g.decode())
+            for _ in range(int(rng.integers(0, 8))):
+                el[int(rng.integers(0, n))] = str(rng.choice(ALPHA))
+            e = "".join(el).encode()
+        elif mode == 2:        # truncated
+            e = g[: max(1, n - int(rng.integers(0, 12)))]
+        else:                  # unrelated
+            e = "".join(rng.choice(ALPHA,
+                                   int(rng.integers(1, 300)))).encode()
+        ub = int(rng.integers(0, 12))
+        problems.append((g, e, ub))
+    # shapes the production path sees: a few long-exon problems too
+    for n in (800, 1500):
+        g = "".join(rng.choice(ALPHA, n)).encode()
+        el = list(g.decode())
+        for _ in range(20):
+            el[int(rng.integers(0, n))] = str(rng.choice(ALPHA))
+        problems.append((g, "".join(el).encode(), 30))
+
+    got = eval_kband(problems)
+    for i, (g, e, ub) in enumerate(problems):
+        assert int(got[i]) == _host_ep_kband_ok(lib, g, e, ub), \
+            (i, len(g), len(e), ub)
+
+
+def test_device_stage2_byte_identical():
+    """est-fact with PINTRON_DEVICE=1 must reproduce the golden stage-2
+    artifacts byte-for-byte, with the K-band verdicts actually coming
+    from the device batch."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "est_collect_noisy"):
+        pytest.skip("native collect entry unavailable")
+    import pintron_tpu.ops.offload as off
+    from pintron_tpu.stages.est_fact import run_est_fact
+
+    tgz = os.path.join(GOLDEN, "test-AMBN.tar.gz")
+    gold = tempfile.mkdtemp(prefix="dev-gold-")
+    with tarfile.open(tgz) as tf:
+        tf.extractall(gold)
+    work = tempfile.mkdtemp(prefix="dev-work-")
+    for fn in ("genomic.txt", "ests.txt"):
+        shutil.copy(os.path.join(gold, fn), work)
+
+    off.reset_stats()
+    os.environ["PINTRON_DEVICE"] = "1"
+    try:
+        run_est_fact(work)
+    finally:
+        del os.environ["PINTRON_DEVICE"]
+
+    assert off.STATS["device_problems"] > 0, \
+        "device path fell back to CPU silently"
+    for name in ("raw-multifasta-out.txt", "processed-ests.txt",
+                 "megs.txt", "processed-megs.txt", "meg-edges.txt"):
+        gp = os.path.join(gold, name)
+        if not os.path.exists(gp):
+            continue
+        with open(gp, "rb") as f:
+            g = f.read()
+        with open(os.path.join(work, name), "rb") as f:
+            w = f.read()
+        assert g == w, f"{name} differs under PINTRON_DEVICE=1"
+    shutil.rmtree(gold, ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)

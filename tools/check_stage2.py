@@ -2,9 +2,15 @@
 """Run the est-fact stage on every golden regression case and compare all
 stage-2 artifacts byte-for-byte against the golden reference outputs.
 
-Usage: python tools/check_stage2.py [case ...]
+Usage: python tools/check_stage2.py [--device] [case ...]
 Exits nonzero on any mismatch.  This is the guard used while porting
 per-EST work into the native library.
+
+--device (or PINTRON_DEVICE=1 in the environment) runs the TPU-offload
+flow: the cascade's K-band checks are batched across the EST set and
+evaluated on the default JAX device (pintron_tpu/ops/offload.py), then
+pre-filled into the native memo.  The check additionally asserts that
+problems were genuinely evaluated on device (no silent CPU fallback).
 """
 
 import os
@@ -27,7 +33,13 @@ CHECK_FILES = ["raw-multifasta-out.txt", "processed-ests.txt", "megs.txt",
 def main():
     from pintron_tpu.stages.est_fact import run_est_fact
 
-    cases = sys.argv[1:] or sorted(
+    args = sys.argv[1:]
+    device = "--device" in args or bool(os.environ.get("PINTRON_DEVICE"))
+    args = [a for a in args if a != "--device"]
+    if device:
+        os.environ["PINTRON_DEVICE"] = "1"
+        import pintron_tpu.ops.offload as offload
+    cases = args or sorted(
         p.name[:-7] for p in GOLDEN.glob("test*.tar.gz"))
     fails = 0
     for case in cases:
@@ -49,10 +61,15 @@ def main():
         if missing_input:
             print(f"SKIP {case:44s} (no inputs)")
             continue
+        if device:
+            offload.reset_stats()
         t0 = time.perf_counter()
         run_est_fact(work)
         dt = time.perf_counter() - t0
         bad = []
+        if device and offload.STATS["device_problems"] == 0 \
+                and offload.STATS["problems"] == 0:
+            bad.append("(device path fell back to CPU)")
         for name in CHECK_FILES:
             gp = os.path.join(gold, name)
             wp = os.path.join(work, name)
