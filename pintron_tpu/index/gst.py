@@ -281,31 +281,49 @@ class SuffixTree:
                           "single", "lo", "hi", "occ", "coff", "cchar",
                           "cnode"))
         if self._flat is None:
+            # Python-built tree: replicate the native build's single
+            # padded buffer layout (each array padded to cap = 2n+4, occ
+            # to n) — the C scan's int32 shadow copy reads full-capacity
+            # slices, so every array source must tolerate that.
             import numpy as np
             nn = len(self.start)
-            coff = np.zeros(nn + 1, dtype=np.int64)
-            total = sum(len(c) for c in self.children)
-            cchar = np.zeros(total, dtype=np.uint8)
-            cnode = np.zeros(total, dtype=np.int64)
+            cap = 2 * self.n + 4
+            ibuf = np.zeros(10 * cap + max(self.n, 1) + 1, dtype=np.int64)
+            bbuf = np.zeros(2 * cap, dtype=np.uint8)
+
+            def isl(k, vals):
+                a = ibuf[k * cap:(k + 1) * cap]
+                a[:len(vals)] = vals
+                return a[:max(len(vals), 1)]
+
+            coff_full = ibuf[9 * cap:10 * cap + 1]
             pos = 0
+            cchar = bbuf[cap:]
+            cnode_full = ibuf[8 * cap:9 * cap]
             for v in range(nn):
-                coff[v] = pos
+                coff_full[v] = pos
                 for ch, kid in self.children[v].items():
                     cchar[pos] = ch
-                    cnode[pos] = kid
+                    cnode_full[pos] = kid
                     pos += 1
-            coff[nn] = pos
+            coff_full[nn] = pos
+            occ = ibuf[10 * cap + 1:10 * cap + 1 + max(self.n, 1)]
+            occ[:len(self.leaf_occ)] = self.leaf_occ
+            single = bbuf[:cap]
+            single[:nn] = np.asarray(self.single_char, dtype=np.uint8)
             self._flat = {
-                "start": np.asarray(self.start, dtype=np.int64),
-                "end": np.asarray(self.end, dtype=np.int64),
-                "parent": np.asarray(self.parent, dtype=np.int64),
-                "slink": np.asarray(self.slink, dtype=np.int64),
-                "depth": np.asarray(self.depth, dtype=np.int64),
-                "single": np.asarray(self.single_char, dtype=np.uint8),
-                "lo": np.asarray(self.lo, dtype=np.int64),
-                "hi": np.asarray(self.hi, dtype=np.int64),
-                "occ": np.asarray(self.leaf_occ, dtype=np.int64),
-                "coff": coff, "cchar": cchar, "cnode": cnode,
+                "start": isl(0, self.start),
+                "end": isl(1, self.end),
+                "parent": isl(2, self.parent),
+                "slink": isl(3, self.slink),
+                "depth": isl(4, self.depth),
+                "single": single[:nn],
+                "lo": isl(6, self.lo),
+                "hi": isl(7, self.hi),
+                "occ": occ[:len(self.leaf_occ)],
+                "coff": coff_full[:nn + 1], "cchar": cchar[:max(pos, 1)],
+                "cnode": cnode_full[:max(pos, 1)],
+                "_ibuf": ibuf, "_bbuf": bbuf,
             }
             self._flat["_ptrs"] = tuple(
                 self._flat[k].ctypes.data

@@ -701,11 +701,81 @@ void wr_reset_stats(void) { memset(wr_stats, 0, sizeof(wr_stats)); }
 
 typedef struct {
     const unsigned char *text; int64_t tlen;
-    const int64_t *start, *end, *parent, *slink, *depth;
+    const int32_t *start, *end, *parent, *slink, *depth;
     const unsigned char *single_char;
-    const int64_t *lo, *hi, *occ;
-    const int64_t *coff; const unsigned char *cchar; const int64_t *cnode;
+    const int32_t *lo, *hi, *occ;
+    const int32_t *coff; const unsigned char *cchar; const int32_t *cnode;
 } tree_t;
+
+/* Per-locus int32 shadow of the (int64 ABI) tree arrays: the scan is a
+ * latency-bound random walk over ~2n nodes, so halving the element
+ * width halves the cache-line footprint.  Single-slot cache keyed by
+ * (text pointer, length) under the python keepalive contract (the tree
+ * arrays are a pure function of the text bytes), like vs_prevk. */
+static int32_t *vs_sh = NULL;
+static int64_t vs_sh_cap = 0;
+static const unsigned char *vs_sh_text = NULL;
+static int64_t vs_sh_len = -1;
+
+static int vs_shadow_get(const unsigned char *text, int64_t tlen,
+                         const int64_t *start, const int64_t *end,
+                         const int64_t *parent, const int64_t *slink,
+                         const int64_t *depth, const int64_t *lo,
+                         const int64_t *hi, const int64_t *occ,
+                         const int64_t *coff, const int64_t *cnode,
+                         tree_t *tr) {
+    int64_t cap = 2 * tlen + 4;
+    int64_t need = 9 * cap + 1 + tlen;
+    int64_t nn = 0, i, nocc;
+    int32_t *p;
+    if (vs_sh_text != text || vs_sh_len != tlen) {
+        if (need > vs_sh_cap) {
+            int32_t *nb = (int32_t *)realloc(
+                vs_sh, (size_t)need * sizeof(int32_t));
+            if (!nb) return -1;
+            vs_sh = nb;
+            vs_sh_cap = need;
+        }
+        /* node count: walk coff (coff[nn] set, nodes contiguous) is not
+         * available here; copy the full capacity bound instead — the
+         * arrays are allocated to cap by the python side. */
+        nn = cap;
+        p = vs_sh;
+        for (i = 0; i < nn; i++) p[i] = (int32_t)start[i];
+        p += cap;
+        for (i = 0; i < nn; i++) p[i] = (int32_t)end[i];
+        p += cap;
+        for (i = 0; i < nn; i++) p[i] = (int32_t)parent[i];
+        p += cap;
+        for (i = 0; i < nn; i++) p[i] = (int32_t)slink[i];
+        p += cap;
+        for (i = 0; i < nn; i++) p[i] = (int32_t)depth[i];
+        p += cap;
+        for (i = 0; i < nn; i++) p[i] = (int32_t)lo[i];
+        p += cap;
+        for (i = 0; i < nn; i++) p[i] = (int32_t)hi[i];
+        p += cap;
+        for (i = 0; i < cap + 1; i++) p[i] = (int32_t)coff[i];
+        p += cap + 1;
+        for (i = 0; i < nn; i++) p[i] = (int32_t)cnode[i];
+        p += cap;
+        nocc = tlen;
+        for (i = 0; i < nocc; i++) p[i] = (int32_t)occ[i];
+        vs_sh_text = text;
+        vs_sh_len = tlen;
+    }
+    tr->start = vs_sh;
+    tr->end = vs_sh + cap;
+    tr->parent = vs_sh + 2 * cap;
+    tr->slink = vs_sh + 3 * cap;
+    tr->depth = vs_sh + 4 * cap;
+    tr->lo = vs_sh + 5 * cap;
+    tr->hi = vs_sh + 6 * cap;
+    tr->coff = vs_sh + 7 * cap;
+    tr->cnode = vs_sh + 8 * cap + 1;
+    tr->occ = vs_sh + 9 * cap + 1;
+    return 0;
+}
 
 static int64_t child_of(const tree_t *t, int64_t node, unsigned char c) {
     int64_t a = t->coff[node], b = t->coff[node + 1];
@@ -812,8 +882,7 @@ int64_t vertex_scan(
     double rate, int64_t min_len,
     int64_t *out_p, int64_t *out_t, int64_t *out_l, int64_t out_cap) {
 
-    tree_t tr = { text, tlen, start, end, parent, slink, depth,
-                  single_char, lo, hi, occ, coff, cchar, cnode };
+    tree_t tr;
     int64_t prev_dst = -1, prev_matched = 0;
     unsigned char prev_symbol = 0;
     int64_t count = 0, needed = 0;
@@ -822,20 +891,33 @@ int64_t vertex_scan(
     unsigned char *rm = (unsigned char *)malloc(col_cap);
     const unsigned char *prevk = vs_prevk_get(text, tlen, alph_index256);
     int64_t i;
-    if (!col || !rm || !prevk) { free(col); free(rm); return -1; }
+    tr.text = text; tr.tlen = tlen;
+    tr.single_char = single_char; tr.cchar = cchar;
+    if (!col || !rm || !prevk
+        || vs_shadow_get(text, tlen, start, end, parent, slink, depth,
+                         lo, hi, occ, coff, cnode, &tr) != 0) {
+        free(col); free(rm);
+        return -1;
+    }
+    /* all node-indexed reads below go through the int32 shadow */
+    {
+        const int32_t *s_start = tr.start, *s_end = tr.end;
+        const int32_t *s_parent = tr.parent, *s_slink = tr.slink;
+        const int32_t *s_depth = tr.depth, *s_lo = tr.lo, *s_hi = tr.hi;
+        const int32_t *s_occ = tr.occ;
 
     for (i = 0; i < plen; i++) {
         unsigned char avoid = prev_symbol;
         int64_t dst, matched, ncol = 0;
         /* scanner advance */
-        if (prev_dst == -1 || slink[parent[prev_dst]] == -1) {
+        if (prev_dst == -1 || s_slink[s_parent[prev_dst]] == -1) {
             dst = vs_descend(&tr, pattern, plen, 0, i, 0, avoid, &matched);
         } else {
-            int64_t prev_len = end[prev_dst] - start[prev_dst];
+            int64_t prev_len = s_end[prev_dst] - s_start[prev_dst];
             int64_t sl, m0;
-            if (prev_len == prev_matched) { sl = slink[prev_dst]; m0 = 0; }
-            else { sl = slink[parent[prev_dst]]; m0 = prev_matched; }
-            dst = vs_descend(&tr, pattern, plen, sl, i + depth[sl], m0,
+            if (prev_len == prev_matched) { sl = s_slink[prev_dst]; m0 = 0; }
+            else { sl = s_slink[s_parent[prev_dst]]; m0 = prev_matched; }
+            dst = vs_descend(&tr, pattern, plen, sl, i + s_depth[sl], m0,
                              avoid, &matched);
         }
         if (dst == -1) { prev_dst = -1; prev_matched = 0; }
@@ -844,22 +926,22 @@ int64_t vertex_scan(
         if (dst == -1) continue;
 
         {
-            int64_t d = depth[parent[dst]] + matched;
+            int64_t d = s_depth[s_parent[dst]] + matched;
             double msd = d * rate;
             int64_t min_sd = (int64_t)(msd > (double)min_len
                                        ? msd : (double)min_len);
             int64_t symbol_k = alph_index256[avoid];
             int64_t node = dst, cur_l = d, block = -1;
             while (cur_l >= min_sd) {
-                int64_t b_lo = block != -1 ? lo[block] : hi[node];
-                int64_t b_hi = block != -1 ? hi[block] : hi[node];
+                int64_t b_lo = block != -1 ? s_lo[block] : s_hi[node];
+                int64_t b_hi = block != -1 ? s_hi[block] : s_hi[node];
                 int64_t r, rngs[2][2];
-                rngs[0][0] = lo[node]; rngs[0][1] = b_lo;
-                rngs[1][0] = b_hi;     rngs[1][1] = hi[node];
+                rngs[0][0] = s_lo[node]; rngs[0][1] = b_lo;
+                rngs[1][0] = b_hi;       rngs[1][1] = s_hi[node];
                 for (r = 0; r < 2; r++) {
                     int64_t j;
                     for (j = rngs[r][0]; j < rngs[r][1]; j++) {
-                        int64_t t = occ[j];
+                        int64_t t = s_occ[j];
                         int emit;
                         if (t > 0)
                             emit = prevk[t] != symbol_k;
@@ -885,9 +967,9 @@ int64_t vertex_scan(
                     }
                 }
                 block = node;
-                node = parent[node];
+                node = s_parent[node];
                 if (node <= 0) break;
-                cur_l = depth[node];
+                cur_l = s_depth[node];
             }
             /* sort by (t, l) then in-column dedup
              * (max-emb-graph.c:301-334) */
@@ -918,6 +1000,7 @@ int64_t vertex_scan(
             }
         }
     }
+    }  /* shadow scope */
     needed = count;
     free(col); free(rm);
     if (needed > out_cap) return -needed;
@@ -1062,16 +1145,19 @@ int64_t bps_search(const char *seq, int64_t len, const double *pwm,
 static int32_t *ga_buf = NULL;
 static int64_t ga_buf_cap = 0;
 
-void gap_align_fill(const char *est, int64_t n, const char *gen, int64_t m,
-                    int8_t *Ldir, int8_t *Gdir, int8_t *Rdir,
-                    int64_t *finals) {
-    /* Pass-structured fill, value- and direction-identical to the
-     * classic per-cell loop: per row, each matrix does (1) a
-     * vectorizable maximum over previous-row terms, (2) the sequential
-     * left-relaxation prefix scan, (3) direction bytes recomputed from
-     * the final values with the original strict-improvement tie orders
-     * (L: diag > up > left; G: keep > take-L; R: diag > i_del > grow >
-     * up). */
+/* Packed-direction fill: one byte per cell holding all three matrices'
+ * direction codes —
+ *   bits 0-1: L dir (0 diag, 1 up, 2 left)
+ *   bit  2  : G dir (1 keep-G, 0 take-L == the classic -2)
+ *   bits 3-4: R dir (0 diag, 1 up, 2 left, 3 == the classic -2 jump)
+ * One fused write loop per row replaces the three separate direction
+ * matrices (3x less store traffic — the dominant cost at these window
+ * sizes).  Values and decoded directions are identical to the classic
+ * per-cell loop; the exported 3-matrix gap_align_fill below expands the
+ * packed bytes for its (test/fallback) callers. */
+static void gap_align_fill_packed(const char *est, int64_t n,
+                                  const char *gen, int64_t m,
+                                  int8_t *comb, int64_t *finals) {
     int64_t need = 6 * (m + 2);
     int32_t *Lprev, *Lcur, *Rprev, *Rcur, *Gcur, *ms, *tmp;
     int64_t i, j;
@@ -1094,9 +1180,7 @@ void gap_align_fill(const char *est, int64_t n, const char *gen, int64_t m,
         char e = est[i - 1];
         int ew = (e == 'n' || e == 'N');
         int32_t cost = (i == n) ? 0 : 1;
-        int8_t *Lrow = Ldir + i * (m + 1);
-        int8_t *Grow = Gdir + i * (m + 1);
-        int8_t *Rrow = Rdir + i * (m + 1);
+        int8_t *crow = comb + i * (m + 1);
         if (ew) {
             for (j = 1; j <= m; j++) ms[j] = 1;
         } else {
@@ -1113,16 +1197,9 @@ void gap_align_fill(const char *est, int64_t n, const char *gen, int64_t m,
             Lcur[j] = a > b ? a : b;
         }
         relax_max_slope1(Lcur, m);
-        for (j = 1; j <= m; j++) {
-            int32_t v = Lcur[j];
-            Lrow[j] = v == Lprev[j - 1] + ms[j] ? 0
-                : (v == Lprev[j] - 1 ? 1 : 2);
-        }
         /* G matrix: G[i][j] = max(G[i][j-1], L[i][j-1]); Gcur[0] stays
          * 0 every row; keep-G wins ties */
         g_scan_max(Lcur, Gcur, m);
-        for (j = 1; j <= m; j++)
-            Grow[j] = Gcur[j - 1] < Lcur[j - 1] ? -2 : 2;
         /* R matrix */
         Rcur[0] = 0;
         for (j = 1; j <= m; j++) {
@@ -1139,11 +1216,20 @@ void gap_align_fill(const char *est, int64_t n, const char *gen, int64_t m,
             for (j = 1; j <= m; j++)
                 if (Rcur[j - 1] > Rcur[j]) Rcur[j] = Rcur[j - 1];
         }
+        /* fused direction bytes, all three matrices in one pass (the
+         * original strict-improvement tie orders: L diag > up > left;
+         * G keep > take-L; R diag > i_del > grow > up) */
         for (j = 1; j <= m; j++) {
-            int32_t v = Rcur[j];
-            Rrow[j] = v == Rprev[j - 1] + ms[j] ? 0
-                : (v == Rcur[j - 1] - cost ? 2
-                   : (v == Gcur[j - 1] ? -2 : 1));
+            int32_t lv = Lcur[j];
+            int32_t rv = Rcur[j];
+            int32_t diag = Lprev[j - 1] + ms[j];
+            int32_t rdiag = Rprev[j - 1] + ms[j];
+            int ld = lv == diag ? 0 : (lv == Lprev[j] - 1 ? 1 : 2);
+            int gd = Gcur[j - 1] < Lcur[j - 1] ? 0 : 1;
+            int rd = rv == rdiag ? 0
+                : (rv == Rcur[j - 1] - cost ? 2
+                   : (rv == Gcur[j - 1] ? 3 : 1));
+            crow[j] = (int8_t)(ld | (gd << 2) | (rd << 3));
         }
         tmp = Lprev; Lprev = Lcur; Lcur = tmp;
         tmp = Rprev; Rprev = Rcur; Rcur = tmp;
@@ -1151,6 +1237,39 @@ void gap_align_fill(const char *est, int64_t n, const char *gen, int64_t m,
     finals[0] = Lprev[m];
     finals[1] = Gcur[m];
     finals[2] = Rprev[m];
+}
+
+void gap_align_fill(const char *est, int64_t n, const char *gen, int64_t m,
+                    int8_t *Ldir, int8_t *Gdir, int8_t *Rdir,
+                    int64_t *finals) {
+    /* ABI-preserving expansion of the packed fill (python mirror and
+     * unit tests consume the classic three int8 matrices). */
+    int64_t stride = m + 1;
+    int64_t msize = (n + 1) * stride;
+    static int8_t *cb = NULL;
+    static int64_t cb_cap = 0;
+    int64_t i, j;
+    if (msize > cb_cap) {
+        int8_t *nb = (int8_t *)realloc(cb, (size_t)(2 * msize + 64));
+        if (!nb) { finals[0] = finals[1] = finals[2] = -(1LL << 40); return; }
+        cb = nb;
+        cb_cap = 2 * msize + 64;
+    }
+    gap_align_fill_packed(est, n, gen, m, cb, finals);
+    if (finals[0] == -(1LL << 40)) return;
+    for (i = 1; i <= n; i++) {
+        const int8_t *crow = cb + i * stride;
+        int8_t *Lrow = Ldir + i * stride;
+        int8_t *Grow = Gdir + i * stride;
+        int8_t *Rrow = Rdir + i * stride;
+        for (j = 1; j <= m; j++) {
+            int c = crow[j];
+            int rd = (c >> 3) & 3;
+            Lrow[j] = (int8_t)(c & 3);
+            Grow[j] = (c & 4) ? 2 : -2;
+            Rrow[j] = rd == 3 ? -2 : (int8_t)rd;
+        }
+    }
 }
 
 /* Edit distance matrix (refine.c:50-83): rows over s2, int64 row-major
@@ -1368,17 +1487,14 @@ void gap_align_run(const char *est, int64_t n, const char *gen, int64_t m,
                    char *est_al, char *gen_al, int64_t *out7) {
     int64_t stride = m + 1;
     int64_t msize = (n + 1) * stride;
-    int8_t *base = dir_scratch_get(3 * msize);
-    int8_t *Ldir = base;
-    int8_t *Gdir = base + msize;
-    int8_t *Rdir = base + 2 * msize;
+    int8_t *comb = dir_scratch_get(msize);
     int64_t finals[3];
     int64_t i, j, sm, cap = n + m, w;
     int64_t jump_w[2]; int64_t njump = 0;
     int64_t factor_cut = 0, intron_start = 0, intron_end = 0;
     int64_t is_al = 0, ie_al = 0, total, start_matrix;
-    if (!base) { out7[0] = -1; return; }
-    gap_align_fill(est, n, gen, m, Ldir, Gdir, Rdir, finals);
+    if (!comb) { out7[0] = -1; return; }
+    gap_align_fill_packed(est, n, gen, m, comb, finals);
     if (finals[0] == -(1LL << 40)) { out7[0] = -1; return; }
 
     if (finals[2] >= finals[1])
@@ -1389,9 +1505,10 @@ void gap_align_run(const char *est, int64_t n, const char *gen, int64_t m,
     i = n; j = m; sm = start_matrix; w = cap;
     while (i > 0 && j > 0) {
         int8_t d;
-        if (sm == 2) d = Rdir[i * stride + j];
-        else if (sm == 1) d = Gdir[i * stride + j];
-        else d = Ldir[i * stride + j];
+        int c = comb[i * stride + j];
+        if (sm == 2) { int rd = (c >> 3) & 3; d = rd == 3 ? -2 : (int8_t)rd; }
+        else if (sm == 1) d = (c & 4) ? 2 : -2;
+        else d = (int8_t)(c & 3);
         w--;
         if (d == 0) {
             est_al[w] = est[i - 1]; gen_al[w] = gen[j - 1];
