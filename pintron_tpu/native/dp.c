@@ -215,10 +215,185 @@ static void g_scan_max(const int32_t *lcur, int32_t *gcur, int64_t m) {
 #endif
 }
 
+/* int16 variants of the row kernels: the DP values are bounded by
+ * +-(n+m) and the slope shift adds at most m, so for n+m below ~14000
+ * the whole row fits int16 exactly — identical values, twice the SIMD
+ * lanes.  Callers gate on the window size and fall back to the int32
+ * kernels above. */
+#define I16_LIMIT 14000
+
+#if defined(__AVX2__)
+static inline __m256i up16_shr1(__m256i x, __m256i fill) {
+    __m256i t = _mm256_permute2x128_si256(fill, x, 0x20);
+    return _mm256_alignr_epi8(x, t, 14);
+}
+static inline __m256i up16_shr2(__m256i x, __m256i fill) {
+    __m256i t = _mm256_permute2x128_si256(fill, x, 0x20);
+    return _mm256_alignr_epi8(x, t, 12);
+}
+static inline __m256i up16_shr4(__m256i x, __m256i fill) {
+    __m256i t = _mm256_permute2x128_si256(fill, x, 0x20);
+    return _mm256_alignr_epi8(x, t, 8);
+}
+static inline __m256i up16_shr8(__m256i x, __m256i fill) {
+    return _mm256_permute2x128_si256(fill, x, 0x20);
+}
+#endif
+
+/* cur[j] = min(t0[j], cur[j-1] + 1), int16 rows. */
+static void relax_min16_slope1(int16_t *cur, int64_t m) {
+    int64_t j = 1;
+#if defined(__AVX2__)
+    const __m256i INF = _mm256_set1_epi16(32767);
+    const __m256i idx0 = _mm256_setr_epi16(0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+                                           10, 11, 12, 13, 14, 15);
+    int16_t carry = cur[0];
+    for (; j + 16 <= m + 1; j += 16) {
+        __m256i jv = _mm256_add_epi16(_mm256_set1_epi16((int16_t)j),
+                                      idx0);
+        __m256i x = _mm256_loadu_si256((const __m256i *)(cur + j));
+        __m256i s = _mm256_sub_epi16(x, jv);
+        s = _mm256_min_epi16(s, up16_shr1(s, INF));
+        s = _mm256_min_epi16(s, up16_shr2(s, INF));
+        s = _mm256_min_epi16(s, up16_shr4(s, INF));
+        s = _mm256_min_epi16(s, up16_shr8(s, INF));
+        s = _mm256_min_epi16(s, _mm256_set1_epi16(carry));
+        _mm256_storeu_si256((__m256i *)(cur + j),
+                            _mm256_add_epi16(s, jv));
+        carry = (int16_t)_mm256_extract_epi16(s, 15);
+    }
+    for (; j <= m; j++) {
+        int16_t s = (int16_t)(cur[j] - (int16_t)j);
+        if (carry < s) s = carry;
+        cur[j] = (int16_t)(s + (int16_t)j);
+        carry = s;
+    }
+#else
+    for (; j <= m; j++) {
+        int16_t c = (int16_t)(cur[j - 1] + 1);
+        if (c < cur[j]) cur[j] = c;
+    }
+#endif
+}
+
+/* cur[j] = max(t0[j], cur[j-1] - 1), int16 rows. */
+static void relax_max16_slope1(int16_t *cur, int64_t m) {
+    int64_t j = 1;
+#if defined(__AVX2__)
+    const __m256i NINF = _mm256_set1_epi16(-32768);
+    const __m256i idx0 = _mm256_setr_epi16(0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+                                           10, 11, 12, 13, 14, 15);
+    int16_t carry = cur[0];
+    for (; j + 16 <= m + 1; j += 16) {
+        __m256i jv = _mm256_add_epi16(_mm256_set1_epi16((int16_t)j),
+                                      idx0);
+        __m256i x = _mm256_loadu_si256((const __m256i *)(cur + j));
+        __m256i s = _mm256_add_epi16(x, jv);
+        s = _mm256_max_epi16(s, up16_shr1(s, NINF));
+        s = _mm256_max_epi16(s, up16_shr2(s, NINF));
+        s = _mm256_max_epi16(s, up16_shr4(s, NINF));
+        s = _mm256_max_epi16(s, up16_shr8(s, NINF));
+        s = _mm256_max_epi16(s, _mm256_set1_epi16(carry));
+        _mm256_storeu_si256((__m256i *)(cur + j),
+                            _mm256_sub_epi16(s, jv));
+        carry = (int16_t)_mm256_extract_epi16(s, 15);
+    }
+    for (; j <= m; j++) {
+        int16_t s = (int16_t)(cur[j] + (int16_t)j);
+        if (carry > s) s = carry;
+        cur[j] = (int16_t)(s - (int16_t)j);
+        carry = s;
+    }
+#else
+    for (; j <= m; j++) {
+        int16_t c = (int16_t)(cur[j - 1] - 1);
+        if (c > cur[j]) cur[j] = c;
+    }
+#endif
+}
+
+/* gcur[j] = max(gcur[j-1], lcur[j-1]) with gcur[0] = lcur[0] = 0. */
+static void g_scan_max16(const int16_t *lcur, int16_t *gcur, int64_t m) {
+    int64_t j = 1;
+#if defined(__AVX2__)
+    const __m256i NINF = _mm256_set1_epi16(-32768);
+    int16_t carry = -32768;
+    for (; j + 16 <= m + 1; j += 16) {
+        __m256i x = _mm256_loadu_si256((const __m256i *)(lcur + j - 1));
+        x = _mm256_max_epi16(x, up16_shr1(x, NINF));
+        x = _mm256_max_epi16(x, up16_shr2(x, NINF));
+        x = _mm256_max_epi16(x, up16_shr4(x, NINF));
+        x = _mm256_max_epi16(x, up16_shr8(x, NINF));
+        x = _mm256_max_epi16(x, _mm256_set1_epi16(carry));
+        _mm256_storeu_si256((__m256i *)(gcur + j), x);
+        carry = (int16_t)_mm256_extract_epi16(x, 15);
+    }
+    for (; j <= m; j++) {
+        int16_t v = lcur[j - 1];
+        if (carry > v) v = carry;
+        gcur[j] = v;
+        carry = v;
+    }
+#else
+    for (; j <= m; j++) {
+        int16_t gp = gcur[j - 1];
+        int16_t lc = lcur[j - 1];
+        gcur[j] = gp < lc ? lc : gp;
+    }
+#endif
+}
+
 static int32_t *nw_buf = NULL;
 static int64_t nw_buf_cap = 0;
 
 static double nw_t0_tmp;
+/* int16 core (exact for n+m < I16_LIMIT: every value is bounded by
+ * max(n, m) <= n+m and the relax slope adds at most m) */
+static int64_t nw_align16(const char *est, int64_t n, const char *gen,
+                          int64_t m, int8_t *dirs) {
+    int64_t need = 2 * (m + 2);   /* int32 units; rows are int16 */
+    int16_t *prev, *cur, *cost;
+    int64_t i, j, score;
+    if (need > nw_buf_cap) {
+        int32_t *nb = (int32_t *)realloc(
+            nw_buf, (size_t)(2 * need + 64) * sizeof(int32_t));
+        if (!nb) return -1;
+        nw_buf = nb;
+        nw_buf_cap = 2 * need + 64;
+    }
+    prev = (int16_t *)nw_buf;
+    cur = prev + (m + 1);
+    cost = cur + (m + 1);
+    for (j = 0; j <= m; j++) prev[j] = (int16_t)j;
+    for (i = 1; i <= n; i++) {
+        char e = est[i - 1];
+        int8_t *drow = dirs + i * (m + 1);
+        if (e == 'n' || e == 'N') {
+            for (j = 1; j <= m; j++) cost[j] = 0;
+        } else {
+            for (j = 1; j <= m; j++) {
+                char g = gen[j - 1];
+                cost[j] = (g != e) & (g != 'n') & (g != 'N');
+            }
+        }
+        cur[0] = (int16_t)i;
+        for (j = 1; j <= m; j++) {
+            int16_t a = (int16_t)(prev[j - 1] + cost[j]);
+            int16_t b = (int16_t)(prev[j] + 1);
+            cur[j] = a < b ? a : b;
+        }
+        relax_min16_slope1(cur, m);
+        for (j = 1; j <= m; j++) {
+            int16_t v = cur[j];
+            drow[j] = v == (int16_t)(prev[j - 1] + cost[j]) ? 0
+                : (v == (int16_t)(prev[j] + 1) ? 1 : 2);
+        }
+        { int16_t *t = prev; prev = cur; cur = t; }
+    }
+    score = prev[m];
+    return score;
+}
+
 int64_t nw_align(const char *est, int64_t n, const char *gen, int64_t m,
                  int8_t *dirs) {
     nw_t0_tmp = fe_now();
@@ -227,10 +402,16 @@ int64_t nw_align(const char *est, int64_t n, const char *gen, int64_t m,
      * previous row — independent per cell, auto-vectorizes; (2) the
      * sequential left-relaxation prefix scan; (3) direction bytes
      * recomputed from the final values with the same tie order
-     * (diag > up > left, strict improvement). int32 rows. */
+     * (diag > up > left, strict improvement). int16 rows when the
+     * window allows (exact — see I16_LIMIT), int32 otherwise. */
     int64_t need = 3 * (m + 2);
     int32_t *prev, *cur, *cost;
     int64_t i, j, score;
+    if (n + m < I16_LIMIT) {
+        score = nw_align16(est, n, gen, m, dirs);
+        ri_stats[2] += fe_now() - nw_t0_tmp; ri_stats[5] += 1.0;
+        return score;
+    }
     if (need > nw_buf_cap) {
         int32_t *nb = (int32_t *)realloc(
             nw_buf, (size_t)(2 * need + 64) * sizeof(int32_t));
@@ -1155,9 +1336,87 @@ static int64_t ga_buf_cap = 0;
  * sizes).  Values and decoded directions are identical to the classic
  * per-cell loop; the exported 3-matrix gap_align_fill below expands the
  * packed bytes for its (test/fallback) callers. */
-static void gap_align_fill_packed(const char *est, int64_t n,
-                                  const char *gen, int64_t m,
-                                  int8_t *comb, int64_t *finals) {
+/* int16 core (exact for n+m < I16_LIMIT — see the int16 kernels above) */
+static void gap_align_fill_packed16(const char *est, int64_t n,
+                                    const char *gen, int64_t m,
+                                    int8_t *comb, int64_t *finals) {
+    int64_t need = 3 * (m + 2);   /* in int32 units; rows are int16 */
+    int16_t *Lprev, *Lcur, *Rprev, *Rcur, *Gcur, *ms, *tmp;
+    int64_t i, j;
+    if (need > ga_buf_cap) {
+        int32_t *nd = (int32_t *)realloc(
+            ga_buf, (size_t)(2 * need + 64) * sizeof(int32_t));
+        if (!nd) { finals[0] = finals[1] = finals[2] = -(1LL << 40); return; }
+        ga_buf = nd;
+        ga_buf_cap = 2 * need + 64;
+    }
+    Lprev = (int16_t *)ga_buf;
+    Lcur = Lprev + (m + 1);
+    Rprev = Lcur + (m + 1);
+    Rcur = Rprev + (m + 1);
+    Gcur = Rcur + (m + 1);
+    ms = Gcur + (m + 1);
+    for (j = 0; j <= m; j++) { Lprev[j] = 0; Rprev[j] = 0; Gcur[j] = 0; }
+    finals[0] = 0; finals[1] = 0; finals[2] = 0;
+    for (i = 1; i <= n; i++) {
+        char e = est[i - 1];
+        int ew = (e == 'n' || e == 'N');
+        int16_t cost = (i == n) ? 0 : 1;
+        int8_t *crow = comb + i * (m + 1);
+        if (ew) {
+            for (j = 1; j <= m; j++) ms[j] = 1;
+        } else {
+            for (j = 1; j <= m; j++) {
+                char g = gen[j - 1];
+                ms[j] = ((g == e) | (g == 'n') | (g == 'N')) ? 1 : -1;
+            }
+        }
+        Lcur[0] = 0;
+        for (j = 1; j <= m; j++) {
+            int16_t a = (int16_t)(Lprev[j - 1] + ms[j]);
+            int16_t b = (int16_t)(Lprev[j] - 1);
+            Lcur[j] = a > b ? a : b;
+        }
+        relax_max16_slope1(Lcur, m);
+        g_scan_max16(Lcur, Gcur, m);
+        Rcur[0] = 0;
+        for (j = 1; j <= m; j++) {
+            int16_t a = (int16_t)(Rprev[j - 1] + ms[j]);
+            int16_t b = (int16_t)(Rprev[j] - 1);
+            int16_t c = Gcur[j - 1];
+            if (b > a) a = b;
+            Rcur[j] = c > a ? c : a;
+        }
+        if (cost) {
+            relax_max16_slope1(Rcur, m);
+        } else {
+            for (j = 1; j <= m; j++)
+                if (Rcur[j - 1] > Rcur[j]) Rcur[j] = Rcur[j - 1];
+        }
+        for (j = 1; j <= m; j++) {
+            int16_t lv = Lcur[j];
+            int16_t rv = Rcur[j];
+            int16_t diag = (int16_t)(Lprev[j - 1] + ms[j]);
+            int16_t rdiag = (int16_t)(Rprev[j - 1] + ms[j]);
+            int ld = lv == diag ? 0
+                : (lv == (int16_t)(Lprev[j] - 1) ? 1 : 2);
+            int gd = Gcur[j - 1] < Lcur[j - 1] ? 0 : 1;
+            int rd = rv == rdiag ? 0
+                : (rv == (int16_t)(Rcur[j - 1] - cost) ? 2
+                   : (rv == Gcur[j - 1] ? 3 : 1));
+            crow[j] = (int8_t)(ld | (gd << 2) | (rd << 3));
+        }
+        tmp = Lprev; Lprev = Lcur; Lcur = tmp;
+        tmp = Rprev; Rprev = Rcur; Rcur = tmp;
+    }
+    finals[0] = Lprev[m];
+    finals[1] = Gcur[m];
+    finals[2] = Rprev[m];
+}
+
+static void gap_align_fill_packed32(const char *est, int64_t n,
+                                    const char *gen, int64_t m,
+                                    int8_t *comb, int64_t *finals) {
     int64_t need = 6 * (m + 2);
     int32_t *Lprev, *Lcur, *Rprev, *Rcur, *Gcur, *ms, *tmp;
     int64_t i, j;
@@ -1237,6 +1496,15 @@ static void gap_align_fill_packed(const char *est, int64_t n,
     finals[0] = Lprev[m];
     finals[1] = Gcur[m];
     finals[2] = Rprev[m];
+}
+
+static void gap_align_fill_packed(const char *est, int64_t n,
+                                  const char *gen, int64_t m,
+                                  int8_t *comb, int64_t *finals) {
+    if (n + m < I16_LIMIT)
+        gap_align_fill_packed16(est, n, gen, m, comb, finals);
+    else
+        gap_align_fill_packed32(est, n, gen, m, comb, finals);
 }
 
 void gap_align_fill(const char *est, int64_t n, const char *gen, int64_t m,

@@ -21,7 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BIG = jnp.int32(1 << 20)  # safe sentinel: > any real distance, no overflow
+# safe sentinel: > any real distance, no overflow.  Plain python int so
+# importing this module never creates a device array (which would
+# initialize a JAX backend as an import side effect).
+BIG = 1 << 20
 
 
 @functools.partial(jax.jit, static_argnames=("max_rows", "k_max"))
