@@ -31,10 +31,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
-def measure_reference(workdir_src: str, n_ests: int):
-    """Build (cached) and time the reference's single-core est-fact on
-    the same workload, so vs_baseline is a same-machine ratio.  Returns
-    ESTs/s or None when the reference can't be built here."""
+def reference_binary():
+    """Build (cached) the reference's single-core est-fact; returns the
+    binary path or None when it can't be built here."""
     ref_bin = "/tmp/refsrc/bin/est-fact"
     try:
         if not os.path.exists(ref_bin):
@@ -45,19 +44,112 @@ def measure_reference(workdir_src: str, n_ests: int):
                 return None
             subprocess.run(["sh", script], capture_output=True,
                            timeout=900, check=True)
-        work = tempfile.mkdtemp(prefix="pintron-bench-ref-")
-        for fn in ("genomic.txt", "ests.txt"):
-            shutil.copy(os.path.join(workdir_src, fn), work)
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            subprocess.run([ref_bin], cwd=work, capture_output=True,
-                           timeout=600, check=True)
-            best = min(best, time.perf_counter() - t0)
-        shutil.rmtree(work, ignore_errors=True)
-        return n_ests / best
+        return ref_bin
     except Exception:
         return None
+
+
+def time_reference_once(ref_bin: str, work: str):
+    t0 = time.perf_counter()
+    subprocess.run([ref_bin], cwd=work, capture_output=True,
+                   timeout=600, check=True)
+    return time.perf_counter() - t0
+
+
+def measure_device_kernel():
+    """Device benchmark channel: the production K-band kernel on the
+    real chip at a production-shaped batch.
+
+    Shapes: B=4096 problems, rows M=256, band half-width K=16 (band
+    width 33 lanes), text N=512 — the noisy-exon check regime (exon
+    windows of a few hundred nt, ~3% error budget).  VMEM budget of the
+    Pallas kernel at this shape: one (8, 256, 33) int32 mismatch block
+    per grid step = 264 KiB, plus three (8,1) length blocks — far under
+    the ~16 MiB/core VMEM; rows scale linearly (max_rows 2048 -> 2.1 MiB
+    per block).
+
+    Reports cells/s (band cells = M * (2K+1) per problem) for both the
+    XLA wavefront op (the production offload path) and the Pallas
+    kernel, plus an estimated fraction of VPU peak assuming ~18 vector
+    int32 ops per band cell against a nominal v5e VPU of
+    8x128 lanes x 4 ALUs x 1.5 GHz ~= 6.1e12 op/s.  Returns {} when no
+    accelerator is attached."""
+    try:
+        import jax
+        import numpy as np
+
+        from pintron_tpu.ops.align import banded_edit_distance
+        from pintron_tpu.ops.pallas_align import banded_edit_distance_pallas
+
+        dev = jax.devices()[0]
+        if dev.platform == "cpu":
+            return {}
+        B, M, K, N = 4096, 256, 16, 512
+        rng = np.random.default_rng(0)
+        s1 = rng.integers(0, 4, (B, N), dtype=np.int8)
+        s2 = np.take_along_axis(
+            s1, np.broadcast_to(np.arange(M), (B, M)), axis=1).copy()
+        mut = rng.integers(0, M, (B, 8))
+        for b in range(B):
+            s2[b, mut[b]] = (s2[b, mut[b]] + 1) % 4
+        l1 = np.full(B, N, dtype=np.int32)
+        l2 = np.full(B, M, dtype=np.int32)
+        band = np.full(B, K, dtype=np.int32)
+        cells = B * M * (2 * K + 1)
+        out = {"device_kind": str(dev.device_kind),
+               "device_batch": [B, M, 2 * K + 1]}
+        for name, fn in (
+                ("xla", lambda: banded_edit_distance(
+                    s1, l1, s2, l2, band, max_rows=M, k_max=K)),
+                ("pallas", lambda: banded_edit_distance_pallas(
+                    s1, l1, s2, l2, band, max_rows=M, k_max=K))):
+            try:
+                r = fn()
+                jax.block_until_ready(r)   # compile + warm
+                best = float("inf")
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(fn())
+                    best = min(best, time.perf_counter() - t0)
+                cps = cells / best
+                out[f"device_{name}_cells_per_s"] = round(cps)
+                out[f"device_{name}_vpu_peak_frac_est"] = round(
+                    cps * 18 / 6.1e12, 4)
+            except Exception:
+                out[f"device_{name}_cells_per_s"] = None
+        return out
+    except Exception:
+        return {}
+
+
+def measure_device_mode(workdir: str, n_ests: int):
+    """Secondary channel: est-fact wall time with the TPU-offload flow
+    on (PINTRON_DEVICE=1) — the production device path end-to-end on
+    the real chip (fresh-locus semantics like the headline)."""
+    try:
+        import jax
+        if jax.devices()[0].platform == "cpu":
+            return {}
+        from pintron_tpu.stages.est_fact import run_est_fact
+        import pintron_tpu.ops.offload as off
+        os.environ["PINTRON_DEVICE"] = "1"
+        os.environ["PINTRON_FRESH_MEMO"] = "1"
+        try:
+            off.reset_stats()
+            run_est_fact(workdir)   # warm (compiles)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_est_fact(workdir)
+                best = min(best, time.perf_counter() - t0)
+        finally:
+            del os.environ["PINTRON_DEVICE"]
+            del os.environ["PINTRON_FRESH_MEMO"]
+        return {"device_mode_ests_per_s": round(n_ests / best, 2),
+                "device_mode_problems_offloaded":
+                    off.STATS["device_problems"]}
+    except Exception:
+        return {}
 
 
 def main():
@@ -86,28 +178,49 @@ def main():
     # cache hits, which the single-process reference binary cannot do.
     # PINTRON_FRESH_MEMO wipes the memo and rebuilds the index each
     # run, so best-of-N de-noises without changing the work measured.
-    reps = 9
+    #
+    # Ours and the reference are measured INTERLEAVED in blocks: on a
+    # shared box, CPU frequency/load drifts over seconds, and measuring
+    # the two sides in disjoint windows makes the ratio absorb that
+    # drift.  Interleaving gives both sides the same spread of machine
+    # states; best-of-N then compares best-case to best-case.
+    ref_bin = reference_binary()
+    ref_work = None
+    if ref_bin:
+        ref_work = tempfile.mkdtemp(prefix="pintron-bench-ref-")
+        for fn in ("genomic.txt", "ests.txt"):
+            shutil.copy(os.path.join(src, fn), ref_work)
+        time_reference_once(ref_bin, ref_work)  # warm page cache
+
     os.environ["PINTRON_FRESH_MEMO"] = "1"
+    dt = float("inf")
+    dt_ref = float("inf")
     try:
         run_est_fact(work)  # one fresh-mode warm-up (scratch growth)
-        dt = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            run_est_fact(work)
-            dt = min(dt, time.perf_counter() - t0)
+        for _block in range(4):
+            for _ in range(4):
+                t0 = time.perf_counter()
+                run_est_fact(work)
+                dt = min(dt, time.perf_counter() - t0)
+            if ref_bin:
+                for _ in range(2):
+                    dt_ref = min(dt_ref,
+                                 time_reference_once(ref_bin, ref_work))
     finally:
         del os.environ["PINTRON_FRESH_MEMO"]
+    if ref_work:
+        shutil.rmtree(ref_work, ignore_errors=True)
 
     # secondary: warm-repeat throughput (persistent memo retained),
     # i.e. re-running the same locus — reported but not the headline
     dt_warm = float("inf")
-    for _ in range(reps):
+    for _ in range(9):
         t0 = time.perf_counter()
         run_est_fact(work)
         dt_warm = min(dt_warm, time.perf_counter() - t0)
 
     ests_per_s = n_ests / dt
-    ref_rate = measure_reference(src, n_ests)
+    ref_rate = (n_ests / dt_ref) if ref_bin else None
     baseline = ref_rate if ref_rate else BASELINE_ESTS_PER_S
     out = {
         "metric": "est-fact throughput (AMBN locus, fresh-locus work)",
@@ -118,6 +231,8 @@ def main():
         "baseline_source": "measured" if ref_rate else "stored",
         "warm_repeat_ests_per_s": round(n_ests / dt_warm, 2),
     }
+    out.update(measure_device_kernel())
+    out.update(measure_device_mode(work, n_ests))
     print(json.dumps(out))
 
     shutil.rmtree(src, ignore_errors=True)

@@ -45,6 +45,89 @@ def _encode(seqs: Sequence[bytes], width: int):
     return out, lens
 
 
+# ---- multi-chip execution ------------------------------------------------
+# PINTRON_DEVICE_MESH=N shards every problem batch over an N-device
+# ("data",) mesh via shard_map: the per-EST/per-problem independence axis
+# of the reference (main-est-fact.c:249-291) made explicit across chips.
+# Problems are padded to a multiple of N; each shard runs the same
+# wavefront kernel; a psum'd ok-count rides the mesh as the deterministic
+# global-merge collective (the registry-merge pattern).  Results are
+# bit-identical to the single-device path (int32 DP, elementwise over
+# problems), which tests/test_parallel.py asserts on real pipeline data.
+
+_MESH = None
+_SHARDED_CACHE = {}
+
+
+def _mesh():
+    global _MESH
+    n = int(os.environ.get("PINTRON_DEVICE_MESH", "0") or 0)
+    if n <= 1:
+        return None
+    import jax
+    from jax.sharding import Mesh
+    if _MESH is None or len(_MESH.devices.ravel()) != n:
+        devs = jax.devices()
+        if len(devs) < n:
+            raise RuntimeError(
+                f"PINTRON_DEVICE_MESH={n} but only {len(devs)} devices")
+        _MESH = Mesh(np.array(devs[:n]), ("data",))
+    return _MESH
+
+
+def _sharded_fn(mesh, key, fn, nspecs):
+    """Cache the jitted shard_map program per (mesh size, kernel, shape
+    bucket) so repeated batches with the same bucket reuse the compiled
+    executable instead of retracing a fresh lambda."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:
+        from jax.sharding import shard_map
+    ck = (len(mesh.devices.ravel()),) + key
+    hit = _SHARDED_CACHE.get(ck)
+    if hit is not None:
+        return hit
+
+    def body(*xs):
+        dist = fn(*xs[:-1])
+        total = jax.lax.psum(jnp.sum(dist <= xs[-1]), "data")
+        return dist, total
+
+    specs = nspecs + (P("data"),)
+    prog = jax.jit(shard_map(body, mesh=mesh, in_specs=specs,
+                             out_specs=(P("data"), P()),
+                             check_rep=False))
+    _SHARDED_CACHE[ck] = prog
+    return prog
+
+
+def _sharded_call(mesh, fn, arrays, ub, key=()):
+    """Run fn over the mesh with every array sharded on its leading
+    (problem) axis, padded to a multiple of the mesh size.  ``ub`` is the
+    per-problem error budget, used to psum the global within-budget count
+    — a true cross-device collective (the deterministic global-merge
+    pattern).  ``key`` identifies the kernel + static shape bucket for
+    the compiled-program cache.  Returns (per-problem distances, global
+    count)."""
+    from jax.sharding import PartitionSpec as P
+    n = len(mesh.devices.ravel())
+    B = arrays[0].shape[0]
+    Bp = ((B + n - 1) // n) * n
+    # padded problems get ub = -1 so they can never count as ok
+    padded = [np.pad(a, [(0, Bp - B)] + [(0, 0)] * (a.ndim - 1))
+              for a in arrays]
+    ubp = np.pad(np.asarray(ub, dtype=np.int32), (0, Bp - B),
+                 constant_values=-1)
+    specs = tuple(P("data") if a.ndim == 1 else P("data", None)
+                  for a in padded)
+    prog = _sharded_fn(mesh, key, fn, specs)
+    dist, total = prog(*padded, ubp)
+    return np.asarray(dist)[:B], int(total)
+
+
 # running counters for benchmarks/diagnostics: total problems seen,
 # problems actually evaluated on device, and DP cells computed there
 STATS = {"problems": 0, "device_problems": 0, "device_cells": 0,
@@ -85,12 +168,21 @@ def eval_kband(problems: List[Tuple[bytes, bytes, int]]) -> np.ndarray:
             band_groups.setdefault(key, []).append((i, a, b, ub))
 
     STATS["problems"] += len(problems)
+    mesh = _mesh()
 
     for (N, M), items in sorted(full_groups.items()):
         s1, l1 = _encode([a for _, a, _, _ in items], N)
         s2, l2 = _encode([b for _, _, b, _ in items], M)
-        r = np.asarray(batch_edit_distance_score(s1, l1, s2, l2,
-                                                 max_rows=M))
+        if mesh is not None:
+            ubv = [ub for _, _, _, ub in items]
+            r, total = _sharded_call(
+                mesh,
+                lambda a, b, c, d: batch_edit_distance_score(
+                    a, b, c, d, max_rows=M),
+                [s1, l1, s2, l2], ubv, key=("full", N, M))
+        else:
+            r = np.asarray(batch_edit_distance_score(s1, l1, s2, l2,
+                                                     max_rows=M))
         for (i, _a, _b, ub), dist in zip(items, r):
             ok[i] = int(dist) <= ub
         STATS["device_problems"] += len(items)
@@ -102,7 +194,13 @@ def eval_kband(problems: List[Tuple[bytes, bytes, int]]) -> np.ndarray:
         s1, l1 = _encode([a for _, a, _, _ in items], N)
         s2, l2 = _encode([b for _, _, b, _ in items], M)
         band = np.array([ub for _, _, _, ub in items], dtype=np.int32)
-        if use_pallas:
+        if mesh is not None:
+            r, total = _sharded_call(
+                mesh,
+                lambda a, b, c, d, e: banded_edit_distance(
+                    a, b, c, d, e, max_rows=M, k_max=K),
+                [s1, l1, s2, l2, band], band, key=("band", N, M, K))
+        elif use_pallas:
             from pintron_tpu.ops.pallas_align import \
                 banded_edit_distance_pallas
             r = np.asarray(banded_edit_distance_pallas(

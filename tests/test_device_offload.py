@@ -95,10 +95,14 @@ def test_device_stage2_byte_identical():
 
     off.reset_stats()
     os.environ["PINTRON_DEVICE"] = "1"
+    # fresh memo: an earlier in-process test on the same locus would
+    # otherwise leave nothing for the device batch to compute
+    os.environ["PINTRON_FRESH_MEMO"] = "1"
     try:
         run_est_fact(work)
     finally:
         del os.environ["PINTRON_DEVICE"]
+        del os.environ["PINTRON_FRESH_MEMO"]
 
     assert off.STATS["device_problems"] > 0, \
         "device path fell back to CPU silently"

@@ -38,3 +38,64 @@ def test_device_count_invariance():
             assert np.array_equal(a, b), name
         else:
             assert np.array_equal(a, b), name
+
+
+def test_mesh_kband_real_data_invariance(golden):
+    """REAL pipeline data over the mesh: the production K-band batch
+    collected from the AMBN golden case must produce bit-identical
+    verdicts sharded over 8 devices vs single-device, and the stage-2
+    artifacts must stay byte-identical to golden."""
+    import os
+    import shutil
+
+    import pintron_tpu.ops.offload as off
+    from pintron_tpu.native import get_lib
+    from pintron_tpu.stages.est_fact import run_est_fact
+
+    if get_lib() is None or not hasattr(get_lib(), "est_collect_noisy"):
+        import pytest
+        pytest.skip("native collect entry unavailable")
+
+    case = golden("test-AMBN")
+    work = case.parent / "mesh-work"
+    work.mkdir(exist_ok=True)
+    for fn in ("genomic.txt", "ests.txt"):
+        shutil.copy(case / fn, work / fn)
+
+    captured = []
+    orig = off.eval_kband
+
+    def capture(problems):
+        captured.append(list(problems))
+        return orig(problems)
+
+    off.eval_kband = capture
+    os.environ["PINTRON_DEVICE"] = "1"
+    os.environ["PINTRON_DEVICE_MESH"] = "8"
+    # wipe the persistent memo: an earlier test may have already run
+    # this locus, which would leave nothing to collect for the device
+    os.environ["PINTRON_FRESH_MEMO"] = "1"
+    try:
+        run_est_fact(str(work))
+    finally:
+        off.eval_kband = orig
+        del os.environ["PINTRON_DEVICE"]
+        del os.environ["PINTRON_DEVICE_MESH"]
+        del os.environ["PINTRON_FRESH_MEMO"]
+
+    assert captured and any(captured), "no real problems reached device"
+    for name in ("raw-multifasta-out.txt", "processed-ests.txt",
+                 "megs.txt", "meg-edges.txt"):
+        assert (case / name).read_bytes() == (work / name).read_bytes(), \
+            f"{name} differs under the 8-device mesh"
+
+    # problem-level bit-equality: mesh vs single-device on the captured
+    # real batch
+    problems = [p for batch in captured for p in batch]
+    os.environ["PINTRON_DEVICE_MESH"] = "8"
+    try:
+        ok_mesh = orig(problems)
+    finally:
+        del os.environ["PINTRON_DEVICE_MESH"]
+    ok_single = orig(problems)
+    assert np.array_equal(ok_mesh, ok_single)

@@ -39,6 +39,16 @@ def main():
     if device:
         os.environ["PINTRON_DEVICE"] = "1"
         import pintron_tpu.ops.offload as offload
+        mesh_n = int(os.environ.get("PINTRON_DEVICE_MESH", "0") or 0)
+        if mesh_n > 1:
+            # a sitecustomize may have pinned a 1-chip backend; the mesh
+            # check needs n virtual CPU devices (conftest pattern)
+            from pintron_tpu.parallel.devices import \
+                ensure_virtual_cpu_devices
+            got = ensure_virtual_cpu_devices(mesh_n)
+            if got < mesh_n:
+                print(f"cannot provision {mesh_n} devices (got {got})")
+                sys.exit(2)
     cases = args or sorted(
         p.name[:-7] for p in GOLDEN.glob("test*.tar.gz"))
     fails = 0
