@@ -59,3 +59,22 @@ def test_stage46_index_matches_legacy_scan(case, golden, tmp_path):
     assert outs["indexed"].keys() == outs["legacy"].keys()
     for f in outs["indexed"]:
         assert outs["indexed"][f] == outs["legacy"][f], f"{f} differs"
+
+
+def test_seeding_traversal_history_counterexample():
+    """Pin the DESIGN.md counterexample: the reference's suffix-link walk
+    emits a pairing set that a pure per-position (k-mer-style) seeding
+    cannot reproduce — the fresh-descent set strictly contains it on a
+    low-complexity repeat locus (see tools/seeding_evidence.py)."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "seeding_evidence",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "seeding_evidence.py"))
+    se = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(se)
+    slink, fresh = se.counterexample()
+    assert fresh - slink, "counterexample regressed: walks now agree"
+    assert not (slink - fresh)
+    assert (1, 0, 2) in fresh - slink
