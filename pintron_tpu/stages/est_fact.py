@@ -1123,6 +1123,13 @@ def _worker_main(conn) -> None:
                 _fresh = bool(units[4]) if len(units) > 4 else False
                 _claim = units[5] if len(units) > 5 else None
                 _tree = cached[1]
+                # straggler-injection test hook: delay worker 0 so the
+                # dynamic claim counter re-shards its records onto the
+                # other workers (tests/test_est_fact.py straggler test)
+                import os as _os_mod
+                _strag = _os_mod.environ.get("PINTRON_TEST_STRAGGLER_S")
+                if _strag and _w == 0:
+                    time.sleep(float(_strag))
                 if _fresh:
                     # fresh-locus benchmark mode: rebuild the index too
                     _tree = SuffixTree(cached[2])
