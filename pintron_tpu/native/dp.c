@@ -24,11 +24,13 @@ static inline int64_t min3(int64_t a, int64_t b, int64_t c) {
     return m < c ? m : c;
 }
 
-/* K-band edit distance (compute-alignments.c:319-453 semantics).
+/* K-band edit distance, classic three-phase band loop — kept as the
+ * wide-value fallback for sequences beyond the int16 range; the normal
+ * path is the band-offset wavefront kband_core further below.
  * seq1 must be the longer sequence; callers handle the swap/shortcuts.
  * Returns the final band cell value M[n+k-m]. */
-int64_t kband_core(const char *seq1, int64_t n, const char *seq2, int64_t m,
-                   int64_t k) {
+static int64_t kband_core_wide(const char *seq1, int64_t n,
+                               const char *seq2, int64_t m, int64_t k) {
     int64_t w = 2 * k + 1;
     int64_t *M1 = (int64_t *)malloc(w * sizeof(int64_t));
     int64_t *M2 = (int64_t *)malloc(w * sizeof(int64_t));
@@ -341,6 +343,63 @@ static void g_scan_max16(const int16_t *lcur, int16_t *gcur, int64_t m) {
         gcur[j] = gp < lc ? lc : gp;
     }
 #endif
+}
+
+/* K-band edit distance in the band-offset wavefront formulation — the
+ * SAME program as the device op (ops/align.py banded_edit_distance,
+ * proven bit-equal to the classic band loop): one band vector M[o]
+ * with o = c - r + k, per row a branch-free diag/up minimum then the
+ * left-chain closed by the slope-1 prefix relax.  int16 rows (values
+ * are edit distances <= n plus a bounded sentinel), wide fallback for
+ * long sequences.  Callers guarantee n >= m, n - m <= k, 2k+1 < n. */
+#define KB_BIG16 ((int16_t)16000)
+
+int64_t kband_core(const char *seq1, int64_t n, const char *seq2,
+                   int64_t m, int64_t k) {
+    static int16_t *buf = NULL;
+    static int64_t buf_cap = 0;
+    int64_t W = 2 * k + 1;
+    int16_t *M1, *cand;
+    int64_t r, o;
+    if (n + W + 4 >= 15500)
+        return kband_core_wide(seq1, n, seq2, m, k);
+    if (2 * (W + 2) > buf_cap) {
+        int16_t *nb = (int16_t *)realloc(
+            buf, (size_t)(4 * (W + 2) + 64) * sizeof(int16_t));
+        if (!nb) return -1;
+        buf = nb;
+        buf_cap = 4 * (W + 2) + 64;
+    }
+    M1 = buf;
+    cand = buf + (W + 2);
+    /* row 0: M[o] = c for 0 <= c <= k (c = o - k), BIG outside */
+    for (o = 0; o < W; o++) {
+        int64_t c = o - k;
+        M1[o] = (c >= 0 && c <= k) ? (int16_t)c : KB_BIG16;
+    }
+    for (r = 1; r <= m; r++) {
+        char c2 = seq2[r - 1];
+        int64_t base = r - k;            /* c at o = 0 */
+        int64_t o_lo = base >= 1 ? 0 : 1 - base;      /* c >= 1 */
+        int64_t o_hi = n - base < W - 1 ? n - base : W - 1;  /* c <= n */
+        /* cand[o] = min(M1[o] + mism, M1[o+1] + 1), BIG outside band */
+        for (o = 0; o < o_lo; o++) cand[o] = KB_BIG16;
+        for (o = o_hi + 1; o < W; o++) cand[o] = KB_BIG16;
+        for (o = o_lo; o <= o_hi; o++) {
+            int16_t diag = (int16_t)(M1[o]
+                                     + (seq1[base + o - 1] != c2));
+            int16_t up = (int16_t)((o + 1 < W ? M1[o + 1] : KB_BIG16)
+                                   + 1);
+            cand[o] = diag < up ? diag : up;
+        }
+        /* boundary cell c == 0 forced to r while r <= k */
+        if (base <= 0 && r <= k) cand[-base] = (int16_t)r;
+        /* left-chain: M2[o] = min_{j<=o}(cand[j] + (o-j)) */
+        relax_min16_slope1(cand, W - 1);
+        for (o = 0; o < W; o++)
+            M1[o] = cand[o] < KB_BIG16 ? cand[o] : KB_BIG16;
+    }
+    return M1[n + k - m];
 }
 
 static int32_t *nw_buf = NULL;
@@ -3043,6 +3102,38 @@ int64_t edit_total(const char *s1, int64_t l1, const char *s2, int64_t l2) {
     if (l1 == 0) return l2;
     if (l2 == 0) return l1;
     if (l1 == l2 && memcmp(s1, s2, (size_t)l1) == 0) return 0;
+    if (l1 + l2 < I16_LIMIT) {
+        /* wavefront form: cand[j] = min(diag, up), then the in-row
+         * left-chain closed by the slope-1 prefix relax — int16 SIMD
+         * (values bounded by l1 + l2). */
+        static int16_t *buf = NULL;
+        static int64_t buf_cap = 0;
+        int16_t *prev, *cur, *tmp;
+        int64_t i, j;
+        if (2 * (l1 + 2) > buf_cap) {
+            int16_t *nb = (int16_t *)realloc(
+                buf, (size_t)(4 * (l1 + 2) + 64) * sizeof(int16_t));
+            if (!nb) return -1;
+            buf = nb;
+            buf_cap = 4 * (l1 + 2) + 64;
+        }
+        prev = buf;
+        cur = buf + (l1 + 2);
+        for (j = 0; j <= l1; j++) prev[j] = (int16_t)j;
+        for (i = 1; i <= l2; i++) {
+            char c2 = s2[i - 1];
+            cur[0] = (int16_t)i;
+            for (j = 1; j <= l1; j++) {
+                int16_t sub = (int16_t)(prev[j - 1]
+                                        + (s1[j - 1] != c2));
+                int16_t del = (int16_t)(prev[j] + 1);
+                cur[j] = sub < del ? sub : del;
+            }
+            relax_min16_slope1(cur, l1);
+            tmp = prev; prev = cur; cur = tmp;
+        }
+        return prev[l1];
+    }
     int64_t *row = (int64_t *)malloc((size_t)(l1 + 1) * sizeof(int64_t));
     if (!row) return -1;
     for (int64_t j = 0; j <= l1; j++) row[j] = j;
