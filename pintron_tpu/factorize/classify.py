@@ -107,16 +107,34 @@ def _native_pwm_tables(name: str):
     return _NATIVE_PWM_CACHE[name]
 
 
-def exists_good_bps(intron_sequence: str, range_start: int, range_end: int
-                    ) -> Tuple[int, float]:
+# Device-offload override (PINTRON_DEVICE=1): combined exists_good_bps
+# results precomputed by the batched TPU sweep, keyed by
+# (intron_start, intron_end, range_start, range_end).  Values are EXACT
+# — the device does the f32 argmax sweep, the host re-scores the
+# epsilon-neighborhood of the maximum in f64 and applies the reference's
+# tie rule — so consuming an override is bit-identical to the host path.
+_BPS_OVERRIDE: dict = {}
+
+
+def exists_good_bps(intron_sequence: str, range_start: int, range_end: int,
+                    key: "Tuple[int, int]" = None) -> Tuple[int, float]:
     """classify-intron.c:535-573.  Returns (position, score) with score 0
     when rejected."""
     if range_end > len(intron_sequence):
         return -1, 0.0
+    if key is not None and _BPS_OVERRIDE:
+        hit = _BPS_OVERRIDE.get((key[0], key[1], range_start, range_end))
+        if hit is not None:
+            return hit
     bps_9, score_9 = search_bps(intron_sequence, "BPS_9", range_start,
                                 range_end)
     bps_10, score_10 = search_bps(intron_sequence, "BPS_10", range_start,
                                   range_end)
+    return _combine_bps(bps_9, score_9, bps_10, score_10)
+
+
+def _combine_bps(bps_9: int, score_9: float, bps_10: int, score_10: float
+                 ) -> Tuple[int, float]:
     if score_9 > score_10:
         if score_9 > 0.75:
             return bps_9, score_9
@@ -124,6 +142,105 @@ def exists_good_bps(intron_sequence: str, range_start: int, range_end: int
         if score_10 > 0.75:
             return bps_10, score_10
     return -1, 0.0
+
+
+def precompute_bps_device(gen: str, pairs) -> int:
+    """Batched TPU sweep for the registry's BPS searches
+    (classify-intron.c:575-618 over every intron at once).
+
+    For every (start, end) intron and both search ranges ([14,30] and
+    [30,200]), all candidate windows are scored on device in one batch
+    per PWM (one-hot x consensus-weighted matrix contraction,
+    ops/pwm.py).  The winner is then made EXACT on host: every position
+    whose f32 score is within 1e-5 of the f32 maximum is re-scored with
+    the f64 host scorer, and the reference's scan rule (>= keeps the
+    later position) picks among the exact maxima.  Results land in
+    _BPS_OVERRIDE; classify_genomic_intron_start_end consumes them via
+    exists_good_bps.  Returns the number of windows scored on device."""
+    import numpy as np
+
+    from pintron_tpu.ops.pwm import pwm_tables, pwm_scores
+
+    EPS = 1e-5
+    jobs = []     # (key, name, positions) in batch order
+    idx_rows = []
+    lens = {}
+    gen_len = len(gen)
+    for name in ("BPS_9", "BPS_10"):
+        wpwm, den = pwm_tables(name)
+        lens[name] = (wpwm.astype(np.float32), float(den),
+                      wpwm.shape[1])
+
+    # encode the locus once (same base mapping as the host scorer)
+    from pintron_tpu.ops.pwm import _BASE
+    codes = _BASE[np.frombuffer(gen.encode("latin1"), dtype=np.uint8)]
+    codes = np.where(codes >= 0, codes, 3).astype(np.int32)
+
+    batches = {"BPS_9": [], "BPS_10": []}
+    for (start, end) in pairs:
+        L = end - start + 1
+        if L <= 0:
+            continue
+        for (rs, re) in ((14, 30), (30, 200)):
+            if re > L or L < rs:
+                continue   # host path answers trivially
+            start_w = max(0, L - re)
+            end_w = L - rs
+            positions = list(range(start_w, end_w + 1))
+            for name in ("BPS_9", "BPS_10"):
+                wl = lens[name][2]
+                rows = np.zeros((len(positions), wl), dtype=np.int32)
+                for r, i in enumerate(positions):
+                    a = start + i
+                    b = min(a + wl, gen_len)
+                    rows[r, :b - a] = codes[a:b]
+                batches[name].append(
+                    ((start, end, rs, re), positions, rows))
+
+    n_windows = 0
+    sweep = {}   # (key, name) -> (positions, f32 scores)
+    for name, items in batches.items():
+        if not items:
+            continue
+        wpwm32, den, wl = lens[name]
+        allrows = np.concatenate([rows for _, _, rows in items], axis=0)
+        scores = np.asarray(pwm_scores(allrows, wpwm32,
+                                       denominator=den))
+        n_windows += allrows.shape[0]
+        pos = 0
+        for key, positions, rows in items:
+            sweep[(key, name)] = (positions,
+                                  scores[pos:pos + len(positions)])
+            pos += len(positions)
+
+    def exact_search(key, name):
+        positions, f32s = sweep[(key, name)]
+        m = float(np.max(f32s))
+        best_pos = -1
+        best = 0.0
+        first = True
+        start, end = key[0], key[1]
+        for r, i in enumerate(positions):
+            if f32s[r] < m - EPS:
+                continue
+            seq = real_substring(start + i - start, 12,
+                                 gen[start:end + 1])
+            sb = mat_inspector_score(seq, name)
+            if first or sb >= best:
+                best = sb
+                best_pos = i
+                first = False
+        return best_pos, best
+
+    done = set()
+    for (key, name) in sweep:
+        if key in done:
+            continue
+        done.add(key)
+        b9, s9 = exact_search(key, "BPS_9")
+        b10, s10 = exact_search(key, "BPS_10")
+        _BPS_OVERRIDE[key] = _combine_bps(b9, s9, b10, s10)
+    return n_windows
 
 
 def _score5(gen: str, start: int, name: str, length: int) -> float:
@@ -144,7 +261,8 @@ def classify_genomic_intron_start_end(gen: str, start: int, end: int
     """classify-intron.c:95-229.  Returns (type, score5, score3,
     BPS_position, BPS_score)."""
     intron_sequence = real_substring(start, end - start + 1, gen)
-    bps_position, bps_score = exists_good_bps(intron_sequence, 14, 30)
+    bps_position, bps_score = exists_good_bps(intron_sequence, 14, 30,
+                                              key=(start, end))
 
     pt_5 = real_substring(0, 2, intron_sequence)
     pt_3 = real_substring(len(intron_sequence) - 2, 2, intron_sequence)
@@ -211,13 +329,13 @@ def classify_genomic_intron_start_end(gen: str, start: int, end: int
     else:
         if pt_type == 0:
             itype = 1
-            bps_position, bps_score = exists_good_bps(intron_sequence, 30,
-                                                      200)
+            bps_position, bps_score = exists_good_bps(
+                intron_sequence, 30, 200, key=(start, end))
         else:
             if scoreU12_5 - scoreU2_5 > 0.25 and scoreU12_5 >= 0.75:
                 itype = 0
-                bps_position, bps_score = exists_good_bps(intron_sequence,
-                                                          30, 200)
+                bps_position, bps_score = exists_good_bps(
+                    intron_sequence, 30, 200, key=(start, end))
 
     if itype == 0:
         score5, score3 = scoreU12_5, scoreU12_3

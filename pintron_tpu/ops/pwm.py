@@ -54,5 +54,9 @@ def pwm_scores(base_idx, weighted_pwm, *, denominator: float):
     Returns: (B,) float32 scores in [0, 1].
     """
     onehot = jax.nn.one_hot(base_idx, 4, dtype=jnp.float32)  # (B, L, 4)
-    picked = jnp.einsum("blc,cl->b", onehot, weighted_pwm)
+    # precision=highest: full-f32 multiplies — the TPU MXU default
+    # truncates operands to bf16, which would break the f32-vs-f64
+    # epsilon bound the exact-finishing pass relies on
+    picked = jnp.einsum("blc,cl->b", onehot, weighted_pwm,
+                        precision=jax.lax.Precision.HIGHEST)
     return picked / denominator

@@ -635,6 +635,21 @@ def run_intron_agreement(workdir: str = ".") -> None:
         compositions.append((est, composition, info))
 
     # classify the registry
+    import os as _os
+    if _os.environ.get("PINTRON_DEVICE") and registry:
+        # TPU offload: all registry introns' BPS sweeps in one device
+        # batch (exact via f64 finishing; classify consumes the
+        # overrides through exists_good_bps)
+        try:
+            from pintron_tpu.factorize.classify import \
+                precompute_bps_device
+            from pintron_tpu.ops.offload import STATS as _dev_stats
+            n = precompute_bps_device(
+                gen_seq, [(gi.start, gi.end) for gi in registry])
+            _dev_stats["pwm_windows"] = (
+                _dev_stats.get("pwm_windows", 0) + n)
+        except Exception:
+            pass   # host path computes everything
     for gi in registry:
         (gi.type, gi.score5, gi.score3, gi.BPS_position, gi.BPS_score) = \
             classify_genomic_intron_start_end(gen_seq, gi.start, gi.end)

@@ -118,3 +118,50 @@ def test_device_stage2_byte_identical():
         assert g == w, f"{name} differs under PINTRON_DEVICE=1"
     shutil.rmtree(gold, ignore_errors=True)
     shutil.rmtree(work, ignore_errors=True)
+
+
+def test_device_stage4_pwm_byte_identical():
+    """Stage 4 with PINTRON_DEVICE=1: the registry's BPS sweeps run as
+    one device batch (f32 sweep + f64 exact finishing) and the stage
+    outputs — including the printed PWM/BPS doubles in
+    predicted-introns.txt — stay byte-identical to golden."""
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    import pintron_tpu.factorize.classify as cl
+    import pintron_tpu.ops.offload as off
+    from pintron_tpu.stages.est_fact import run_est_fact
+    from pintron_tpu.stages.intron_agreement import run_intron_agreement
+    from pintron_tpu.stages.min_factorization import run_min_factorization
+
+    tgz = os.path.join(GOLDEN, "test-AMBN.tar.gz")
+    gold = tempfile.mkdtemp(prefix="pwm-gold-")
+    with tarfile.open(tgz) as tf:
+        tf.extractall(gold)
+    work = tempfile.mkdtemp(prefix="pwm-work-")
+    for fn in ("genomic.txt", "ests.txt"):
+        shutil.copy(os.path.join(gold, fn), work)
+
+    cl._BPS_OVERRIDE.clear()
+    cl.classify_genomic_intron_start_end.cache_clear()
+    off.STATS.pop("pwm_windows", None)
+    os.environ["PINTRON_DEVICE"] = "1"
+    try:
+        run_est_fact(work)
+        with open(os.path.join(work, "raw-multifasta-out.txt")) as fin, \
+                open(os.path.join(work, "out-agree.txt"), "w") as fout:
+            run_min_factorization(fin, fout)
+        run_intron_agreement(work)
+    finally:
+        del os.environ["PINTRON_DEVICE"]
+
+    assert off.STATS.get("pwm_windows", 0) > 0, \
+        "PWM sweep never reached the device"
+    for name in ("out-after-intron-agree.txt", "predicted-introns.txt"):
+        with open(os.path.join(gold, name), "rb") as f:
+            g = f.read()
+        with open(os.path.join(work, name), "rb") as f:
+            w = f.read()
+        assert g == w, f"{name} differs under PINTRON_DEVICE=1"
+    shutil.rmtree(gold, ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)
