@@ -84,7 +84,9 @@ def measure_device_kernel():
         dev = jax.devices()[0]
         if dev.platform == "cpu":
             return {}
-        B, M, K, N = 4096, 256, 16, 512
+        # shapes inside the kernel's contract: n - m <= k, 2k+1 < n
+        B, M, K = 4096, 256, 16
+        N = M + K
         rng = np.random.default_rng(0)
         s1 = rng.integers(0, 4, (B, N), dtype=np.int8)
         s2 = np.take_along_axis(
@@ -92,7 +94,7 @@ def measure_device_kernel():
         mut = rng.integers(0, M, (B, 8))
         for b in range(B):
             s2[b, mut[b]] = (s2[b, mut[b]] + 1) % 4
-        l1 = np.full(B, N, dtype=np.int32)
+        l1 = np.full(B, M + K, dtype=np.int32)
         l2 = np.full(B, M, dtype=np.int32)
         band = np.full(B, K, dtype=np.int32)
         cells = B * M * (2 * K + 1)

@@ -82,7 +82,12 @@ static int64_t kband_core_wide(const char *seq1, int64_t n,
         { int64_t *t = M1; M1 = M2; M2 = t; }
     }
 
-    result = M1[n + k - m];
+    {
+        int64_t fo = n + k - m;   /* clamped like the int16 core */
+        if (fo < 0) fo = 0;
+        if (fo >= w) fo = w - 1;
+        result = M1[fo];
+    }
     free(M1); free(M2);
     return result;
 }
@@ -399,7 +404,14 @@ int64_t kband_core(const char *seq1, int64_t n, const char *seq2,
         for (o = 0; o < W; o++)
             M1[o] = cand[o] < KB_BIG16 ? cand[o] : KB_BIG16;
     }
-    return M1[n + k - m];
+    {
+        /* callers guarantee n - m <= k; clamp anyway so an
+         * out-of-contract call cannot read past the band */
+        int64_t fo = n + k - m;
+        if (fo < 0) fo = 0;
+        if (fo >= W) fo = W - 1;
+        return M1[fo];
+    }
 }
 
 static int32_t *nw_buf = NULL;
