@@ -1750,12 +1750,40 @@ void refine_borders_core(const char *p, int64_t lp, int64_t min_cut,
     for (pass = 0; pass < 2; pass++) {
         int64_t *mn = pass ? min_sp : min_pp;
         int64_t *ps = pass ? pos_sp : pos_pp;
-        int32_t *tmp;
         /* contiguous window text; reversed pass: rt = reverse(t),
          * window rt[:tw] reads t[lt-1], t[lt-2], ..., t[lt-tw] */
         for (j = 1; j <= tw; j++) tb[j] = pass ? t[lt - j] : t[j - 1];
-        for (j = 0; j <= tw; j++) prev[j] = (int32_t)j;
         mn[0] = 0; ps[0] = 0;
+        if (lp + tw < I16_LIMIT) {
+            /* int16 rows (values bounded by lp + tw): twice the SIMD
+             * lanes, identical results */
+            int16_t *prev16 = (int16_t *)prev;
+            int16_t *cur16 = (int16_t *)cur;
+            int16_t *tmp16;
+            for (j = 0; j <= tw; j++) prev16[j] = (int16_t)j;
+            for (i = 1; i <= lp; i++) {
+                char pc = pass ? p[lp - i] : p[i - 1];
+                int16_t rmin;
+                int64_t rpos;
+                cur16[0] = (int16_t)i;
+                for (j = 1; j <= tw; j++) {
+                    int16_t a = (int16_t)(prev16[j - 1]
+                                          + (tb[j] != pc));
+                    int16_t b = (int16_t)(prev16[j] + 1);
+                    cur16[j] = a < b ? a : b;
+                }
+                relax_min16_slope1(cur16, tw);
+                rmin = cur16[0];
+                for (j = 1; j <= tw; j++)
+                    if (cur16[j] < rmin) rmin = cur16[j];
+                rpos = 0;
+                while (cur16[rpos] != rmin) rpos++;
+                mn[i] = rmin; ps[i] = rpos;
+                tmp16 = prev16; prev16 = cur16; cur16 = tmp16;
+            }
+        } else {
+        int32_t *tmp;
+        for (j = 0; j <= tw; j++) prev[j] = (int32_t)j;
         for (i = 1; i <= lp; i++) {
             char pc = pass ? p[lp - i] : p[i - 1];
             int32_t rmin;
@@ -1774,6 +1802,7 @@ void refine_borders_core(const char *p, int64_t lp, int64_t min_cut,
             while (cur[rpos] != rmin) rpos++;
             mn[i] = rmin; ps[i] = rpos;
             tmp = prev; prev = cur; cur = tmp;
+        }
         }
     }
     off_p = min_cut;
