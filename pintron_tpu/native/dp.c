@@ -6606,6 +6606,7 @@ static int sb_reserve(sbuf *b, int64_t extra) {
 }
 
 static int sb_put(sbuf *b, const char *s, int64_t len) {
+    if (len <= 0) return 1;   /* memcpy(NULL src) is UB even for 0 */
     if (!sb_reserve(b, len)) return 0;
     memcpy(b->d + b->n, s, (size_t)len);
     b->n += len;

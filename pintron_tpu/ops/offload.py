@@ -160,17 +160,20 @@ def eval_kband(problems: List[Tuple[bytes, bytes, int]]) -> np.ndarray:
         n, m = len(a), len(b)
         if n - m > ub:
             continue
+        # one group per longer-length class: M/K pad to the group maxima
+        # at call time, so a whole batch costs a couple of device
+        # dispatches instead of one per (N, M, K) combination — dispatch
+        # latency dominates on small loci
         if 2 * ub + 1 >= n:
-            key = (_p2(n), _p2(max(m, 1)))
-            full_groups.setdefault(key, []).append((i, a, b, ub))
+            full_groups.setdefault(_p2(n), []).append((i, a, b, ub))
         else:
-            key = (_p2(n), _p2(m), _p2(ub, lo=2))
-            band_groups.setdefault(key, []).append((i, a, b, ub))
+            band_groups.setdefault(_p2(n), []).append((i, a, b, ub))
 
     STATS["problems"] += len(problems)
     mesh = _mesh()
 
-    for (N, M), items in sorted(full_groups.items()):
+    for N, items in sorted(full_groups.items()):
+        M = _p2(max(len(b) for _, _, b, _ in items))
         s1, l1 = _encode([a for _, a, _, _ in items], N)
         s2, l2 = _encode([b for _, _, b, _ in items], M)
         if mesh is not None:
@@ -190,7 +193,9 @@ def eval_kband(problems: List[Tuple[bytes, bytes, int]]) -> np.ndarray:
             len(a) * len(b) for _, a, b, _ in items)
         STATS["batches"] += 1
 
-    for (N, M, K), items in sorted(band_groups.items()):
+    for N, items in sorted(band_groups.items()):
+        M = _p2(max(len(b) for _, _, b, _ in items))
+        K = _p2(max(ub for _, _, _, ub in items), lo=2)
         s1, l1 = _encode([a for _, a, _, _ in items], N)
         s2, l2 = _encode([b for _, _, b, _ in items], M)
         band = np.array([ub for _, _, _, ub in items], dtype=np.int32)
