@@ -131,7 +131,7 @@ def _sharded_call(mesh, fn, arrays, ub, key=()):
 # running counters for benchmarks/diagnostics: total problems seen,
 # problems actually evaluated on device, and DP cells computed there
 STATS = {"problems": 0, "device_problems": 0, "device_cells": 0,
-         "batches": 0}
+         "batches": 0, "device_runs": 0, "pwm_windows": 0}
 
 
 def reset_stats() -> None:

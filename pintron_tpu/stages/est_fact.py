@@ -983,6 +983,8 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                          "prev_tp": 0, "prev_te": 0})
             attempts = next_attempts
 
+        from pintron_tpu.ops import offload as _off
+        _off.STATS["device_runs"] = _off.STATS.get("device_runs", 0) + 1
         return [(i, tuple(s.getvalue() for s in b))
                 for i, b in enumerate(bufs)]
     finally:
