@@ -613,6 +613,9 @@ static int64_t st_build_dense(const unsigned char *text, int64_t tlen,
     for (i = 0; i < 256; i++) code256[i] = -1;
     for (i = 0; i < tlen; i++) {
         unsigned char c = text[i];
+        /* the augmentation's leaf test (edge runs to the text end)
+         * needs the terminal NUL to be unique */
+        if (c == 0 && i != tlen - 1) return -2;
         if (code256[c] < 0) {
             if (K == 8) return -2;
             code256[c] = (int)K;
@@ -707,10 +710,11 @@ static int64_t st_build_dense(const unsigned char *text, int64_t tlen,
             int64_t v = stack[--sp];
             unsigned char pr = phase[sp];
             if (!pr) {
-                int has_child = 0;
+                /* leaf iff the edge runs to the text end (the unique
+                 * terminal makes every end==tlen edge childless) — no
+                 * kid-matrix scan needed */
+                int has_child = (v == 0) || end[v] < tlen;
                 int c;
-                for (c = 0; c < K; c++)
-                    if (KID(v, c) != -1) { has_child = 1; break; }
                 if (v != 0)
                     depth[v] = depth[parent[v]] + (end[v] - start[v]);
                 else
@@ -756,6 +760,8 @@ static int64_t st_build_dense(const unsigned char *text, int64_t tlen,
             int c;
             for (v = 0; v < nn; v++) {
                 coff[v] = pos;
+                if (v != 0 && end[v] >= tlen)
+                    continue;   /* leaf: no children (see DFS) */
                 for (c = 0; c < K; c++) {
                     int64_t ch = KID(v, c);
                     if (ch != -1) {
