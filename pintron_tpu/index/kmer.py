@@ -1,9 +1,15 @@
-"""K-mer seed index — the batched/TPU-native seeding substrate.
+"""K-mer seed index — the batched seeding substrate for APPROXIMATE use.
 
-The reference seeds pairings by walking a generalized suffix tree with
-suffix links (src/aug_suffix_tree.c, src/max-emb-graph.c:217-380).  A
-suffix tree is inherently pointer-chasing and sequential; the TPU-native
-replacement is a sorted k-mer index held as flat arrays:
+NOT the production seeding path, by evidence rather than by default:
+the reference's pairing emission is traversal-history dependent
+(suffix-link fast-forwarding interacts with the avoid-prev-char pruning
+and the depth-rate cutoff), so no pure per-position index — k-mer hash,
+suffix array or FM ranks — can reproduce it exactly.  See DESIGN.md
+"Seeding index" and tools/seeding_evidence.py for the minimal
+counterexample; production seeding stays the host state machine
+(index/gst.py + the native vertex scan).  This module remains the
+batched substrate for use cases that tolerate the fresh-descent
+semantics (read filtering, candidate prescreening):
 
 * build: hash every k-mer of the locus, argsort -> (sorted_hash,
   position) arrays.  O(n log n) host build, arrays live happily in HBM.

@@ -19,6 +19,14 @@ dynamic lane-window load.  Numerical contract: bit-identical to the
 host/C ``kband_core`` per problem (int32 DP, same band-boundary
 semantics) — checked by tests/test_ops.py in interpret mode and runnable
 unchanged on real TPUs.
+
+VMEM budget: each grid step holds one (8, max_rows, W) int32 mismatch
+block plus three (8, 1) length blocks — 264 KiB at the production shape
+(rows 256, W 33) and linear in rows (2.1 MiB at rows 2048), far below
+the ~16 MiB/core VMEM; batch scales via the grid, not the block.
+Measured on a v5e chip at (B=4096, rows 256, W 33): ~20-43 Gcells/s
+(tunnel-attached chip; variance is transport), on par with the XLA
+formulation that the production offload path uses.
 """
 
 from __future__ import annotations
