@@ -199,7 +199,10 @@ def main():
     dt_ref = float("inf")
     try:
         run_est_fact(work)  # one fresh-mode warm-up (scratch growth)
-        for _block in range(4):
+        # 7 blocks spread the measurement over ~30 s of wall clock so a
+        # transient external-load window cannot depress every rep of
+        # either side; best-of over all blocks
+        for _block in range(7):
             for _ in range(4):
                 t0 = time.perf_counter()
                 run_est_fact(work)
