@@ -68,6 +68,18 @@ def test_eval_kband_matches_native():
         for _ in range(20):
             el[int(rng.integers(0, n))] = str(rng.choice(ALPHA))
         problems.append((g, "".join(el).encode(), 30))
+    # masked/ambiguous characters exactly as the pipeline produces them:
+    # polyA/T masking rewrites EST tails to '*'/'#' and loci carry 'N's;
+    # both kernels compare raw bytes, so these must round-trip too
+    MASKED = np.array(list("ACGTN*#n"))
+    for _ in range(40):
+        n = int(rng.integers(10, 200))
+        g = "".join(rng.choice(MASKED, n)).encode()
+        el = list(g.decode())
+        for _ in range(int(rng.integers(0, 10))):
+            el[int(rng.integers(0, n))] = str(rng.choice(MASKED))
+        e = "".join(el).encode()[: max(1, n - int(rng.integers(0, 6)))]
+        problems.append((g, e, int(rng.integers(0, 10))))
 
     got = eval_kband(problems)
     for i, (g, e, ub) in enumerate(problems):
