@@ -172,22 +172,26 @@ def eval_kband(problems: List[Tuple[bytes, bytes, int]]) -> np.ndarray:
     STATS["problems"] += len(problems)
     mesh = _mesh()
 
+    # Launch every bucket group before forcing any result: JAX dispatch
+    # is asynchronous, so later groups' host-side encoding overlaps
+    # earlier groups' device compute (and, over a remote-attached chip,
+    # the dispatch round-trips pipeline instead of serializing).
+    pending = []
+
     for N, items in sorted(full_groups.items()):
         M = _p2(max(len(b) for _, _, b, _ in items))
         s1, l1 = _encode([a for _, a, _, _ in items], N)
         s2, l2 = _encode([b for _, _, b, _ in items], M)
         if mesh is not None:
             ubv = [ub for _, _, _, ub in items]
-            r, total = _sharded_call(
+            r, _total = _sharded_call(
                 mesh,
                 lambda a, b, c, d: batch_edit_distance_score(
                     a, b, c, d, max_rows=M),
                 [s1, l1, s2, l2], ubv, key=("full", N, M))
         else:
-            r = np.asarray(batch_edit_distance_score(s1, l1, s2, l2,
-                                                     max_rows=M))
-        for (i, _a, _b, ub), dist in zip(items, r):
-            ok[i] = int(dist) <= ub
+            r = batch_edit_distance_score(s1, l1, s2, l2, max_rows=M)
+        pending.append((items, r))
         STATS["device_problems"] += len(items)
         STATS["device_cells"] += sum(
             len(a) * len(b) for _, a, b, _ in items)
@@ -200,7 +204,7 @@ def eval_kband(problems: List[Tuple[bytes, bytes, int]]) -> np.ndarray:
         s2, l2 = _encode([b for _, _, b, _ in items], M)
         band = np.array([ub for _, _, _, ub in items], dtype=np.int32)
         if mesh is not None:
-            r, total = _sharded_call(
+            r, _total = _sharded_call(
                 mesh,
                 lambda a, b, c, d, e: banded_edit_distance(
                     a, b, c, d, e, max_rows=M, k_max=K),
@@ -208,16 +212,20 @@ def eval_kband(problems: List[Tuple[bytes, bytes, int]]) -> np.ndarray:
         elif use_pallas:
             from pintron_tpu.ops.pallas_align import \
                 banded_edit_distance_pallas
-            r = np.asarray(banded_edit_distance_pallas(
-                s1, l1, s2, l2, band, max_rows=M, k_max=K))
+            r = banded_edit_distance_pallas(
+                s1, l1, s2, l2, band, max_rows=M, k_max=K)
         else:
-            r = np.asarray(banded_edit_distance(
-                s1, l1, s2, l2, band, max_rows=M, k_max=K))
-        for (i, _a, _b, ub), dist in zip(items, r):
-            ok[i] = int(dist) <= ub
+            r = banded_edit_distance(
+                s1, l1, s2, l2, band, max_rows=M, k_max=K)
+        pending.append((items, r))
         STATS["device_problems"] += len(items)
         STATS["device_cells"] += sum(
             len(b) * (2 * ub + 1) for _, _a, b, ub in items)
         STATS["batches"] += 1
+
+    for items, r in pending:
+        rn = np.asarray(r)
+        for (i, _a, _b, ub), dist in zip(items, rn):
+            ok[i] = int(dist) <= ub
 
     return ok
