@@ -177,6 +177,12 @@ def eval_kband(problems: List[Tuple[bytes, bytes, int]]) -> np.ndarray:
     # earlier groups' device compute (and, over a remote-attached chip,
     # the dispatch round-trips pipeline instead of serializing).
     pending = []
+    try:
+        import jax
+        annot = jax.profiler.TraceAnnotation
+    except Exception:
+        import contextlib
+        annot = lambda _name: contextlib.nullcontext()  # noqa: E731
 
     for N, items in sorted(full_groups.items()):
         M = _p2(max(len(b) for _, _, b, _ in items))
@@ -190,7 +196,9 @@ def eval_kband(problems: List[Tuple[bytes, bytes, int]]) -> np.ndarray:
                     a, b, c, d, max_rows=M),
                 [s1, l1, s2, l2], ubv, key=("full", N, M))
         else:
-            r = batch_edit_distance_score(s1, l1, s2, l2, max_rows=M)
+            with annot("pintron_kband_full"):
+                r = batch_edit_distance_score(s1, l1, s2, l2,
+                                              max_rows=M)
         pending.append((items, r))
         STATS["device_problems"] += len(items)
         STATS["device_cells"] += sum(
@@ -215,8 +223,9 @@ def eval_kband(problems: List[Tuple[bytes, bytes, int]]) -> np.ndarray:
             r = banded_edit_distance_pallas(
                 s1, l1, s2, l2, band, max_rows=M, k_max=K)
         else:
-            r = banded_edit_distance(
-                s1, l1, s2, l2, band, max_rows=M, k_max=K)
+            with annot("pintron_kband_band"):
+                r = banded_edit_distance(
+                    s1, l1, s2, l2, band, max_rows=M, k_max=K)
         pending.append((items, r))
         STATS["device_problems"] += len(items)
         STATS["device_cells"] += sum(

@@ -115,6 +115,17 @@ def pintron_pipeline(workdir: str = ".",
         return resume and all(os.path.exists(wpath(a)) for a in artifacts)
 
     t0 = time.time()
+    # Device-profiling hook (SURVEY §5: JAX profiler traces + per-stage
+    # step markers): PINTRON_JAX_PROFILE=<dir> captures a trace of the
+    # whole pipeline; the device batches carry TraceAnnotation markers
+    # (ops/offload.py) so the K-band/PWM dispatches show up named.
+    prof_dir = os.environ.get("PINTRON_JAX_PROFILE")
+    if prof_dir:
+        try:
+            import jax
+            jax.profiler.start_trace(prof_dir)
+        except Exception:
+            prof_dir = None
     # STEP 1: input checks (pintron.py:824-873)
     log.info("STEP  1:  Checking executables and input files...")
     for f in (genome_filename, est_filename):
@@ -195,6 +206,14 @@ def pintron_pipeline(workdir: str = ".",
     if gtf_filename:
         json2gtf(wpath(output_filename), wpath(gtf_filename), gene,
                  not only_cds_annot)
+
+    if prof_dir:
+        try:
+            import jax
+            jax.profiler.stop_trace()
+            log.info("JAX profiler trace written to %s", prof_dir)
+        except Exception:
+            pass
 
     # STEP 10: cleanup (pintron.py:974-983)
     log.info("STEP 10:  Finalizing...")
