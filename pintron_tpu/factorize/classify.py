@@ -162,8 +162,6 @@ def precompute_bps_device(gen: str, pairs) -> int:
     from pintron_tpu.ops.pwm import pwm_tables, pwm_scores
 
     EPS = 1e-5
-    jobs = []     # (key, name, positions) in batch order
-    idx_rows = []
     lens = {}
     gen_len = len(gen)
     for name in ("BPS_9", "BPS_10"):
