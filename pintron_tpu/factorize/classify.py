@@ -113,7 +113,12 @@ def _native_pwm_tables(name: str):
 # — the device does the f32 argmax sweep, the host re-scores the
 # epsilon-neighborhood of the maximum in f64 and applies the reference's
 # tie rule — so consuming an override is bit-identical to the host path.
+# _BPS_OVERRIDE_GEN pins the overrides to the locus they were computed
+# for: precompute clears the table and records the gen object, and the
+# classify call site only passes a key while its gen IS that object —
+# coordinates alone must never leak results across loci.
 _BPS_OVERRIDE: dict = {}
+_BPS_OVERRIDE_GEN = None
 
 
 def exists_good_bps(intron_sequence: str, range_start: int, range_end: int,
@@ -160,6 +165,12 @@ def precompute_bps_device(gen: str, pairs) -> int:
     import numpy as np
 
     from pintron_tpu.ops.pwm import pwm_tables, pwm_scores
+
+    # overrides are per-locus: wipe anything from a previous locus and
+    # pin the table to this gen object
+    global _BPS_OVERRIDE_GEN
+    _BPS_OVERRIDE.clear()
+    _BPS_OVERRIDE_GEN = gen
 
     EPS = 1e-5
     lens = {}
@@ -218,12 +229,11 @@ def precompute_bps_device(gen: str, pairs) -> int:
         best = 0.0
         first = True
         start, end = key[0], key[1]
+        iseq = gen[start:end + 1]
         for r, i in enumerate(positions):
             if f32s[r] < m - EPS:
                 continue
-            seq = real_substring(start + i - start, 12,
-                                 gen[start:end + 1])
-            sb = mat_inspector_score(seq, name)
+            sb = mat_inspector_score(real_substring(i, 12, iseq), name)
             if first or sb >= best:
                 best = sb
                 best_pos = i
@@ -259,8 +269,11 @@ def classify_genomic_intron_start_end(gen: str, start: int, end: int
     """classify-intron.c:95-229.  Returns (type, score5, score3,
     BPS_position, BPS_score)."""
     intron_sequence = real_substring(start, end - start + 1, gen)
+    # device overrides are only valid for the locus they were computed
+    # for; coordinates alone must not cross loci
+    bkey = (start, end) if gen is _BPS_OVERRIDE_GEN else None
     bps_position, bps_score = exists_good_bps(intron_sequence, 14, 30,
-                                              key=(start, end))
+                                              key=bkey)
 
     pt_5 = real_substring(0, 2, intron_sequence)
     pt_3 = real_substring(len(intron_sequence) - 2, 2, intron_sequence)
@@ -328,12 +341,12 @@ def classify_genomic_intron_start_end(gen: str, start: int, end: int
         if pt_type == 0:
             itype = 1
             bps_position, bps_score = exists_good_bps(
-                intron_sequence, 30, 200, key=(start, end))
+                intron_sequence, 30, 200, key=bkey)
         else:
             if scoreU12_5 - scoreU2_5 > 0.25 and scoreU12_5 >= 0.75:
                 itype = 0
                 bps_position, bps_score = exists_good_bps(
-                    intron_sequence, 30, 200, key=(start, end))
+                    intron_sequence, 30, 200, key=bkey)
 
     if itype == 0:
         score5, score3 = scoreU12_5, scoreU12_3

@@ -111,6 +111,14 @@ class SuffixTree:
                           cchar.ctypes.data, cnode.ctypes.data)
         if nn <= 0:
             return False
+        # Padded-allocation ABI: the native scan's int32 shadow copies
+        # full-capacity slices (vertex_scan in dp.c), so zero the tails
+        # beyond the real node count — defined values, no uninitialized
+        # reads, and any accidental deref of a padding entry is 0.
+        for arr, used in ((start, nn), (end, nn), (parent, nn),
+                          (slink, nn), (depth, nn), (lo, nn), (hi, nn),
+                          (cnode, nn), (coff, nn + 1)):
+            arr[used:] = 0
         self.start = start[:nn]
         self.end = end[:nn]
         self.parent = parent[:nn]

@@ -6154,7 +6154,13 @@ int64_t est_collect_noisy(
                 epm_key4(mk, 4, e);
                 me = epm_find(mk, &found);
                 if (found) continue;
-                if (me) me->gen = epm_gen - 1;  /* un-claim: no value yet */
+                if (me) {
+                    /* un-claim: no value yet; give back the fill slot
+                     * so collect+fill don't double-count toward the
+                     * 3/4-full wipe threshold */
+                    me->gen = epm_gen - 1;
+                    epm_fill--;
+                }
                 /* dedup within this collect call */
                 h = 1469598103934665603ULL;
                 h ^= (uint64_t)e->es; h *= 1099511628211ULL;

@@ -16,8 +16,11 @@ def ensure_virtual_cpu_devices(n: int) -> int:
     """Re-point JAX at an ``n``-device virtual CPU platform, even when a
     sitecustomize preselected another platform (the tests/conftest.py
     pattern).  Only works before the first backend initialization.
-    Returns the resulting device count."""
+    Returns the resulting device count; on failure the environment and
+    platform config are RESTORED so the caller's process keeps its real
+    accelerator (it typically falls back to a clean subprocess)."""
     import jax
+    saved = {k: os.environ.get(k) for k in ("XLA_FLAGS", "JAX_PLATFORMS")}
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -30,4 +33,18 @@ def ensure_virtual_cpu_devices(n: int) -> int:
             _xb._clear_backends()
     except Exception:
         pass
-    return len(jax.devices())
+    got = len(jax.devices())
+    if got < n:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        try:
+            jax.config.update("jax_platforms", saved.get("JAX_PLATFORMS"))
+            from jax._src import xla_bridge as _xb
+            if _xb.backends_are_initialized():
+                _xb._clear_backends()
+        except Exception:
+            pass
+    return got

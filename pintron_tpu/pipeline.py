@@ -46,7 +46,7 @@ def pintron_pipeline(workdir: str = ".",
         return os.path.join(workdir, name)
 
     def run_guarded(fn, minutes: int, mem_mb: int = 0,
-                    artifacts: tuple = ()):
+                    artifacts: tuple = (), jax_stage: bool = False):
         """Resource guards (reference pintron.py:878-906 `ulimit -t/-v`):
         run the stage in a forked child with RLIMIT_CPU / RLIMIT_AS plus
         a parent-side wall-clock watchdog (the child forks pool workers
@@ -55,12 +55,13 @@ def pintron_pipeline(workdir: str = ".",
         declared output artifacts are removed so a later --resume cannot
         pick up a truncated checkpoint.  The stages communicate through
         files, so process isolation changes nothing on success.  Guards
-        <= 0 run the stage inline.  PINTRON_DEVICE=1 also runs inline:
-        the TPU backend cannot be (re)initialized in a forked child, so
-        the device-offload flow keeps the chip attached to this process
-        and relies on the per-EST timeout ladder instead of the fork
-        guard."""
-        if minutes <= 0 or os.environ.get("PINTRON_DEVICE"):
+        <= 0 run the stage inline.  Under PINTRON_DEVICE=1 the
+        JAX-touching stages (jax_stage=True) also run inline — the TPU
+        backend cannot be (re)initialized in a forked child — relying
+        on the per-EST timeout ladder instead; all other stages keep
+        the fork watchdog and its truncated-artifact cleanup."""
+        if minutes <= 0 or (jax_stage
+                            and os.environ.get("PINTRON_DEVICE")):
             fn()
             return
         import multiprocessing
@@ -148,7 +149,8 @@ def pintron_pipeline(workdir: str = ".",
                     artifacts=("raw-multifasta-out.txt",
                                "processed-ests.txt", "megs.txt",
                                "processed-megs.txt", "meg-edges.txt",
-                               "processed-megs-info.txt"))
+                               "processed-megs-info.txt"),
+                    jax_stage=True)
 
     # STEP 3: minimum-factorization agreement
     if stage_done("out-agree.txt"):
@@ -172,7 +174,8 @@ def pintron_pipeline(workdir: str = ".",
         run_guarded(lambda: run_intron_agreement(workdir),
                     max_intron_agreement_time,
                     artifacts=("out-after-intron-agree.txt",
-                               "predicted-introns.txt"))
+                               "predicted-introns.txt"),
+                    jax_stage=True)
 
     # STEP 5: composition compaction
     if stage_done("build-ests.txt", "genomic-exonforCCDS.txt"):

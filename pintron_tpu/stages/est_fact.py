@@ -377,12 +377,15 @@ def internal_get_est_factorizations(gen_info: mf.EstInfo,
                                     est_info: mf.EstInfo, config: Config,
                                     V: MEG, meg_arrays=None,
                                     gen_seq_bytes: Optional[bytes] = None,
-                                    cands=None
+                                    cands=None,
+                                    deadline: Optional[float] = None
                                     ) -> Tuple[Optional[FactorizedEst],
                                                bool]:
-    """compute-est-fact.c:154-190.  Returns (factorized, timeout_expired)."""
-    deadline = None
-    if config.max_single_factorization_time:
+    """compute-est-fact.c:154-190.  Returns (factorized, timeout_expired).
+    ``deadline`` lets the batched device flow thread the SAME per-EST
+    clock through enumeration and cascade (it starts the clock at
+    enumeration, like the sequential path does here)."""
+    if deadline is None and config.max_single_factorization_time:
         deadline = time.monotonic() + config.max_single_factorization_time
     fe = get_est_factorizations(est_info, V, config, gen_info, deadline,
                                 meg_arrays=meg_arrays,
@@ -588,6 +591,11 @@ def write_multifasta_output(gen: mf.EstInfo, est: FactorizedEst,
 # mode, or rebuilt inside each persistent worker from the pickled
 # (gen, gen_seq_bytes, config) triple it receives per run.
 _WORKER_CTX = None
+
+# Test-only straggler injection (seconds): set on the module BEFORE the
+# pool is created so forked workers inherit it; worker 0 then sleeps
+# before claiming records, exercising the dynamic re-shard path.
+_TEST_STRAGGLER_S: Optional[float] = None
 
 # persistent output buffer for the fused native unit flow (grow-only;
 # each worker process is single-threaded)
@@ -885,12 +893,14 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
 
                 rec = {"att": att, "est": est, "V": V,
                        "meg_arrays": meg_arrays, "cands": None,
-                       "probmap": None, "meg_time": meg_time}
+                       "probmap": None, "meg_time": meg_time,
+                       "deadline": None}
                 if meg_arrays is not None:
                     deadline = None
                     if config.max_single_factorization_time:
                         deadline = (time.monotonic()
                                     + config.max_single_factorization_time)
+                    rec["deadline"] = deadline
                     try:
                         cands = _native_cand_arrays(
                             meg_arrays, config, gen_seq_bytes, deadline)
@@ -946,7 +956,8 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                 factorized, timeout = internal_get_est_factorizations(
                     gen, est, config, rec["V"],
                     meg_arrays=rec["meg_arrays"],
-                    gen_seq_bytes=gen_seq_bytes, cands=rec["cands"])
+                    gen_seq_bytes=gen_seq_bytes, cands=rec["cands"],
+                    deadline=rec.get("deadline"))
                 fact_time = time.monotonic() - t_fact0
 
                 raw, megs, pmegs, tmeg, pests, intronic = \
@@ -1125,13 +1136,11 @@ def _worker_main(conn) -> None:
                 _fresh = bool(units[4]) if len(units) > 4 else False
                 _claim = units[5] if len(units) > 5 else None
                 _tree = cached[1]
-                # straggler-injection test hook: delay worker 0 so the
-                # dynamic claim counter re-shards its records onto the
-                # other workers (tests/test_est_fact.py straggler test)
-                import os as _os_mod
-                _strag = _os_mod.environ.get("PINTRON_TEST_STRAGGLER_S")
-                if _strag and _w == 0:
-                    time.sleep(float(_strag))
+                if _TEST_STRAGGLER_S and _w == 0:
+                    # test hook (set via module state BEFORE the pool
+                    # forks, tests/test_est_fact.py): delay worker 0 so
+                    # the dynamic claim counter re-shards its records
+                    time.sleep(_TEST_STRAGGLER_S)
                 if _fresh:
                     # fresh-locus benchmark mode: rebuild the index too
                     _tree = SuffixTree(cached[2])

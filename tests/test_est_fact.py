@@ -57,19 +57,18 @@ def test_straggler_reshards_without_changing_bytes(golden):
             shutil.copy(ref / fn, case / fn)
 
     def fresh_pool_run(workdir, straggle=None):
-        # the pool forks at creation and inherits the environment, so a
-        # straggler-injection env change needs a fresh pool
+        # the pool forks at creation and inherits module state, so the
+        # straggler hook must be set before a fresh pool starts
         if ef._POOL is not None:
             ef._POOL.shutdown()
             ef._POOL = None
         os.environ["PINTRON_EST_WORKERS"] = "2"
-        if straggle:
-            os.environ["PINTRON_TEST_STRAGGLER_S"] = straggle
+        ef._TEST_STRAGGLER_S = float(straggle) if straggle else None
         try:
             ef.run_est_fact(str(workdir))
         finally:
             del os.environ["PINTRON_EST_WORKERS"]
-            os.environ.pop("PINTRON_TEST_STRAGGLER_S", None)
+            ef._TEST_STRAGGLER_S = None
             if ef._POOL is not None:
                 ef._POOL.shutdown()
                 ef._POOL = None
