@@ -190,6 +190,13 @@ def precompute_bps_device(gen: str, pairs) -> int:
         L = end - start + 1
         if L <= 0:
             continue
+        if end >= gen_len:
+            # the consumer builds intron_sequence via real_substring,
+            # which truncates at the genome end; precomputing over the
+            # unclamped window set would silently answer with the wrong
+            # (position, score).  Skip so the key misses and the host
+            # path (which clamps) answers.
+            continue
         for (rs, re) in ((14, 30), (30, 200)):
             if re > L or L < rs:
                 continue   # host path answers trivially

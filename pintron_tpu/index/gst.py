@@ -115,9 +115,11 @@ class SuffixTree:
         # full-capacity slices (vertex_scan in dp.c), so zero the tails
         # beyond the real node count — defined values, no uninitialized
         # reads, and any accidental deref of a padding entry is 0.
+        # cnode/cchar hold coff[nn] edges (< nn), not nn, so zero cnode
+        # from its true used length; cchar tails are never shadow-copied.
         for arr, used in ((start, nn), (end, nn), (parent, nn),
                           (slink, nn), (depth, nn), (lo, nn), (hi, nn),
-                          (cnode, nn), (coff, nn + 1)):
+                          (cnode, int(coff[nn])), (coff, nn + 1)):
             arr[used:] = 0
         self.start = start[:nn]
         self.end = end[:nn]

@@ -6109,7 +6109,11 @@ int64_t est_collect_noisy(
             total += cand_off[ci + 1] - cand_off[ci];
         while ((int64_t)set_cap < 2 * total + 2) set_cap <<= 1;
     }
-    set = (uint64_t *)calloc((size_t)set_cap * 2, sizeof(uint64_t));
+    /* 3 words per slot: key0, key1, occupancy flag — the flag keeps the
+     * full (w0, w1) key space addressable (a w0==0 key must not be
+     * remapped onto the genuine key 1, which would silently drop that
+     * factor's K-band problem from the device batch) */
+    set = (uint64_t *)calloc((size_t)set_cap * 3, sizeof(uint64_t));
     if (!set) return -3;
 
     for (ci = 0; ci < n_cand; ci++) {
@@ -6170,18 +6174,19 @@ int64_t est_collect_noisy(
                 if (h == 0) h = 1;
                 idx = h & (set_cap - 1);
                 for (;;) {
-                    uint64_t k0 = set[2 * idx], k1 = set[2 * idx + 1];
                     uint64_t w0 = ((uint64_t)(uint32_t)e->es << 32)
                                   | (uint32_t)e->ee;
                     uint64_t w1 = ((uint64_t)(uint32_t)e->gs << 32)
                                   | (uint32_t)e->ge;
-                    if (k0 == 0 && k1 == 0 && set_fill < set_cap - 1) {
-                        set[2 * idx] = w0 ? w0 : 1;
-                        set[2 * idx + 1] = w1;
+                    if (!set[3 * idx + 2] && set_fill < set_cap - 1) {
+                        set[3 * idx] = w0;
+                        set[3 * idx + 1] = w1;
+                        set[3 * idx + 2] = 1;
                         set_fill++;
                         break;
                     }
-                    if (k0 == (w0 ? w0 : 1) && k1 == w1) { dup = 1; break; }
+                    if (set[3 * idx + 2] && set[3 * idx] == w0
+                        && set[3 * idx + 1] == w1) { dup = 1; break; }
                     idx = (idx + 1) & (set_cap - 1);
                 }
                 if (dup) continue;

@@ -842,6 +842,13 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
     import numpy as np
 
     from pintron_tpu.native import get_lib
+    try:
+        import jax  # noqa: F401 - probe only; offload imports it later
+    except Exception:
+        # PINTRON_DEVICE=1 without a usable jax: fall back to the CPU
+        # path like every other unavailability case instead of crashing
+        # mid-flight inside eval_kband
+        return None
     from pintron_tpu.ops.offload import eval_kband
     lib = get_lib()
     if (lib is None or not hasattr(lib, "est_collect_noisy")
@@ -897,8 +904,9 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                        "deadline": None}
                 if meg_arrays is not None:
                     deadline = None
+                    t_enum0 = time.monotonic()
                     if config.max_single_factorization_time:
-                        deadline = (time.monotonic()
+                        deadline = (t_enum0
                                     + config.max_single_factorization_time)
                     rec["deadline"] = deadline
                     try:
@@ -910,6 +918,14 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                         att["inc"] += 1
                         next_attempts.append(att)
                         continue
+                    # charge this EST only its own enumeration time: the
+                    # cascade runs after every other record's enumeration
+                    # and the global device batch, so the sequential-path
+                    # budget (enumeration+cascade contiguous, like
+                    # compute_est_fact) is re-based just before the
+                    # cascade — rec["enum_elapsed"] is subtracted from the
+                    # per-EST budget at that point.
+                    rec["enum_elapsed"] = time.monotonic() - t_enum0
                     if cands is not None:
                         rec["cands"] = cands
                         est_bytes = est.seq.encode("latin1")
@@ -953,11 +969,19 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                         len(idxs))
 
                 t_fact0 = time.monotonic()
+                deadline = rec.get("deadline")
+                if deadline is not None:
+                    # re-base: wall time spent on OTHER records' work
+                    # between this EST's enumeration and its cascade must
+                    # not count against its per-EST budget
+                    deadline = (t_fact0
+                                + config.max_single_factorization_time
+                                - rec.get("enum_elapsed", 0.0))
                 factorized, timeout = internal_get_est_factorizations(
                     gen, est, config, rec["V"],
                     meg_arrays=rec["meg_arrays"],
                     gen_seq_bytes=gen_seq_bytes, cands=rec["cands"],
-                    deadline=rec.get("deadline"))
+                    deadline=deadline)
                 fact_time = time.monotonic() - t_fact0
 
                 raw, megs, pmegs, tmeg, pests, intronic = \
