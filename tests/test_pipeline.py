@@ -27,3 +27,37 @@ def test_pipeline_end_to_end(case, gene, golden, tmp_path):
             f"{case}/{name} differs"
     # cleanup-mode smoke: intermediates kept because keep_intermediate=True
     assert (work / "predicted-introns.txt").exists()
+
+
+def test_e2e_gate_rejects_perturbed_outputs(golden, tmp_path):
+    """Pin the check_e2e classification gate: a correct run classifies
+    as byte-identical, and the SAME run with a deliberately perturbed
+    final GTF (one coordinate changed) must classify as diff — the
+    stage-5-class branches must not absorb a genuine output change."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from check_e2e import classify_case
+
+    case, gene = "test-788", "AAMP"
+    gold = golden(case)
+    work = tmp_path / case
+    work.mkdir()
+    for name in ["genomic.txt", "ests.txt"]:
+        shutil.copy(gold / name, work / name)
+    pintron_pipeline(workdir=str(work), output_filename="full.json",
+                     gtf_filename="pintron-all-isoforms.gtf",
+                     gene=gene, organism="human", keep_intermediate=True)
+    _, bucket = classify_case(str(work), str(gold), gene)
+    assert bucket == "byte"
+
+    gtf = work / "pintron-all-isoforms.gtf"
+    lines = gtf.read_text().splitlines(keepends=True)
+    cols = lines[0].split("\t")
+    cols[3] = str(int(cols[3]) + 1)  # shift one exon start
+    lines[0] = "\t".join(cols)
+    gtf.write_text("".join(lines))
+    label, bucket = classify_case(str(work), str(gold), gene)
+    assert bucket == "diff", label
