@@ -25,6 +25,8 @@ def pintron_pipeline(workdir: str = ".",
                      gene: str = "unknown",
                      organism: str = "unknown",
                      only_cds_annot: bool = False,
+                     extended_gtf_filename: str = "",
+                     pipeline_logfile: str = "",
                      pas_tolerance: int = 30,
                      keep_intermediate: bool = False,
                      resume: bool = False,
@@ -44,6 +46,32 @@ def pintron_pipeline(workdir: str = ".",
 
     def wpath(name: str) -> str:
         return os.path.join(workdir, name)
+
+    # -l/--logfile: the per-step pipeline log (reference pintron.py's
+    # exec_system_command appends each stage's label, command analogue
+    # and exit status to options.plogfile via `2>> logfile`).  The
+    # stages here run in-process, so the equivalent record is a
+    # begin/end line per step with wall time and outcome.
+    _plog_path = None
+    if pipeline_logfile:
+        _plog_path = (pipeline_logfile if os.path.isabs(pipeline_logfile)
+                      else wpath(pipeline_logfile))
+
+    def plog(label: str, msg: str) -> None:
+        if _plog_path is not None:
+            with open(_plog_path, "a") as f:
+                f.write(f"[{label}] {msg}\n")
+
+    def run_step(label: str, fn) -> None:
+        plog(label, "begin")
+        t = time.time()
+        try:
+            fn()
+        except BaseException as e:
+            plog(label, f"FAILED after {time.time() - t:.1f}s: "
+                        f"{type(e).__name__}: {e}")
+            raise
+        plog(label, f"ok ({time.time() - t:.1f}s)")
 
     def run_guarded(fn, minutes: int, mem_mb: int = 0,
                     artifacts: tuple = (), jax_stage: bool = False):
@@ -144,13 +172,14 @@ def pintron_pipeline(workdir: str = ".",
         log.info("STEP  2:  [resume] spliced alignments found, skipping")
     else:
         log.info("STEP  2:  Computing the spliced alignments...")
-        run_guarded(lambda: run_est_fact(workdir, config=config),
-                    max_factorization_time, max_factorization_memory,
-                    artifacts=("raw-multifasta-out.txt",
-                               "processed-ests.txt", "megs.txt",
-                               "processed-megs.txt", "meg-edges.txt",
-                               "processed-megs-info.txt"),
-                    jax_stage=True)
+        run_step("cmd-2-est-fact", lambda: run_guarded(
+            lambda: run_est_fact(workdir, config=config),
+            max_factorization_time, max_factorization_memory,
+            artifacts=("raw-multifasta-out.txt",
+                       "processed-ests.txt", "megs.txt",
+                       "processed-megs.txt", "meg-edges.txt",
+                       "processed-megs-info.txt"),
+            jax_stage=True))
 
     # STEP 3: minimum-factorization agreement
     if stage_done("out-agree.txt"):
@@ -163,36 +192,42 @@ def pintron_pipeline(workdir: str = ".",
                     open(wpath("out-agree.txt"), "w") as fout:
                 run_min_factorization(fin, fout)
 
-        run_guarded(_step3, max_exon_agreement_time,
-                    artifacts=("out-agree.txt",))
+        run_step("cmd-3-min-factorization", lambda: run_guarded(
+            _step3, max_exon_agreement_time,
+            artifacts=("out-agree.txt",)))
 
     # STEP 4: intron agreement + classification
     if stage_done("out-after-intron-agree.txt", "predicted-introns.txt"):
         log.info("STEP  4:  [resume] intron agreement found, skipping")
     else:
         log.info("STEP  4:  Computing the intron agreement...")
-        run_guarded(lambda: run_intron_agreement(workdir),
-                    max_intron_agreement_time,
-                    artifacts=("out-after-intron-agree.txt",
-                               "predicted-introns.txt"),
-                    jax_stage=True)
+        run_step("cmd-4-intron-agreement", lambda: run_guarded(
+            lambda: run_intron_agreement(workdir),
+            max_intron_agreement_time,
+            artifacts=("out-after-intron-agree.txt",
+                       "predicted-introns.txt"),
+            jax_stage=True))
 
     # STEP 5: composition compaction
     if stage_done("build-ests.txt", "genomic-exonforCCDS.txt"):
         log.info("STEP  5:  [resume] compacted compositions found, skipping")
     else:
         log.info("STEP  5:  Computing the final transcript alignments...")
-        with open(wpath("out-after-intron-agree.txt")) as fin, \
-                open(wpath("build-ests.txt"), "w") as fout:
-            run_compact_compositions(fin, fout, wpath("genomic.txt"),
-                                     wpath("genomic-exonforCCDS.txt"))
+        def _step5():
+            with open(wpath("out-after-intron-agree.txt")) as fin, \
+                    open(wpath("build-ests.txt"), "w") as fout:
+                run_compact_compositions(fin, fout, wpath("genomic.txt"),
+                                         wpath("genomic-exonforCCDS.txt"))
+
+        run_step("cmd-5-compact-compositions", _step5)
 
     # STEP 6: maximal transcripts
     if stage_done("isoforms.txt"):
         log.info("STEP  6:  [resume] isoforms found, skipping")
     else:
         log.info("STEP  6:  Computing the final full-length isoforms...")
-        run_maximal_transcripts(workdir)
+        run_step("cmd-6a-maximal-transcripts",
+                 lambda: run_maximal_transcripts(workdir))
         shutil.copyfile(wpath("TRANSCRIPTS1_1.txt"), wpath("isoforms.txt"))
 
     # STEP 7: CDS annotation
@@ -200,15 +235,26 @@ def pintron_pipeline(workdir: str = ".",
         log.info("STEP  7:  [resume] CDS annotation found, skipping")
     else:
         log.info("STEP  7:  Annotating CDS...")
-        run_cds_annotation(workdir, gene=gene, organism=organism)
+        run_step("cmd-7-cds-annotation",
+                 lambda: run_cds_annotation(workdir, gene=gene,
+                                            organism=organism))
 
     # STEP 8: JSON + GTF emission
     log.info("STEP  8:  Saving outputs...")
-    compute_json(workdir, wpath(output_filename),
-                 pas_tolerance=pas_tolerance)
+    run_step("cmd-8-compute-json",
+             lambda: compute_json(workdir, wpath(output_filename),
+                                  pas_tolerance=pas_tolerance))
     if gtf_filename:
         json2gtf(wpath(output_filename), wpath(gtf_filename), gene,
                  not only_cds_annot)
+    if extended_gtf_filename:
+        # --extended-gtf: an always-complete GTF variant (every isoform
+        # with full exon/UTR/codon rows) alongside the main one — under
+        # --strict-GTF-compliance the main GTF is restricted to
+        # CDS-annotated isoforms (reference pintron.py:232-273), and
+        # this file preserves the unrestricted view
+        json2gtf(wpath(output_filename), wpath(extended_gtf_filename),
+                 gene, True)
 
     if prof_dir:
         try:
@@ -281,8 +327,33 @@ def main(argv=None) -> int:
                         "checkpoints)")
     args = p.parse_args(argv)
 
-    logging.basicConfig(level=logging.INFO,
-                        format="[%(levelname)-8s] %(asctime)s - %(message)s")
+    # dual-sink logging (reference pintron.py:986-1002 prepare_loggers):
+    # DEBUG+ to --general-logfile, INFO+ to the console
+    glogfile = args.glogfile
+    if glogfile and not os.path.isabs(glogfile):
+        glogfile = os.path.join(args.workdir, glogfile)
+    root = logging.getLogger("")
+    root.setLevel(logging.DEBUG)
+    if glogfile:
+        fh = logging.FileHandler(glogfile, mode="w")
+        fh.setLevel(logging.DEBUG)
+        fh.setFormatter(logging.Formatter(
+            "%(levelname)s:%(name)s:%(asctime)s%(msecs)d:%(message)s",
+            datefmt="%Y%m%d-%H%M%S"))
+        root.addHandler(fh)
+    console = logging.StreamHandler()
+    console.setLevel(logging.INFO)
+    console.setFormatter(logging.Formatter(
+        "[%(levelname)-8s] %(asctime)s - %(message)s"))
+    root.addHandler(console)
+
+    if args.bindir:
+        # every stage is built into pintron_tpu; there are no external
+        # stage executables for --bin-dir to locate
+        logging.getLogger("pintron").warning(
+            "--bin-dir=%s ignored: all pipeline stages are built in",
+            args.bindir)
+
     pintron_pipeline(
         workdir=args.workdir,
         genome_filename=args.genome_filename,
@@ -292,6 +363,8 @@ def main(argv=None) -> int:
         gene=args.gene,
         organism=args.organism,
         only_cds_annot=args.only_cds_annot,
+        extended_gtf_filename=args.extended_gtf or "",
+        pipeline_logfile=args.plogfile or "",
         pas_tolerance=args.pas_tolerance,
         keep_intermediate=args.no_clean,
         resume=args.resume,
@@ -301,9 +374,15 @@ def main(argv=None) -> int:
         max_intron_agreement_time=args.set_max_intron_agreement_time,
     )
     if args.compress:
+        # reference pintron.py:965-972 gzips the JSON and both logfiles
         import gzip
-        for name in (args.output_filename,):
-            src = os.path.join(args.workdir, name)
+        for src in (os.path.join(args.workdir, args.output_filename),
+                    os.path.join(args.workdir, args.plogfile)
+                    if args.plogfile and not os.path.isabs(args.plogfile)
+                    else args.plogfile,
+                    glogfile):
+            if not src or not os.path.exists(src):
+                continue
             with open(src, "rb") as fi, gzip.open(src + ".gz", "wb") as fo:
                 shutil.copyfileobj(fi, fo)
             os.remove(src)

@@ -61,3 +61,39 @@ def test_e2e_gate_rejects_perturbed_outputs(golden, tmp_path):
     gtf.write_text("".join(lines))
     label, bucket = classify_case(str(work), str(gold), gene)
     assert bucket == "diff", label
+
+
+def test_cli_flags_observable(golden, tmp_path):
+    """The orchestrator-parity flags must be observable in output:
+    --extended-gtf writes the unrestricted GTF variant, -l/--logfile
+    records per-step begin/ok lines, --general-logfile captures DEBUG+
+    dual-sink logging, and --bin-dir warns that it has no effect."""
+    import subprocess
+    import sys
+
+    case, gene = "test-788", "AAMP"
+    gold = golden(case)
+    work = tmp_path / case
+    work.mkdir()
+    for name in ["genomic.txt", "ests.txt"]:
+        shutil.copy(gold / name, work / name)
+    r = subprocess.run(
+        [sys.executable, "-m", "pintron_tpu.pipeline",
+         "--workdir", str(work), "-o", "full.json",
+         "-t", "strict.gtf", "--strict-GTF-compliance",
+         "--extended-gtf", "ext.gtf",
+         "-l", "plog.txt", "--general-logfile", "glog.txt",
+         "-b", "/no/such/bin", f"--gene={gene}", "--organism=human"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-800:]
+    # extended GTF = the all-isoforms variant, byte-equal to the golden
+    # (unrestricted) GTF even though the main output is CDS-restricted
+    assert (work / "ext.gtf").read_bytes() == \
+        (gold / "pintron-all-isoforms.gtf").read_bytes()
+    assert (work / "strict.gtf").exists()
+    plog = (work / "plog.txt").read_text()
+    assert "[cmd-2-est-fact] begin" in plog
+    assert "[cmd-8-compute-json] ok" in plog
+    glog = (work / "glog.txt").read_text()
+    assert "STEP" in glog
+    assert "--bin-dir=/no/such/bin ignored" in r.stderr
