@@ -131,7 +131,8 @@ def _sharded_call(mesh, fn, arrays, ub, key=()):
 # running counters for benchmarks/diagnostics: total problems seen,
 # problems actually evaluated on device, and DP cells computed there
 STATS = {"problems": 0, "device_problems": 0, "device_cells": 0,
-         "batches": 0, "device_runs": 0, "pwm_windows": 0}
+         "batches": 0, "device_runs": 0, "pwm_windows": 0,
+         "device_timeouts": 0}
 
 
 def reset_stats() -> None:
@@ -139,7 +140,74 @@ def reset_stats() -> None:
         STATS[k] = 0
 
 
-def eval_kband(problems: List[Tuple[bytes, bytes, int]]) -> np.ndarray:
+# ---- bounded dispatch ----------------------------------------------------
+# A wedged device (hung tunnel, stuck compile) must degrade STEP 2/4 to
+# the CPU path instead of hanging the pipeline: every device entry point
+# runs under device_call(), a wall-clock-bounded worker thread.  On
+# timeout (PINTRON_DEVICE_TIMEOUT_S, default 600 s — first compiles over
+# a remote-attached chip can take minutes) or error the call reports
+# None, the process-wide wedge latch flips, and all later device calls
+# short-circuit to None; callers treat None as "memo not filled", so the
+# native cascade recomputes each miss with the byte-identical host DPs.
+
+_WEDGED = False
+
+
+def device_wedged() -> bool:
+    return _WEDGED
+
+
+def device_call(fn, *args, what: str = "device batch"):
+    """Run fn(*args) bounded by the device dispatch timeout.  Returns
+    its result, or None on timeout/error (wedge latch set)."""
+    global _WEDGED
+    if _WEDGED:
+        return None
+    timeout = float(os.environ.get("PINTRON_DEVICE_TIMEOUT_S", "600"))
+    if timeout <= 0:  # explicit opt-out: unbounded inline call
+        return fn(*args)
+    import threading
+    box: dict = {}
+
+    def work():
+        try:
+            box["ok"] = fn(*args)
+        except Exception as e:  # noqa: BLE001 - degrade, don't crash
+            box["err"] = e
+
+    t = threading.Thread(target=work, daemon=True,
+                         name="pintron-device-dispatch")
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        _WEDGED = True
+        STATS["device_timeouts"] += 1
+        import logging
+        logging.getLogger("pintron").warning(
+            "%s exceeded the %.0fs device dispatch timeout; falling "
+            "back to the CPU path for the rest of this process", what,
+            timeout)
+        return None
+    if "err" in box:
+        _WEDGED = True
+        import logging
+        logging.getLogger("pintron").warning(
+            "%s failed (%s: %s); falling back to the CPU path", what,
+            type(box["err"]).__name__, box["err"])
+        return None
+    return box.get("ok")
+
+
+def eval_kband(problems: List[Tuple[bytes, bytes, int]]):
+    """Bounded entry point: evaluate the batch on device, or return
+    None when the device is wedged/unavailable (the caller skips the
+    memo pre-fill and the native cascade recomputes on host)."""
+    return device_call(_eval_kband_device, problems,
+                       what="K-band device batch")
+
+
+def _eval_kband_device(problems: List[Tuple[bytes, bytes, int]]
+                       ) -> np.ndarray:
     """Evaluate a batch of (gen_window, est_window, max_err) K-band
     problems on the default JAX device.  Returns int64 ok flags with
     ep_kband's exact semantics (dp.c:3862-3878)."""

@@ -951,13 +951,17 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                             rec["probmap"] = (coords, idxs)
                 round_recs.append(rec)
 
-            # one device batch for the whole round's K-band problems
+            # one device batch for the whole round's K-band problems;
+            # None = device wedged/unavailable (dispatch timeout) — skip
+            # the memo pre-fill and let the native cascade recompute
+            # every miss with the byte-identical host DPs
             ok_all = eval_kband(problems) if problems else None
 
             for rec in round_recs:
                 att = rec["att"]
                 est = rec["est"]
-                if rec["probmap"] is not None and rec["probmap"][1]:
+                if (ok_all is not None and rec["probmap"] is not None
+                        and rec["probmap"][1]):
                     coords, idxs = rec["probmap"]
                     okvec = np.ascontiguousarray(
                         ok_all[np.asarray(idxs, dtype=np.int64)])

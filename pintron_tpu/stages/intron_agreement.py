@@ -641,13 +641,21 @@ def run_intron_agreement(workdir: str = ".") -> None:
         # batch (exact via f64 finishing; classify consumes the
         # overrides through exists_good_bps)
         try:
-            from pintron_tpu.factorize.classify import \
-                precompute_bps_device
+            from pintron_tpu.factorize import classify as _classify
             from pintron_tpu.ops.offload import STATS as _dev_stats
-            n = precompute_bps_device(
-                gen_seq, [(gi.start, gi.end) for gi in registry])
-            _dev_stats["pwm_windows"] = (
-                _dev_stats.get("pwm_windows", 0) + n)
+            from pintron_tpu.ops.offload import device_call
+            n = device_call(
+                _classify.precompute_bps_device, gen_seq,
+                [(gi.start, gi.end) for gi in registry],
+                what="stage-4 BPS/PWM device sweep")
+            if n is None:
+                # wedged mid-fill: un-pin the override table so the
+                # classify loop never reads entries a stuck worker
+                # thread might still be writing
+                _classify._BPS_OVERRIDE_GEN = None
+            else:
+                _dev_stats["pwm_windows"] = (
+                    _dev_stats.get("pwm_windows", 0) + n)
         except Exception:
             pass   # host path computes everything
     for gi in registry:

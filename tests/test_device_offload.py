@@ -177,3 +177,57 @@ def test_device_stage4_pwm_byte_identical():
         assert g == w, f"{name} differs under PINTRON_DEVICE=1"
     shutil.rmtree(gold, ignore_errors=True)
     shutil.rmtree(work, ignore_errors=True)
+
+
+def test_wedged_device_degrades_to_cpu_byte_identical(monkeypatch):
+    """A hung device dispatch must not hang STEP 2: eval_kband's
+    watchdog times out, the wedge latch flips, the memo pre-fill is
+    skipped, and the native cascade recomputes every K-band verdict on
+    host — stage-2 artifacts stay byte-identical."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "est_collect_noisy"):
+        pytest.skip("native collect entry unavailable")
+    import threading
+
+    import pintron_tpu.ops.offload as off
+    from pintron_tpu.stages.est_fact import run_est_fact
+
+    tgz = os.path.join(GOLDEN, "test-788.tar.gz")
+    gold = tempfile.mkdtemp(prefix="wedge-gold-")
+    with tarfile.open(tgz) as tf:
+        tf.extractall(gold)
+    work = tempfile.mkdtemp(prefix="wedge-work-")
+    for fn in ("genomic.txt", "ests.txt"):
+        shutil.copy(os.path.join(gold, fn), work)
+
+    release = threading.Event()
+
+    def fake_hang(problems):
+        release.wait(30)  # far beyond the 1s test timeout
+        return None
+
+    off.reset_stats()
+    monkeypatch.setattr(off, "_eval_kband_device", fake_hang)
+    monkeypatch.setenv("PINTRON_DEVICE", "1")
+    monkeypatch.setenv("PINTRON_FRESH_MEMO", "1")
+    monkeypatch.setenv("PINTRON_DEVICE_TIMEOUT_S", "1")
+    try:
+        run_est_fact(work)
+    finally:
+        release.set()           # unblock the daemon worker thread
+        off._WEDGED = False     # reset the process-wide latch
+
+    assert off.STATS["device_timeouts"] >= 1, \
+        "the fake-hung dispatch never hit the watchdog"
+    for name in ("raw-multifasta-out.txt", "processed-ests.txt",
+                 "megs.txt", "processed-megs.txt", "meg-edges.txt"):
+        gp = os.path.join(gold, name)
+        if not os.path.exists(gp):
+            continue
+        with open(gp, "rb") as f:
+            g = f.read()
+        with open(os.path.join(work, name), "rb") as f:
+            w = f.read()
+        assert g == w, f"{name} differs after device-wedge fallback"
+    shutil.rmtree(gold, ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)
