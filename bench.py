@@ -57,23 +57,30 @@ def time_reference_once(ref_bin: str, work: str):
 
 
 def measure_device_kernel():
-    """Device benchmark channel: the production K-band kernel on the
-    real chip at a production-shaped batch.
+    """Device benchmark channel: the production K-band kernels on the
+    real chip.
 
-    Shapes: B=4096 problems, rows M=256, band half-width K=16 (band
-    width 33 lanes), text N=512 — the noisy-exon check regime (exon
-    windows of a few hundred nt, ~3% error budget).  VMEM budget of the
-    Pallas kernel at this shape: one (8, 256, 33) int32 mismatch block
-    per grid step = 264 KiB, plus three (8,1) length blocks — far under
-    the ~16 MiB/core VMEM; rows scale linearly (max_rows 2048 -> 2.1 MiB
-    per block).
+    Per-problem shapes are the production regime (rows M=256, band
+    half-width K=16 -> band width 33, text N=272: noisy-exon windows of
+    a few hundred nt with a ~3% error budget).  The batch is sized so
+    the KERNEL dominates the measurement: over the remote-attached
+    chip a single dispatch costs a ~25-30 ms round trip, so at the
+    production batch (B~4096, ~60 us of kernel) per-call timing
+    measures the tunnel, not the chip.  B=32768 with several chained
+    dispatches (distinct inputs, defeating any transport-level result
+    caching) puts >=80% of the wall time in the kernel.
 
-    Reports cells/s (band cells = M * (2K+1) per problem) for both the
-    XLA wavefront op (the production offload path) and the Pallas
-    kernel, plus an estimated fraction of VPU peak assuming ~18 vector
-    int32 ops per band cell against a nominal v5e VPU of
-    8x128 lanes x 4 ALUs x 1.5 GHz ~= 6.1e12 op/s.  Returns {} when no
-    accelerator is attached."""
+    Reports cells/s (band cells = M * (2K+1) per problem) for the
+    Pallas kernel (production default) and the XLA wavefront fallback,
+    their ratio, and an estimated fraction of VPU peak.  Roofline note:
+    the Pallas kernel spends ~30 vector ops per band cell (masking,
+    DP mins, log2(W) prefix scan, window shift) against a nominal v5e
+    VPU of 8x128 lanes x 4 ALUs x 1.5 GHz ~= 6.1e12 op/s -> ~200
+    Gcells/s ceiling for this op mix; HBM traffic is O(B*(N+R)) int32,
+    ~8 MB/call at this shape (~0.1 ms at v5e bandwidth), so the kernel
+    is compute-bound by design (the pre-rewrite version streamed a
+    (B, rows, W) mismatch tensor and was memory-bound at ~5% of peak).
+    Returns {} when no accelerator is attached."""
     try:
         import jax
         import numpy as np
@@ -84,41 +91,52 @@ def measure_device_kernel():
         dev = jax.devices()[0]
         if dev.platform == "cpu":
             return {}
-        # shapes inside the kernel's contract: n - m <= k, 2k+1 < n
-        B, M, K = 4096, 256, 16
+        B, M, K = 32768, 256, 16
         N = M + K
         rng = np.random.default_rng(0)
-        s1 = rng.integers(0, 4, (B, N), dtype=np.int8)
-        s2 = np.take_along_axis(
-            s1, np.broadcast_to(np.arange(M), (B, M)), axis=1).copy()
-        mut = rng.integers(0, M, (B, 8))
-        for b in range(B):
-            s2[b, mut[b]] = (s2[b, mut[b]] + 1) % 4
-        l1 = np.full(B, M + K, dtype=np.int32)
-        l2 = np.full(B, M, dtype=np.int32)
-        band = np.full(B, K, dtype=np.int32)
+        sets = []
+        for _ in range(4):
+            s1 = rng.integers(0, 4, (B, N), dtype=np.int8)
+            s2 = np.take_along_axis(
+                s1, np.broadcast_to(np.arange(M), (B, M)), axis=1).copy()
+            mut = rng.integers(0, M, (B, 8))
+            for b in range(0, B, 64):
+                s2[b, mut[b]] = (s2[b, mut[b]] + 1) % 4
+            l1 = np.full(B, N, dtype=np.int32)
+            l2 = np.full(B, M, dtype=np.int32)
+            band = np.full(B, K, dtype=np.int32)
+            d = tuple(map(jax.device_put, (s1, l1, s2, l2, band)))
+            jax.block_until_ready(d)
+            sets.append(d)
         cells = B * M * (2 * K + 1)
         out = {"device_kind": str(dev.device_kind),
                "device_batch": [B, M, 2 * K + 1]}
+        chain, reps = 4, 3
         for name, fn in (
-                ("xla", lambda: banded_edit_distance(
-                    s1, l1, s2, l2, band, max_rows=M, k_max=K)),
-                ("pallas", lambda: banded_edit_distance_pallas(
-                    s1, l1, s2, l2, band, max_rows=M, k_max=K))):
+                ("pallas", lambda *a: banded_edit_distance_pallas(
+                    *a, max_rows=M, k_max=K)),
+                ("xla", lambda *a: banded_edit_distance(
+                    *a, max_rows=M, k_max=K))):
             try:
-                r = fn()
-                jax.block_until_ready(r)   # compile + warm
+                np.asarray(fn(*sets[0]))   # compile + warm
                 best = float("inf")
-                for _ in range(5):
+                for _ in range(reps):
                     t0 = time.perf_counter()
-                    jax.block_until_ready(fn())
-                    best = min(best, time.perf_counter() - t0)
+                    rs = [fn(*sets[i % 4]) for i in range(chain)]
+                    for r in rs:
+                        np.asarray(r)
+                    best = min(best, (time.perf_counter() - t0) / chain)
                 cps = cells / best
                 out[f"device_{name}_cells_per_s"] = round(cps)
                 out[f"device_{name}_vpu_peak_frac_est"] = round(
-                    cps * 18 / 6.1e12, 4)
+                    cps * 30 / 6.1e12, 4)
             except Exception:
                 out[f"device_{name}_cells_per_s"] = None
+        if out.get("device_pallas_cells_per_s") and \
+                out.get("device_xla_cells_per_s"):
+            out["device_pallas_vs_xla"] = round(
+                out["device_pallas_cells_per_s"]
+                / out["device_xla_cells_per_s"], 2)
         return out
     except Exception:
         return {}

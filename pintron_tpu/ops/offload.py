@@ -211,10 +211,18 @@ def _eval_kband_device(problems: List[Tuple[bytes, bytes, int]]
     """Evaluate a batch of (gen_window, est_window, max_err) K-band
     problems on the default JAX device.  Returns int64 ok flags with
     ep_kband's exact semantics (dp.c:3862-3878)."""
+    import jax
+
     from pintron_tpu.ops.align import (banded_edit_distance,
                                        batch_edit_distance_score)
 
-    use_pallas = bool(os.environ.get("PINTRON_DEVICE_PALLAS"))
+    # The Pallas kernel is the production band path: its in-kernel
+    # sequence window beats the XLA gather formulation by >=2x at
+    # kernel-dominated batch sizes (see pallas_align.py).  On a CPU
+    # backend (tests, virtual meshes) it runs in interpret mode;
+    # PINTRON_DEVICE_XLA=1 opts back into the XLA op.
+    use_pallas = not bool(os.environ.get("PINTRON_DEVICE_XLA"))
+    pallas_interpret = jax.default_backend() == "cpu"
     ok = np.zeros(len(problems), dtype=np.int64)
     full_groups = {}
     band_groups = {}
@@ -288,8 +296,10 @@ def _eval_kband_device(problems: List[Tuple[bytes, bytes, int]]
         elif use_pallas:
             from pintron_tpu.ops.pallas_align import \
                 banded_edit_distance_pallas
-            r = banded_edit_distance_pallas(
-                s1, l1, s2, l2, band, max_rows=M, k_max=K)
+            with annot("pintron_kband_band"):
+                r = banded_edit_distance_pallas(
+                    s1, l1, s2, l2, band, max_rows=M, k_max=K,
+                    interpret=pallas_interpret)
         else:
             with annot("pintron_kband_band"):
                 r = banded_edit_distance(

@@ -3,30 +3,38 @@
 Device counterpart of the reference's hottest inner loop
 (compute-alignments.c:319-453) and of the XLA version in
 ``pintron_tpu.ops.align.banded_edit_distance``: one DP-row wavefront,
-the whole batch advancing in lockstep.  Layout is TPU-native —
+the whole batch advancing in lockstep.
 
-  * batch on sublanes (grid over batch tiles of 8 problems),
-  * the band (width 2*k_max+1) on lanes,
-  * rows as a ``fori_loop`` carrying the band vector in registers/VMEM,
-  * the in-row left-chain ``M2[o] = min_{j<=o}(cand[j] + (o-j))``
-    closed with a log2(W) shift-and-min prefix scan (pure VPU ops).
+Layout is chosen for the VPU and for HBM traffic, not as a translation:
 
-The per-cell character comparisons are precomputed as a (B, rows, W)
-mismatch tensor by XLA (a gather, which the XLA TPU backend handles
-natively); the kernel reads one row of it per step with a dynamic
-second-dim index — Mosaic-friendly on all TPU generations, unlike a
-dynamic lane-window load.  Numerical contract: bit-identical to the
-host/C ``kband_core`` per problem (int32 DP, same band-boundary
-semantics) — checked by tests/test_ops.py in interpret mode and runnable
-unchanged on real TPUs.
+  * batch on LANES (grid over tiles of 128 problems),
+  * the band (width W = 2*k_max+1) on SUBLANES,
+  * rows as a ``fori_loop`` carrying TWO (W, 128) vectors in VMEM:
+    the DP band ``M`` and the *sequence window* ``win`` with
+    ``win[o, b] = seq1[b, c-1]`` for ``c = o + r - k_max``.
 
-VMEM budget: each grid step holds one (8, max_rows, W) int32 mismatch
-block plus three (8, 1) length blocks — 264 KiB at the production shape
-(rows 256, W 33) and linear in rows (2.1 MiB at rows 2048), far below
-the ~16 MiB/core VMEM; batch scales via the grid, not the block.
-Measured on a v5e chip at (B=4096, rows 256, W 33): ~20-43 Gcells/s
-(tunnel-attached chip; variance is transport), on par with the XLA
-formulation that the production offload path uses.
+The window exploits the band's diagonal structure: advancing one row
+shifts the window by exactly one sublane and admits ONE new character
+per problem, so the per-cell character comparisons are computed
+in-kernel from O(B*(N+R)) int32 of streamed data instead of the
+(B, rows, W) int32 mismatch tensor the previous version precomputed in
+HBM (a 16x traffic cut at the production shape — that tensor made the
+kernel memory-bound at ~5% of VPU peak).  The in-row left-chain
+``M2[o] = min_{j<=o}(cand[j] + (o-j))`` closes with a log2(W)
+shift-and-min prefix scan over sublanes; sublane shifts and the
+dynamic-sublane row reads (``ref[pl.ds(r-1, 1), :]``) are native
+Mosaic operations on every TPU generation.
+
+Numerical contract: bit-identical to the host/C ``kband_core`` per
+problem (int32 DP, same band-boundary semantics) — checked by
+tests/test_ops.py in interpret mode and by the production offload
+equivalence tests on device.
+
+VMEM budget per grid step: two (R, 128) int32 row tables (seq2 chars +
+new-window chars), one (W, 128) initial window, three (1, 128) length
+rows and the two carried (W, 128) vectors — ~300 KiB at the production
+shape (rows 256, W 33), linear in rows (2.1 MiB at rows 2048), far
+below the ~16 MiB/core VMEM; batch scales via the grid.
 """
 
 from __future__ import annotations
@@ -42,56 +50,72 @@ from jax.experimental.pallas import tpu as pltpu
 # plain python int: a module-level jnp scalar would be a captured traced
 # constant inside the pallas kernel, which pallas rejects
 BIG = 1 << 20
-_TB = 8  # batch tile: int32 sublane count
+_BIG16 = 1 << 13   # int16-mode sentinel; real values stay far below
+_TB = 128  # batch tile: one full lane group per grid step
 
 
-def _kband_kernel(mism_ref, len1_ref, len2_ref, band_ref, out_ref, *,
-                  max_rows: int, k_max: int):
+def _kband_kernel(win0_ref, nc_ref, ch2_ref, len1_ref, len2_ref,
+                  band_ref, out_ref, *, max_rows: int, k_max: int,
+                  small: bool):
+    """``small=True`` runs the DP in int16 (2x VPU lane packing): every
+    genuine band value is bounded by max(len1, len2) < _BIG16 under the
+    wrapper's size gate, and the sentinel arithmetic peaks at
+    _BIG16 + W + 1 << 32767, so the int16 program is exact."""
     W = 2 * k_max + 1
-    TB = out_ref.shape[0]
-    offs = jax.lax.broadcasted_iota(jnp.int32, (TB, W), 1)
-    len1 = len1_ref[:, 0][:, None]
-    len2 = len2_ref[:, 0][:, None]
-    band = band_ref[:, 0][:, None]
+    dt = jnp.int16 if small else jnp.int32
+    big = _BIG16 if small else BIG
+    offs = jax.lax.broadcasted_iota(jnp.int32, (W, _TB), 0)  # o on sublanes
+    offs_d = offs.astype(dt)
+    len1 = len1_ref[0, :][None, :]
+    len2 = len2_ref[0, :][None, :]
+    band = band_ref[0, :][None, :]
 
-    # |c - r| = |offs - k_max| is row-independent
+    # |c - r| = |o - k_max| is row-independent
     in_band = jnp.abs(offs - k_max) <= band
 
-    # row 0: M[o] = c for 0 <= c <= band (c = offs - k_max at r = 0)
+    # row 0: M[o] = c for 0 <= c <= band (c = o - k_max at r = 0)
     c0 = offs - k_max
-    M0 = jnp.where((c0 >= 0) & (c0 <= band), c0, BIG)
+    M0 = jnp.where((c0 >= 0) & (c0 <= band), c0, big).astype(dt)
 
-    def row_step(r, M1):
+    def row_step(r, carry):
+        M1, win = carry
         c = offs + (r - k_max)
         active = in_band & (c >= 1) & (c <= len1) & (r <= len2)
-        mism = mism_ref[:, pl.ds(r - 1, 1), :]
-        mism = mism.reshape(TB, W).astype(jnp.int32)
+        ch2 = ch2_ref[pl.ds(r - 1, 1), :].astype(dt)   # (1, TB)
+        mism = (win != ch2).astype(dt)
 
         diag = M1 + mism
         up = jnp.concatenate(
-            [M1[:, 1:], jnp.full((TB, 1), BIG, jnp.int32)], axis=1) + 1
+            [M1[1:, :], jnp.full((1, _TB), big, dt)], axis=0) \
+            + jnp.asarray(1, dt)
         cand = jnp.minimum(diag, up)
         is_boundary = (c == 0) & (r <= band)
-        cand = jnp.where(is_boundary, r, cand)
-        cand = jnp.where(active | is_boundary, cand, BIG)
+        cand = jnp.where(is_boundary, r.astype(dt), cand)
+        cand = jnp.where(active | is_boundary, cand, jnp.asarray(big, dt))
 
-        # left-chain prefix-min over lanes by doubling shifts
-        x = cand - offs
+        # left-chain prefix-min over the band (sublanes) by doubling
+        x = cand - offs_d
         sh = 1
         while sh < W:
             shifted = jnp.concatenate(
-                [jnp.full((TB, sh), BIG, jnp.int32), x[:, :W - sh]], axis=1)
+                [jnp.full((sh, _TB), big, dt), x[:W - sh, :]], axis=0)
             x = jnp.minimum(x, shifted)
             sh *= 2
-        M2 = jnp.minimum(x + offs, BIG)
-        return jnp.where(r <= len2, M2, M1)
+        M2 = jnp.minimum(x + offs_d, jnp.asarray(big, dt))
+        M2 = jnp.where(r <= len2, M2, M1)
 
-    Mf = jax.lax.fori_loop(1, max_rows + 1, row_step, M0)
+        # advance the sequence window one sublane; admit seq1[b, r+k_max]
+        win2 = jnp.concatenate(
+            [win[1:, :], nc_ref[pl.ds(r - 1, 1), :].astype(dt)], axis=0)
+        return M2, win2
 
-    # out[b] = Mf[b, len1 - len2 + k_max]
+    Mf, _ = jax.lax.fori_loop(1, max_rows + 1, row_step,
+                              (M0, win0_ref[...].astype(dt)))
+
+    # out[b] = Mf[len1 - len2 + k_max, b]
     final_off = jnp.clip(len1 - len2 + k_max, 0, W - 1)
-    picked = jnp.where(offs == final_off, Mf, BIG)
-    out_ref[:, 0] = jnp.min(picked, axis=1)
+    picked = jnp.where(offs == final_off, Mf.astype(jnp.int32), BIG)
+    out_ref[0, :] = jnp.min(picked, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("max_rows", "k_max",
@@ -112,40 +136,48 @@ def banded_edit_distance_pallas(seq1, len1, seq2, len2, band, *,
     seq1 = seq1.astype(jnp.int32)
     seq2 = seq2.astype(jnp.int32)
 
-    # XLA-side gather: mism[b, r-1, o] = seq1[b, c-1] != seq2[b, r-1]
-    # with c = o + r - k_max; cells with c out of range are masked inside
-    # the kernel, so clipped gathers are harmless.
-    rows = jnp.arange(1, max_rows + 1, dtype=jnp.int32)       # (R,)
-    offs = jnp.arange(W, dtype=jnp.int32)                     # (W,)
-    c = offs[None, :] + rows[:, None] - k_max                 # (R, W)
-    idx1 = jnp.clip(c - 1, 0, seq1.shape[1] - 1)
-    ch1 = seq1[:, idx1]                                       # (B, R, W)
-    m_idx = jnp.clip(rows - 1, 0, seq2.shape[1] - 1)
-    ch2 = seq2[:, m_idx][:, :, None]                          # (B, R, 1)
-    mism = (ch1 != ch2).astype(jnp.int32)
+    # XLA-side gathers with STATIC index vectors (fused, tiny):
+    #   win0[o, b] = seq1[b, o - k_max]        (row-1 window)
+    #   nc[i, b]   = seq1[b, i + 1 + k_max]    (char admitted after row i+1)
+    #   ch2t[i, b] = seq2[b, i]                (row chars, transposed)
+    # out-of-range indices are clipped; those cells are masked in-kernel.
+    offs = jnp.arange(W, dtype=jnp.int32)
+    win0 = seq1[:, jnp.clip(offs - k_max, 0, seq1.shape[1] - 1)].T
+    rows = jnp.arange(max_rows, dtype=jnp.int32)
+    nc = seq1[:, jnp.clip(rows + 1 + k_max, 0, seq1.shape[1] - 1)].T
+    ch2t = seq2[:, jnp.clip(rows, 0, seq2.shape[1] - 1)].T
 
-    mism = jnp.pad(mism, ((0, Bp - B), (0, 0), (0, 0)))
+    def padb(v, fill=0):
+        return jnp.pad(v, ((0, 0), (0, Bp - B)), constant_values=fill)
+
+    win0, nc, ch2t = padb(win0), padb(nc), padb(ch2t)
 
     def pad1(v):
-        return jnp.pad(v.astype(jnp.int32), (0, Bp - B))[:, None]
+        return jnp.pad(v.astype(jnp.int32), (0, Bp - B))[None, :]
+
+    # int16 would halve VPU lanes-per-value, but this target's Mosaic
+    # rejects int16 vector min/compare ("Target does not support this
+    # comparison") — probed 2026-08: add16 OK, min16/ne16 FAIL.  The DP
+    # needs min at every step, so the int16 mode stays off until the
+    # toolchain supports it.
+    small = False
 
     grid = (Bp // _TB,)
+    row_spec = pl.BlockSpec((max_rows, _TB), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    one_spec = pl.BlockSpec((1, _TB), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kband_kernel, max_rows=max_rows, k_max=k_max),
-        out_shape=jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
+        functools.partial(_kband_kernel, max_rows=max_rows, k_max=k_max,
+                          small=small),
+        out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TB, max_rows, W), lambda i: (i, 0, 0),
+            pl.BlockSpec((W, _TB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TB, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TB, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TB, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            row_spec, row_spec, one_spec, one_spec, one_spec,
         ],
-        out_specs=pl.BlockSpec((_TB, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=one_spec,
         interpret=interpret,
-    )(mism, pad1(len1), pad1(len2), pad1(band))
-    return out[:B, 0]
+    )(win0, nc, ch2t, pad1(len1), pad1(len2), pad1(band))
+    return out[0, :B]
