@@ -88,6 +88,58 @@ def read_manifest(path: str):
     return jobs
 
 
+def _start_service(timeout_s: float = 120.0):
+    """Spawn the device service, wait for its socket, export
+    PINTRON_DEVICE_SERVICE.  Returns the process, or None on failure
+    (workers then fall back to in-process/host paths)."""
+    import subprocess
+    import sys
+    import tempfile
+    import time as _t
+
+    sock = os.path.join(tempfile.mkdtemp(prefix="pintron-svc-"),
+                        "dev.sock")
+    ready = sock + ".ready"
+    try:
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "pintron_tpu.devservice",
+             "--socket", sock, "--ready-file", ready])
+    except OSError:
+        return None
+    t0 = _t.monotonic()
+    while _t.monotonic() - t0 < timeout_s:
+        if os.path.exists(ready) and os.path.exists(sock):
+            os.environ["PINTRON_DEVICE_SERVICE"] = sock
+            return proc
+        if proc.poll() is not None:
+            return None
+        _t.sleep(0.1)
+    proc.terminate()
+    return None
+
+
+def _stop_service(proc) -> None:
+    sock = os.environ.pop("PINTRON_DEVICE_SERVICE", None)
+    if proc is None:
+        return
+    try:
+        if sock:
+            from multiprocessing.connection import Client
+
+            from pintron_tpu.devservice import AUTHKEY
+            conn = Client(sock, family="AF_UNIX", authkey=AUTHKEY)
+            conn.send(("shutdown", None))
+            conn.recv()
+            conn.close()
+        proc.wait(timeout=15)
+    except Exception:
+        proc.terminate()
+        try:
+            proc.wait(timeout=5)
+        except Exception:
+            proc.kill()
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pintron-batch")
     p.add_argument("--manifest", required=True,
@@ -106,6 +158,19 @@ def main(argv=None) -> int:
     per_locus = max(1, (os.cpu_count() or 1) // max(1, min(n_jobs,
                                                            len(jobs))))
     os.environ.setdefault("PINTRON_EST_WORKERS", str(per_locus))
+
+    # Device mode: start ONE chip-owning service for the whole sweep
+    # (pintron_tpu/devservice.py) and point every worker at it.  The
+    # workers' device batches merge across loci into single dispatches,
+    # compiled executables are cached once, and a worker blocked on a
+    # device round trip yields its core to another locus — with more
+    # jobs in flight than cores, device latency hides behind host work.
+    service_proc = None
+    if os.environ.get("PINTRON_DEVICE") \
+            and not os.environ.get("PINTRON_DEVICE_SERVICE"):
+        service_proc = _start_service()
+        if service_proc and args.jobs == 0:
+            n_jobs = 2 * (os.cpu_count() or 1)
 
     import multiprocessing
 
@@ -143,6 +208,7 @@ def main(argv=None) -> int:
         print(json.dumps(res), flush=True)
     for proc in procs:
         proc.join()
+    _stop_service(service_proc)
     ok = sum(1 for r in results if r["ok"])
     summary = {"jobs": len(jobs), "ok": ok, "failed": len(jobs) - ok,
                "seconds": round(time.time() - t0, 2)}

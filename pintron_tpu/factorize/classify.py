@@ -164,7 +164,8 @@ def precompute_bps_device(gen: str, pairs) -> int:
     exists_good_bps.  Returns the number of windows scored on device."""
     import numpy as np
 
-    from pintron_tpu.ops.pwm import pwm_tables, pwm_scores
+    from pintron_tpu.ops.offload import pwm_scores_batched
+    from pintron_tpu.ops.pwm import pwm_tables
 
     # overrides are per-locus: wipe anything from a previous locus and
     # pin the table to this gen object
@@ -220,8 +221,9 @@ def precompute_bps_device(gen: str, pairs) -> int:
             continue
         wpwm32, den, wl = lens[name]
         allrows = np.concatenate([rows for _, _, rows in items], axis=0)
-        scores = np.asarray(pwm_scores(allrows, wpwm32,
-                                       denominator=den))
+        # routed through the device service when configured (one
+        # chip-owning process per machine); local device op otherwise
+        scores = np.asarray(pwm_scores_batched(allrows, wpwm32, den))
         n_windows += allrows.shape[0]
         pos = 0
         for key, positions, rows in items:

@@ -35,9 +35,14 @@ def _p2(x: int, lo: int = 16) -> int:
     return v
 
 
-def _encode(seqs: Sequence[bytes], width: int):
-    out = np.zeros((len(seqs), width), dtype=np.int8)
-    lens = np.zeros((len(seqs),), dtype=np.int32)
+def _encode(seqs: Sequence[bytes], width: int, rows: int = 0):
+    """Pack byte strings into a padded int8 code batch.  ``rows`` pads
+    the BATCH axis too (extra all-zero problems): every distinct batch
+    size is a fresh XLA compile, so callers bucket B to powers of two
+    and slice the results back."""
+    B = max(len(seqs), rows)
+    out = np.zeros((B, width), dtype=np.int8)
+    lens = np.zeros((B,), dtype=np.int32)
     for i, s in enumerate(seqs):
         b = np.frombuffer(s, dtype=np.uint8)
         out[i, : len(b)] = b.astype(np.int8)
@@ -132,7 +137,7 @@ def _sharded_call(mesh, fn, arrays, ub, key=()):
 # problems actually evaluated on device, and DP cells computed there
 STATS = {"problems": 0, "device_problems": 0, "device_cells": 0,
          "batches": 0, "device_runs": 0, "pwm_windows": 0,
-         "device_timeouts": 0}
+         "device_timeouts": 0, "edit_problems": 0}
 
 
 def reset_stats() -> None:
@@ -155,6 +160,96 @@ _WEDGED = False
 
 def device_wedged() -> bool:
     return _WEDGED
+
+
+# ---- device-service client -----------------------------------------------
+# PINTRON_DEVICE_SERVICE=<unix socket> routes every device op to the
+# chip-owning service process (pintron_tpu/devservice.py) instead of a
+# local backend: worker processes never initialize JAX, compiled
+# executables are cached once for a whole multi-locus sweep, and the
+# service merges concurrent workers' batches into single dispatches.
+# All service calls run under device_call, so a dead service wedges
+# this worker onto the byte-identical host path.
+
+_SERVICE_CONN = None
+_SERVICE_LOCK = None
+
+
+def _service_conn():
+    global _SERVICE_CONN, _SERVICE_LOCK
+    addr = os.environ.get("PINTRON_DEVICE_SERVICE")
+    if not addr:
+        return None
+    if _SERVICE_CONN is None:
+        import threading
+        from multiprocessing.connection import Client
+
+        from pintron_tpu.devservice import AUTHKEY
+        _SERVICE_CONN = Client(addr, family="AF_UNIX", authkey=AUTHKEY)
+        _SERVICE_LOCK = threading.Lock()
+    return _SERVICE_CONN
+
+
+def service_eval(op: str, payload):
+    """Round-trip one op through the device service.  Returns the
+    result, or None when no service is configured.  Raises on service
+    errors (device_call turns that into a host fallback)."""
+    conn = _service_conn()
+    if conn is None:
+        return None
+    with _SERVICE_LOCK:
+        conn.send((op, payload))
+        status, res = conn.recv()
+    if status != "ok":
+        raise RuntimeError(f"device service: {res}")
+    return res
+
+
+def pwm_scores_batched(rows, wpwm, den):
+    """PWM scores via the service when configured, else the local op.
+    Same contract as ops.pwm.pwm_scores (f32, HIGHEST precision).  The
+    batch axis is padded to a power of two before the device op: every
+    distinct batch size is a fresh XLA compile, ruinous over a
+    remote-compile tunnel."""
+    r = service_eval("pwm", (rows, wpwm, float(den)))
+    if r is not None:
+        return r
+    enable_compile_cache()
+    from pintron_tpu.ops.pwm import pwm_scores
+    B = rows.shape[0]
+    Bp = _p2(B, lo=64)
+    if Bp != B:
+        rows = np.pad(rows, ((0, Bp - B), (0, 0)))
+    return np.asarray(pwm_scores(rows, wpwm,
+                                 denominator=float(den)))[:B]
+
+
+_CACHE_SET = False
+
+
+def enable_compile_cache() -> None:
+    """Point JAX at the persistent compilation cache (idempotent).
+    First compiles over a remote-attached chip cost tens of seconds;
+    the disk cache makes every later process warm for the standard
+    shape buckets.  PINTRON_COMPILE_CACHE overrides the location;
+    PINTRON_COMPILE_CACHE=0 disables."""
+    global _CACHE_SET
+    if _CACHE_SET:
+        return
+    _CACHE_SET = True
+    cache_dir = os.environ.get("PINTRON_COMPILE_CACHE",
+                               "/tmp/pintron-xla-cache")
+    if cache_dir in ("", "0"):
+        return
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
+    except Exception:
+        pass
 
 
 def device_call(fn, *args, what: str = "device batch"):
@@ -198,6 +293,63 @@ def device_call(fn, *args, what: str = "device batch"):
     return box.get("ok")
 
 
+def eval_edit_batch(pairs: List[Tuple[bytes, bytes]]):
+    """Bounded entry point: batched full unit-cost edit distances
+    (reference edit_distance, refine.c:50-83 semantics — the same
+    recurrence the host ``factorize.alignments.edit_distance``
+    computes).  Used for the predicted-introns donor/acceptor
+    error stats (main-intron-agreement.c:804-904), where every
+    (intron, supporting-EST) pair contributes two independent <=15nt
+    window distances — thousands of problems, one dispatch.  Returns
+    int32 distances, or None when the device is wedged/unavailable
+    (callers recompute on host)."""
+    return device_call(_eval_edit_batch_device, pairs,
+                       what="edit-distance device batch")
+
+
+def _eval_edit_batch_device(pairs: List[Tuple[bytes, bytes]]
+                            ) -> np.ndarray:
+    r = service_eval("edit", pairs)
+    if r is not None:
+        STATS["problems"] += len(pairs)
+        STATS["device_problems"] += len(pairs)
+        STATS["edit_problems"] += len(pairs)
+        return r
+    enable_compile_cache()
+    from pintron_tpu.ops.align import batch_edit_distance_score
+
+    out = np.zeros(len(pairs), dtype=np.int64)
+    groups = {}
+    for i, (a, b) in enumerate(pairs):
+        if a == b:
+            continue  # distance 0, no DP
+        # seq1 = the longer string (columns), seq2 = rows
+        if len(a) < len(b):
+            a, b = b, a
+        groups.setdefault((_p2(len(a)), _p2(max(len(b), 1))),
+                          []).append((i, a, b))
+
+    STATS["problems"] += len(pairs)
+    pending = []
+    for (N, M), items in sorted(groups.items()):
+        Bp = _p2(len(items), lo=64)
+        s1, l1 = _encode([a for _, a, _ in items], N, rows=Bp)
+        s2, l2 = _encode([b for _, _, b in items], M, rows=Bp)
+        r = batch_edit_distance_score(s1, l1, s2, l2, max_rows=M)
+        pending.append((items, r))
+        STATS["device_problems"] += len(items)
+        STATS["edit_problems"] = (STATS.get("edit_problems", 0)
+                                  + len(items))
+        STATS["device_cells"] += sum(
+            len(a) * len(b) for _, a, b in items)
+        STATS["batches"] += 1
+    for items, r in pending:
+        rn = np.asarray(r)
+        for (i, _a, _b), dist in zip(items, rn):
+            out[i] = int(dist)
+    return out
+
+
 def eval_kband(problems: List[Tuple[bytes, bytes, int]]):
     """Bounded entry point: evaluate the batch on device, or return
     None when the device is wedged/unavailable (the caller skips the
@@ -211,6 +363,13 @@ def _eval_kband_device(problems: List[Tuple[bytes, bytes, int]]
     """Evaluate a batch of (gen_window, est_window, max_err) K-band
     problems on the default JAX device.  Returns int64 ok flags with
     ep_kband's exact semantics (dp.c:3862-3878)."""
+    r = service_eval("kband", problems)
+    if r is not None:
+        STATS["problems"] += len(problems)
+        STATS["device_problems"] += len(problems)
+        STATS["batches"] += 1
+        return r
+    enable_compile_cache()
     import jax
 
     from pintron_tpu.ops.align import (banded_edit_distance,
@@ -262,10 +421,12 @@ def _eval_kband_device(problems: List[Tuple[bytes, bytes, int]]
 
     for N, items in sorted(full_groups.items()):
         M = _p2(max(len(b) for _, _, b, _ in items))
-        s1, l1 = _encode([a for _, a, _, _ in items], N)
-        s2, l2 = _encode([b for _, _, b, _ in items], M)
+        Bp = _p2(len(items), lo=64)
+        s1, l1 = _encode([a for _, a, _, _ in items], N, rows=Bp)
+        s2, l2 = _encode([b for _, _, b, _ in items], M, rows=Bp)
         if mesh is not None:
-            ubv = [ub for _, _, _, ub in items]
+            ubv = np.full(Bp, -1, dtype=np.int32)
+            ubv[:len(items)] = [ub for _, _, _, ub in items]
             r, _total = _sharded_call(
                 mesh,
                 lambda a, b, c, d: batch_edit_distance_score(
@@ -284,9 +445,11 @@ def _eval_kband_device(problems: List[Tuple[bytes, bytes, int]]
     for N, items in sorted(band_groups.items()):
         M = _p2(max(len(b) for _, _, b, _ in items))
         K = _p2(max(ub for _, _, _, ub in items), lo=2)
-        s1, l1 = _encode([a for _, a, _, _ in items], N)
-        s2, l2 = _encode([b for _, _, b, _ in items], M)
-        band = np.array([ub for _, _, _, ub in items], dtype=np.int32)
+        Bp = _p2(len(items), lo=64)
+        s1, l1 = _encode([a for _, a, _, _ in items], N, rows=Bp)
+        s2, l2 = _encode([b for _, _, b, _ in items], M, rows=Bp)
+        band = np.zeros(Bp, dtype=np.int32)
+        band[:len(items)] = [ub for _, _, _, ub in items]
         if mesh is not None:
             r, _total = _sharded_call(
                 mesh,

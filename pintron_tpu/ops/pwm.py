@@ -8,13 +8,13 @@ against the consensus-weighted PWM.  score = (sum_i cv_i * pwm[base_i, i])
 
 from __future__ import annotations
 
-import functools
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from pintron_tpu.factorize.pwm_data import CV, MAXV, PWM
+
+# jax is imported lazily: under the device-service model the worker
+# processes call pwm_tables/encode_windows but never run the device op,
+# and a jax import costs seconds per spawned worker on small loci.
 
 _BASE = np.full(256, -1, dtype=np.int32)
 for i, chars in enumerate(["Aa", "Cc", "Gg", "Tt"]):
@@ -42,7 +42,9 @@ def encode_windows(windows, L: int) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("denominator",))
+_PWM_SCORES_JIT = None
+
+
 def pwm_scores(base_idx, weighted_pwm, *, denominator: float):
     """Batched MatInspector scores.
 
@@ -53,10 +55,24 @@ def pwm_scores(base_idx, weighted_pwm, *, denominator: float):
 
     Returns: (B,) float32 scores in [0, 1].
     """
-    onehot = jax.nn.one_hot(base_idx, 4, dtype=jnp.float32)  # (B, L, 4)
-    # precision=highest: full-f32 multiplies — the TPU MXU default
-    # truncates operands to bf16, which would break the f32-vs-f64
-    # epsilon bound the exact-finishing pass relies on
-    picked = jnp.einsum("blc,cl->b", onehot, weighted_pwm,
-                        precision=jax.lax.Precision.HIGHEST)
-    return picked / denominator
+    global _PWM_SCORES_JIT
+    if _PWM_SCORES_JIT is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("denominator",))
+        def _impl(base_idx, weighted_pwm, *, denominator: float):
+            onehot = jax.nn.one_hot(base_idx, 4,
+                                    dtype=jnp.float32)  # (B, L, 4)
+            # precision=highest: full-f32 multiplies — the TPU MXU
+            # default truncates operands to bf16, which would break the
+            # f32-vs-f64 epsilon bound the exact-finishing pass relies on
+            picked = jnp.einsum("blc,cl->b", onehot, weighted_pwm,
+                                precision=jax.lax.Precision.HIGHEST)
+            return picked / denominator
+
+        _PWM_SCORES_JIT = _impl
+    return _PWM_SCORES_JIT(base_idx, weighted_pwm,
+                           denominator=denominator)

@@ -838,17 +838,21 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
     Returns the per-record six-blob tuples in file order, or None when
     the native/device path is unavailable (caller falls back)."""
     import io
+    import os
 
     import numpy as np
 
     from pintron_tpu.native import get_lib
-    try:
-        import jax  # noqa: F401 - probe only; offload imports it later
-    except Exception:
-        # PINTRON_DEVICE=1 without a usable jax: fall back to the CPU
-        # path like every other unavailability case instead of crashing
-        # mid-flight inside eval_kband
-        return None
+    if not os.environ.get("PINTRON_DEVICE_SERVICE"):
+        # local-device mode needs jax in-process; probe so an
+        # unavailable jax falls back to the CPU path like every other
+        # unavailability case instead of crashing inside eval_kband.
+        # (Service mode skips the import: the worker never runs a local
+        # backend and a jax import costs seconds per spawned worker.)
+        try:
+            import jax  # noqa: F401 - probe only
+        except Exception:
+            return None
     from pintron_tpu.ops.offload import eval_kband
     lib = get_lib()
     if (lib is None or not hasattr(lib, "est_collect_noisy")
@@ -949,28 +953,37 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                                     problems.append(p)
                                 idxs.append(j)
                             rec["probmap"] = (coords, idxs)
+                rec["prob_end"] = len(problems)
                 round_recs.append(rec)
 
-            # one device batch for the whole round's K-band problems;
-            # None = device wedged/unavailable (dispatch timeout) — skip
-            # the memo pre-fill and let the native cascade recompute
-            # every miss with the byte-identical host DPs
-            ok_all = eval_kband(problems) if problems else None
+            # Device evaluation of the round's K-band problems, chunked
+            # and double-buffered: chunk i+1's batch is IN FLIGHT while
+            # chunk i's cascades run on host, hiding the per-dispatch
+            # round trip behind host work (large rounds only — small
+            # rounds stay one batch so loci with few ESTs don't pay
+            # extra dispatches).  Problem indices are assigned in record
+            # order, so a record only references problems evaluated by
+            # its own or an earlier chunk.  A failed/wedged chunk leaves
+            # its slice invalid; those records skip the memo pre-fill
+            # and the native cascade recomputes on host (byte-identical).
+            ok_global = np.zeros(len(problems), dtype=np.int64)
+            ok_valid = np.zeros(len(problems), dtype=bool)
 
-            for rec in round_recs:
+            def run_cascade(rec):
                 att = rec["att"]
                 est = rec["est"]
-                if (ok_all is not None and rec["probmap"] is not None
-                        and rec["probmap"][1]):
+                if rec["probmap"] is not None and rec["probmap"][1]:
                     coords, idxs = rec["probmap"]
-                    okvec = np.ascontiguousarray(
-                        ok_all[np.asarray(idxs, dtype=np.int64)])
-                    lib.epm_fill_noisy(
-                        gen_seq_bytes, len(gen_seq_bytes),
-                        rec["est_bytes"], len(rec["est_bytes"]),
-                        rec["est_orig_bytes"], len(rec["est_orig_bytes"]),
-                        coords.ctypes.data, okvec.ctypes.data,
-                        len(idxs))
+                    ivec = np.asarray(idxs, dtype=np.int64)
+                    if bool(ok_valid[ivec].all()):
+                        okvec = np.ascontiguousarray(ok_global[ivec])
+                        lib.epm_fill_noisy(
+                            gen_seq_bytes, len(gen_seq_bytes),
+                            rec["est_bytes"], len(rec["est_bytes"]),
+                            rec["est_orig_bytes"],
+                            len(rec["est_orig_bytes"]),
+                            coords.ctypes.data, okvec.ctypes.data,
+                            len(idxs))
 
                 t_fact0 = time.monotonic()
                 deadline = rec.get("deadline")
@@ -1009,17 +1022,60 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                     write_multifasta_output(gen, factorized, raw,
                                             config.retain_externals)
                     pests.write(f">{est.est_id}\n{est.original_seq}\n")
-                    continue  # unit resolved (RC copy skipped)
+                    return  # unit resolved (RC copy skipped)
                 if timeout:
                     att["inc"] += 1
                     next_attempts.append(att)
-                    continue
+                    return
                 # resolved with no factorizations: try the RC copy
                 if (att["est_idx"] == 0
                         and len(units[att["unit"]]) > 1):
                     next_attempts.append(
                         {"unit": att["unit"], "est_idx": 1, "inc": 0,
                          "prev_tp": 0, "prev_te": 0})
+
+            n_chunks = (1 if len(round_recs) <= 128
+                        else min(16, max(1, len(round_recs) // 64)))
+            step = max(1, (len(round_recs) + n_chunks - 1) // n_chunks)
+            bounds = [(round_recs[c0:c0 + step],
+                       round_recs[min(c0 + step, len(round_recs)) - 1]
+                       ["prob_end"])
+                      for c0 in range(0, len(round_recs), step)]
+
+            import concurrent.futures as _futmod
+            pool = (_futmod.ThreadPoolExecutor(max_workers=1)
+                    if len(bounds) > 1 else None)
+
+            def _launch(lo, hi):
+                if hi <= lo:
+                    return None
+                sub = problems[lo:hi]
+                if pool is None:
+                    return ("done", eval_kband(sub), lo, hi)
+                return ("fut", pool.submit(eval_kband, sub), lo, hi)
+
+            try:
+                prev_end = 0
+                inflight = _launch(0, bounds[0][1]) if bounds else None
+                for ci, (recs_c, pend) in enumerate(bounds):
+                    if inflight is not None:
+                        kind, val, lo, hi = inflight
+                        res = val if kind == "done" else val.result()
+                        if res is not None:
+                            ok_global[lo:hi] = res
+                            ok_valid[lo:hi] = True
+                        prev_end = hi
+                    # launch the NEXT chunk's batch before this chunk's
+                    # host cascades
+                    if ci + 1 < len(bounds):
+                        inflight = _launch(prev_end, bounds[ci + 1][1])
+                    else:
+                        inflight = None
+                    for rec in recs_c:
+                        run_cascade(rec)
+            finally:
+                if pool is not None:
+                    pool.shutdown(wait=True)
             attempts = next_attempts
 
         from pintron_tpu.ops import offload as _off

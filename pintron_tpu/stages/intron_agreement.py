@@ -799,6 +799,40 @@ def run_intron_agreement(workdir: str = ".") -> None:
     strand = _atoi(gen.strand_as_read or "")
 
     registry_sorted = sorted(registry, key=lambda g: (g.start, g.end))
+
+    # TPU offload (PINTRON_DEVICE=1): every intron's donor/acceptor
+    # edit-error stats in ONE device batch — two independent <=15nt
+    # window edit distances per (intron, supporting EST) pair
+    # (reference main-intron-agreement.c:804-904).  Exact: the device op
+    # is the same unit-cost recurrence as the host edit_distance; a
+    # wedged device (None) leaves edit_memo empty and the loop below
+    # computes each pair on host.
+    edit_memo = None
+    if _os.environ.get("PINTRON_DEVICE"):
+        try:
+            from pintron_tpu.ops.offload import eval_edit_batch
+            pairs = []
+            for gi in registry_sorted:
+                if not gi.info:
+                    continue
+                d_sfx = real_substring(gi.start - 15, 15, gen_seq)
+                a_pfx = real_substring(gi.end + 1, 15, gen_seq)
+                for einfo, est_cut in gi.info:
+                    pairs.append((d_sfx.encode("latin1"),
+                                  real_substring(est_cut + 1 - 15, 15,
+                                                 einfo.seq)
+                                  .encode("latin1")))
+                    pairs.append((a_pfx.encode("latin1"),
+                                  real_substring(est_cut + 1, 15,
+                                                 einfo.seq)
+                                  .encode("latin1")))
+            if pairs:
+                dists = eval_edit_batch(pairs)
+                if dists is not None:
+                    edit_memo = iter(dists.tolist())
+        except Exception:
+            edit_memo = None   # host path computes everything
+
     with open(wpath("predicted-introns.txt"), "w") as gtf_out:
         first_time = True
         for gi in registry_sorted:
@@ -830,6 +864,10 @@ def run_intron_agreement(workdir: str = ".") -> None:
             tot_acceptor_edit = 0
             for einfo, est_cut in gi.info:
                 gtf_out.write(f"{einfo.gb},")
+                if edit_memo is not None:
+                    tot_donor_edit += next(edit_memo)
+                    tot_acceptor_edit += next(edit_memo)
+                    continue
                 donor_EST_suffix = real_substring(est_cut + 1 - 15, 15,
                                                   einfo.seq)
                 acceptor_EST_prefix = real_substring(est_cut + 1, 15,

@@ -169,6 +169,8 @@ def test_device_stage4_pwm_byte_identical():
 
     assert off.STATS.get("pwm_windows", 0) > 0, \
         "PWM sweep never reached the device"
+    assert off.STATS.get("edit_problems", 0) > 0, \
+        "predicted-introns edit stats never reached the device"
     for name in ("out-after-intron-agree.txt", "predicted-introns.txt"):
         with open(os.path.join(gold, name), "rb") as f:
             g = f.read()
