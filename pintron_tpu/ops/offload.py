@@ -35,6 +35,17 @@ def _p2(x: int, lo: int = 16) -> int:
     return v
 
 
+def _p4(x: int, lo: int = 16) -> int:
+    """Power-of-FOUR bucket: every distinct compiled shape costs a
+    (potentially tens-of-seconds) remote compile and a dispatch per
+    batch, so sequence-length axes use coarse buckets — padding waste
+    on the device is microseconds, extra dispatches are not."""
+    v = lo
+    while v < x:
+        v <<= 2
+    return v
+
+
 def _encode(seqs: Sequence[bytes], width: int, rows: int = 0):
     """Pack byte strings into a padded int8 code batch.  ``rows`` pads
     the BATCH axis too (extra all-zero problems): every distinct batch
@@ -309,27 +320,33 @@ def eval_edit_batch(pairs: List[Tuple[bytes, bytes]]):
 
 def _eval_edit_batch_device(pairs: List[Tuple[bytes, bytes]]
                             ) -> np.ndarray:
-    r = service_eval("edit", pairs)
-    if r is not None:
-        STATS["problems"] += len(pairs)
-        STATS["device_problems"] += len(pairs)
-        STATS["edit_problems"] += len(pairs)
-        return r
-    enable_compile_cache()
-    from pintron_tpu.ops.align import batch_edit_distance_score
-
     out = np.zeros(len(pairs), dtype=np.int64)
-    groups = {}
+    rest = []
     for i, (a, b) in enumerate(pairs):
         if a == b:
             continue  # distance 0, no DP
         # seq1 = the longer string (columns), seq2 = rows
         if len(a) < len(b):
             a, b = b, a
-        groups.setdefault((_p2(len(a)), _p2(max(len(b), 1))),
-                          []).append((i, a, b))
-
+        rest.append((i, a, b))
     STATS["problems"] += len(pairs)
+    if not rest:
+        return out
+
+    r = service_eval("edit", [(a, b) for _, a, b in rest])
+    if r is not None:
+        STATS["device_problems"] += len(rest)
+        STATS["edit_problems"] += len(rest)
+        for (i, _a, _b), v in zip(rest, r):
+            out[i] = int(v)
+        return out
+    enable_compile_cache()
+    from pintron_tpu.ops.align import batch_edit_distance_score
+
+    groups = {}
+    for i, a, b in rest:
+        groups.setdefault((_p4(len(a)), _p4(max(len(b), 1))),
+                          []).append((i, a, b))
     pending = []
     for (N, M), items in sorted(groups.items()):
         Bp = _p2(len(items), lo=64)
@@ -363,12 +380,34 @@ def _eval_kband_device(problems: List[Tuple[bytes, bytes, int]]
     """Evaluate a batch of (gen_window, est_window, max_err) K-band
     problems on the default JAX device.  Returns int64 ok flags with
     ep_kband's exact semantics (dp.c:3862-3878)."""
-    r = service_eval("kband", problems)
+    # Trivial verdicts (equal strings, zero budget, length gap over
+    # budget — ep_kband's short-circuits) are answered HERE: only the
+    # residue needing a real DP crosses the service socket or reaches
+    # the device.
+    ok = np.zeros(len(problems), dtype=np.int64)
+    rest = []
+    for i, (g, e, ub) in enumerate(problems):
+        if len(g) == len(e) and g == e:
+            ok[i] = 1
+            continue
+        if ub == 0:
+            continue
+        a, b = (g, e) if len(g) >= len(e) else (e, g)
+        if len(a) - len(b) > ub:
+            continue
+        rest.append((i, a, b, ub))
+    STATS["problems"] += len(problems)
+    if not rest:
+        return ok
+
+    r = service_eval("kband", [(a, b, ub) for _, a, b, ub in rest])
     if r is not None:
-        STATS["problems"] += len(problems)
-        STATS["device_problems"] += len(problems)
+        STATS["device_problems"] += len(rest)
         STATS["batches"] += 1
-        return r
+        for (i, _a, _b, _ub), v in zip(rest, r):
+            ok[i] = int(v)
+        return ok
+
     enable_compile_cache()
     import jax
 
@@ -382,29 +421,19 @@ def _eval_kband_device(problems: List[Tuple[bytes, bytes, int]]
     # PINTRON_DEVICE_XLA=1 opts back into the XLA op.
     use_pallas = not bool(os.environ.get("PINTRON_DEVICE_XLA"))
     pallas_interpret = jax.default_backend() == "cpu"
-    ok = np.zeros(len(problems), dtype=np.int64)
     full_groups = {}
     band_groups = {}
-    for i, (g, e, ub) in enumerate(problems):
-        if len(g) == len(e) and g == e:
-            ok[i] = 1
-            continue
-        if ub == 0:
-            continue
-        a, b = (g, e) if len(g) >= len(e) else (e, g)
-        n, m = len(a), len(b)
-        if n - m > ub:
-            continue
+    for i, a, b, ub in rest:
+        n = len(a)
         # one group per longer-length class: M/K pad to the group maxima
         # at call time, so a whole batch costs a couple of device
         # dispatches instead of one per (N, M, K) combination — dispatch
         # latency dominates on small loci
         if 2 * ub + 1 >= n:
-            full_groups.setdefault(_p2(n), []).append((i, a, b, ub))
+            full_groups.setdefault(_p4(n), []).append((i, a, b, ub))
         else:
-            band_groups.setdefault(_p2(n), []).append((i, a, b, ub))
+            band_groups.setdefault(_p4(n), []).append((i, a, b, ub))
 
-    STATS["problems"] += len(problems)
     mesh = _mesh()
 
     # Launch every bucket group before forcing any result: JAX dispatch
@@ -420,7 +449,7 @@ def _eval_kband_device(problems: List[Tuple[bytes, bytes, int]]
         annot = lambda _name: contextlib.nullcontext()  # noqa: E731
 
     for N, items in sorted(full_groups.items()):
-        M = _p2(max(len(b) for _, _, b, _ in items))
+        M = _p4(max(len(b) for _, _, b, _ in items))
         Bp = _p2(len(items), lo=64)
         s1, l1 = _encode([a for _, a, _, _ in items], N, rows=Bp)
         s2, l2 = _encode([b for _, _, b, _ in items], M, rows=Bp)
@@ -443,7 +472,7 @@ def _eval_kband_device(problems: List[Tuple[bytes, bytes, int]]
         STATS["batches"] += 1
 
     for N, items in sorted(band_groups.items()):
-        M = _p2(max(len(b) for _, _, b, _ in items))
+        M = _p4(max(len(b) for _, _, b, _ in items))
         K = _p2(max(ub for _, _, _, ub in items), lo=2)
         Bp = _p2(len(items), lo=64)
         s1, l1 = _encode([a for _, a, _, _ in items], N, rows=Bp)

@@ -821,7 +821,8 @@ def _own_meg_arrays(flat):
 
 def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                       gen_seq_bytes: bytes, config: Config,
-                      ests_path: str, fresh: bool = False):
+                      ests_path: str, fresh: bool = False,
+                      shard: Tuple[int, int] = (0, 1)):
     """Device-offload est-fact flow (PINTRON_DEVICE=1).
 
     The per-EST cascade's regular DP workload — the noisy-exon K-band
@@ -874,9 +875,13 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
 
     _WORKER_CTX = (gen, tree, gen_seq_bytes, config)
     try:
+        # shard=(w, n): this process owns units w, w+n, w+2n, ... —
+        # the data-parallel EST axis (main-est-fact.c:249-291) split
+        # round-robin across device-flow fork workers
         attempts = [{"unit": i, "est_idx": 0, "inc": 0,
                      "prev_tp": 0, "prev_te": 0}
-                    for i in range(len(units))]
+                    for i in range(len(units))
+                    if i % shard[1] == shard[0]]
         while attempts:
             round_recs = []
             problems = []        # deduped global device batch
@@ -1034,8 +1039,8 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                         {"unit": att["unit"], "est_idx": 1, "inc": 0,
                          "prev_tp": 0, "prev_te": 0})
 
-            n_chunks = (1 if len(round_recs) <= 128
-                        else min(16, max(1, len(round_recs) // 64)))
+            n_chunks = (1 if len(round_recs) <= 256
+                        else min(4, max(1, len(round_recs) // 128)))
             step = max(1, (len(round_recs) + n_chunks - 1) // n_chunks)
             bounds = [(round_recs[c0:c0 + step],
                        round_recs[min(c0 + step, len(round_recs)) - 1]
@@ -1046,31 +1051,33 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
             pool = (_futmod.ThreadPoolExecutor(max_workers=1)
                     if len(bounds) > 1 else None)
 
-            def _launch(lo, hi):
-                if hi <= lo:
-                    return None
-                sub = problems[lo:hi]
-                if pool is None:
-                    return ("done", eval_kband(sub), lo, hi)
-                return ("fut", pool.submit(eval_kband, sub), lo, hi)
-
+            # Submit EVERY chunk's device batch up front: the single
+            # executor thread evaluates them serially ahead of the
+            # cascades, so the device/service round trips pipeline
+            # back-to-back while this thread works through chunk i's
+            # host cascades (the native calls release the GIL).
             try:
+                launches = []
                 prev_end = 0
-                inflight = _launch(0, bounds[0][1]) if bounds else None
-                for ci, (recs_c, pend) in enumerate(bounds):
-                    if inflight is not None:
-                        kind, val, lo, hi = inflight
+                for recs_c, pend in bounds:
+                    lo, hi = prev_end, pend
+                    prev_end = pend
+                    if hi <= lo:
+                        launches.append(None)
+                    elif pool is None:
+                        launches.append(
+                            ("done", eval_kband(problems[lo:hi]), lo, hi))
+                    else:
+                        launches.append(
+                            ("fut", pool.submit(eval_kband,
+                                                problems[lo:hi]), lo, hi))
+                for (recs_c, pend), launch in zip(bounds, launches):
+                    if launch is not None:
+                        kind, val, lo, hi = launch
                         res = val if kind == "done" else val.result()
                         if res is not None:
                             ok_global[lo:hi] = res
                             ok_valid[lo:hi] = True
-                        prev_end = hi
-                    # launch the NEXT chunk's batch before this chunk's
-                    # host cascades
-                    if ci + 1 < len(bounds):
-                        inflight = _launch(prev_end, bounds[ci + 1][1])
-                    else:
-                        inflight = None
                     for rec in recs_c:
                         run_cascade(rec)
             finally:
@@ -1081,9 +1088,82 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
         from pintron_tpu.ops import offload as _off
         _off.STATS["device_runs"] = _off.STATS.get("device_runs", 0) + 1
         return [(i, tuple(s.getvalue() for s in b))
-                for i, b in enumerate(bufs)]
+                for i, b in enumerate(bufs)
+                if i % shard[1] == shard[0]]
     finally:
         _WORKER_CTX = None
+
+
+def _run_units_device_forked(gen: mf.EstInfo, tree: SuffixTree,
+                             gen_seq_bytes: bytes, config: Config,
+                             ests_path: str, fresh: bool,
+                             nworkers: int):
+    """Device flow sharded across fork workers, all feeding the ONE
+    chip-owning service (PINTRON_DEVICE_SERVICE): the host cascade
+    parallelizes across cores like the CPU fork pool, while every
+    worker's K-band batches merge on the service — without this the
+    single-process device flow can never beat the multi-worker CPU
+    path, whatever the chip does.  Requires the service (children must
+    not each initialize a local JAX backend).  Returns the per-unit
+    blobs in unit order, or None on any worker failure (caller falls
+    back to the pool/sequential path, recomputing deterministically)."""
+    import multiprocessing
+
+    ctx = multiprocessing.get_context("fork")
+    pipes = []
+    procs = []
+
+    def child_main(w, pw):
+        import pintron_tpu.ops.offload as off
+
+        # the parent's service socket must not be shared across forks,
+        # and the inherited STATS snapshot must not be re-merged into
+        # the parent (children report only their own work)
+        off._SERVICE_CONN = None
+        off._SERVICE_LOCK = None
+        off.reset_stats()
+        try:
+            dev = _run_units_device(gen, tree, gen_seq_bytes, config,
+                                    ests_path, fresh=fresh,
+                                    shard=(w, nworkers))
+            pw.send(("ok", dev, dict(off.STATS)))
+        except BaseException as e:  # noqa: BLE001 - report to parent
+            try:
+                pw.send(("err", f"{type(e).__name__}: {e}", None))
+            except OSError:
+                pass
+        finally:
+            pw.close()
+
+    for w in range(nworkers):
+        pr, pw = ctx.Pipe(duplex=False)
+        proc = ctx.Process(target=child_main, args=(w, pw))
+        proc.start()
+        pw.close()
+        procs.append(proc)
+        pipes.append(pr)
+
+    import pintron_tpu.ops.offload as off
+    merged = {}
+    ok = True
+    for pr, proc in zip(pipes, procs):
+        try:
+            status, payload, stats = pr.recv()
+        except (EOFError, OSError):
+            status, payload, stats = None, None, None
+        if status == "ok" and payload is not None:
+            for i, blobs in payload:
+                merged[i] = blobs
+            for k, v in (stats or {}).items():
+                if k != "device_runs":
+                    off.STATS[k] = off.STATS.get(k, 0) + v
+        else:
+            ok = False
+        proc.join()
+    if not ok:
+        return None
+    off.STATS["device_runs"] = off.STATS.get("device_runs", 0) + 1
+    return [(i, merged[i]) for i in sorted(merged)]
 
 
 def _native_unit_process(unit: List[mf.EstInfo], gen: mf.EstInfo,
@@ -1502,8 +1582,17 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
         cached = _SEQ_TREE_CACHE
         if fresh or cached is None or cached[0] != gen_seq_bytes:
             _SEQ_TREE_CACHE = (gen_seq_bytes, SuffixTree(gen_seq_bytes))
-        dev = _run_units_device(gen, _SEQ_TREE_CACHE[1], gen_seq_bytes,
-                                config, wpath("ests.txt"), fresh=fresh)
+        if os.environ.get("PINTRON_DEVICE_SERVICE") and nworkers > 1:
+            # service mode: shard the device flow across fork workers
+            # (host cascade on all cores, device batches merged on the
+            # one chip-owning service)
+            dev = _run_units_device_forked(
+                gen, _SEQ_TREE_CACHE[1], gen_seq_bytes, config,
+                wpath("ests.txt"), fresh, nworkers)
+        else:
+            dev = _run_units_device(gen, _SEQ_TREE_CACHE[1],
+                                    gen_seq_bytes, config,
+                                    wpath("ests.txt"), fresh=fresh)
         if dev is not None:
             results = [blobs for _rec, blobs in dev]
     if results is None and nworkers > 1:

@@ -49,7 +49,9 @@ def gather_inputs(case: str, dest: pathlib.Path) -> bool:
 
 
 def main():
-    cases = sys.argv[1:] or sorted(
+    args = [a for a in sys.argv[1:] if a != "--device"]
+    device = "--device" in sys.argv[1:]
+    cases = args or sorted(
         p.name[:-7] for p in GOLDEN.glob("test*.tar.gz"))
     root = pathlib.Path(tempfile.mkdtemp(prefix="batch-sweep-"))
     manifest = root / "jobs.tsv"
@@ -67,12 +69,20 @@ def main():
                      f"{cdir / 'ests.txt'}\t{gene}\thuman\n")
             usable.append((case, gene, cdir, wd))
 
+    env = dict(os.environ)
+    jobs = "2"
+    if device:
+        # device mode: PINTRON_DEVICE=1 makes the batch driver spawn
+        # the chip-owning service and route every worker's DP batches
+        # through it; outputs must stay byte-identical to the CPU path
+        env["PINTRON_DEVICE"] = "1"
+        jobs = "0"   # let the driver oversubscribe to hide round trips
     t0 = time.time()
     r = subprocess.run(
         [sys.executable, "-m", "pintron_tpu.batch",
-         "--manifest", str(manifest), "--jobs", "2",
+         "--manifest", str(manifest), "--jobs", jobs,
          "--summary", str(root / "summary.jsonl")],
-        cwd=REPO, capture_output=True, text=True)
+        cwd=REPO, capture_output=True, text=True, env=env)
     dt = time.time() - t0
     if r.returncode:
         print(f"BATCH FAILED rc={r.returncode}")
@@ -80,7 +90,8 @@ def main():
         print(r.stderr[-1500:])
         sys.exit(1)
     summary = json.loads(r.stdout.strip().splitlines()[-1])
-    print(f"batch sweep: {summary['jobs']} loci in {dt:.1f}s "
+    print(f"batch sweep{' (device)' if device else ''}: "
+          f"{summary['jobs']} loci in {dt:.1f}s "
           f"({summary['ok']} ok)")
 
     fails = 0
