@@ -145,29 +145,102 @@ def measure_device_kernel():
 def measure_device_mode(workdir: str, n_ests: int):
     """Secondary channel: est-fact wall time with the TPU-offload flow
     on (PINTRON_DEVICE=1) — the production device path end-to-end on
-    the real chip (fresh-locus semantics like the headline)."""
+    the real chip, in the production configuration: the chip-owning
+    device service + fork-sharded device flow (host cascade on all
+    cores, device batches merged on the service).  Also reports the
+    honest offload fraction: device-evaluated DP cells over all
+    alignment-DP cells (device + the native host census)."""
     try:
         import jax
         if jax.devices()[0].platform == "cpu":
             return {}
-        from pintron_tpu.stages.est_fact import run_est_fact
         import pintron_tpu.ops.offload as off
+        from pintron_tpu.batch import _start_service, _stop_service
+        from pintron_tpu.native import dp_census, dp_census_reset
+        from pintron_tpu.stages.est_fact import run_est_fact
         os.environ["PINTRON_DEVICE"] = "1"
         os.environ["PINTRON_FRESH_MEMO"] = "1"
+        svc = _start_service()
         try:
-            off.reset_stats()
             run_est_fact(workdir)   # warm (compiles)
+            off.reset_stats()
+            dp_census_reset()
             best = float("inf")
+            runs = 0
             for _ in range(3):
                 t0 = time.perf_counter()
                 run_est_fact(workdir)
                 best = min(best, time.perf_counter() - t0)
+                runs += 1
         finally:
+            _stop_service(svc)
             del os.environ["PINTRON_DEVICE"]
             del os.environ["PINTRON_FRESH_MEMO"]
+        host = dict(off.HOST_CENSUS)
+        local = dp_census() or {}
+        for k, v in local.items():
+            host[k] = host.get(k, 0) + v
+        host_cells = sum(host.values())
+        dev_cells = off.STATS["device_cells"]
+        frac = (dev_cells / (dev_cells + host_cells)
+                if dev_cells + host_cells else 0.0)
         return {"device_mode_ests_per_s": round(n_ests / best, 2),
                 "device_mode_problems_offloaded":
-                    off.STATS["device_problems"]}
+                    off.STATS["device_problems"] // max(1, runs),
+                "device_cell_fraction": round(frac, 4),
+                "host_cells_by_family":
+                    {k: v // max(1, runs) for k, v in host.items()},
+                "device_cells_per_run":
+                    dev_cells // max(1, runs)}
+    except Exception:
+        return {}
+
+
+def measure_device_stress():
+    """Device-vs-CPU head-to-head at production scale: the 1 Mb x 5000
+    synthetic stress locus (tools/scale_stress.py), fresh-locus work,
+    interleaved best-of so the shared box's load drift cancels.  This is
+    the scale where the device path's fixed costs (service spawn, fork
+    setup, dispatch round trips) amortize; the small-locus AMBN channel
+    above deliberately shows the unamortized cost."""
+    try:
+        import jax
+        if jax.devices()[0].platform == "cpu":
+            return {}
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from scale_stress import make_case
+
+        import pintron_tpu.ops.offload as off
+        from pintron_tpu.batch import _start_service, _stop_service
+        from pintron_tpu.stages.est_fact import run_est_fact
+        work = tempfile.mkdtemp(prefix="pintron-stress-")
+        make_case(work, 1_000_000, 5000, 7)
+        os.environ["PINTRON_FRESH_MEMO"] = "1"
+        os.environ["PINTRON_DEVICE"] = "1"
+        svc = _start_service()
+        best_dev = best_cpu = float("inf")
+        try:
+            run_est_fact(work)   # warm compiles/caches
+            off.reset_stats()
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_est_fact(work)
+                best_dev = min(best_dev, time.perf_counter() - t0)
+                del os.environ["PINTRON_DEVICE"]
+                t0 = time.perf_counter()
+                run_est_fact(work)
+                best_cpu = min(best_cpu, time.perf_counter() - t0)
+                os.environ["PINTRON_DEVICE"] = "1"
+        finally:
+            _stop_service(svc)
+            del os.environ["PINTRON_DEVICE"]
+            del os.environ["PINTRON_FRESH_MEMO"]
+        shutil.rmtree(work, ignore_errors=True)
+        return {"stress_device_ests_per_s": round(5000 / best_dev, 1),
+                "stress_cpu_ests_per_s": round(5000 / best_cpu, 1),
+                "stress_device_vs_cpu": round(best_cpu / best_dev, 3),
+                "stress_device_problems":
+                    off.STATS["device_problems"] // 3}
     except Exception:
         return {}
 
@@ -293,6 +366,7 @@ if __name__ == "__main__":
         res = {}
         res.update(measure_device_kernel())
         res.update(measure_device_mode(sys.argv[2], int(sys.argv[3])))
+        res.update(measure_device_stress())
         print(json.dumps(res))
         sys.exit(0)
     main()

@@ -260,6 +260,29 @@ _SCRATCH = None
 _NP_SCRATCH = {}
 
 
+def dp_census():
+    """Host-computed DP cells per family since the last reset (the
+    native counters in dp.c): the denominator side of bench.py's
+    device_cell_fraction.  Returns a dict, or None when the native
+    library (or an old build) lacks the counters."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "dp_census_get"):
+        return None
+    import numpy as np
+    lib.dp_census_get.restype = None
+    lib.dp_census_get.argtypes = [ctypes.c_void_p]
+    out = np.zeros(5, dtype=np.int64)
+    lib.dp_census_get(out.ctypes.data)
+    names = ("kband", "edit", "nw", "gap_align", "refine_borders")
+    return {n: int(v) for n, v in zip(names, out)}
+
+
+def dp_census_reset() -> None:
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "dp_census_reset"):
+        lib.dp_census_reset()
+
+
 def np_scratch(key: str, n: int):
     """Return (int64 array of size >= n, base pointer)."""
     import numpy as np

@@ -29,6 +29,23 @@ static inline int64_t min3(int64_t a, int64_t b, int64_t c) {
  * path is the band-offset wavefront kband_core further below.
  * seq1 must be the longer sequence; callers handle the swap/shortcuts.
  * Returns the final band cell value M[n+k-m]. */
+/* ---- DP cell census ---------------------------------------------------
+ * Host-computed DP cells per family, for the honest offload-fraction
+ * metric (bench.py device_cell_fraction): 0=kband 1=edit 2=nw
+ * 3=gap-align 4=refine-borders.  Per-process, non-atomic: every DP
+ * core runs on the process's main thread. */
+int64_t dp_census[5] = {0, 0, 0, 0, 0};
+
+void dp_census_get(int64_t *out5) {
+    int i;
+    for (i = 0; i < 5; i++) out5[i] = dp_census[i];
+}
+
+void dp_census_reset(void) {
+    int i;
+    for (i = 0; i < 5; i++) dp_census[i] = 0;
+}
+
 static int64_t kband_core_wide(const char *seq1, int64_t n,
                                const char *seq2, int64_t m, int64_t k) {
     int64_t w = 2 * k + 1;
@@ -366,6 +383,7 @@ int64_t kband_core(const char *seq1, int64_t n, const char *seq2,
     int64_t W = 2 * k + 1;
     int16_t *M1, *cand;
     int64_t r, o;
+    dp_census[0] += m * W;
     if (n + W + 4 >= 15500)
         return kband_core_wide(seq1, n, seq2, m, k);
     if (2 * (W + 2) > buf_cap) {
@@ -1578,6 +1596,7 @@ static void gap_align_fill_packed32(const char *est, int64_t n,
 static void gap_align_fill_packed(const char *est, int64_t n,
                                   const char *gen, int64_t m,
                                   int8_t *comb, int64_t *finals) {
+    dp_census[3] += 3 * (n + 1) * (m + 1);
     if (n + m < I16_LIMIT)
         gap_align_fill_packed16(est, n, gen, m, comb, finals);
     else
@@ -1621,6 +1640,7 @@ void gap_align_fill(const char *est, int64_t n, const char *gen, int64_t m,
  * (l2+1)x(l1+1) output. */
 void edit_matrix(const char *s1, int64_t l1, const char *s2, int64_t l2,
                  int64_t *M) {
+    dp_census[1] += (l1 + 1) * (l2 + 1);
     int64_t i, j;
     for (j = 0; j <= l1; j++) M[j] = j;
     for (i = 1; i <= l2; i++) {
@@ -1734,6 +1754,7 @@ void refine_borders_core(const char *p, int64_t lp, int64_t min_cut,
                          int64_t max_cut, const char *t, int64_t lt,
                          int64_t max_errs, int64_t *out6) {
     int64_t tw = lp + max_errs < lt ? lp + max_errs : lt;
+    dp_census[4] += 2 * (lp + 1) * (tw + 1);
     /* row minima (value, first position) of the (lp+1) x (tw+1) edit
      * matrix with rows over p prefixes, for the forward and reversed
      * strings.  Rows are int32 in the same pass form as nw_align
@@ -1941,6 +1962,7 @@ int64_t nw_align_run(const char *est, int64_t n, const char *gen, int64_t m,
         *out_len = n;
         return 0;
     }
+    dp_census[2] += (n + 1) * (m + 1);
     dirs = dir_scratch_get((n + 1) * stride);
     if (!dirs) return -1;
     score = nw_align(est, n, gen, m, dirs);
@@ -3146,6 +3168,7 @@ int64_t meg_format(
  * edit_matrix is only needed when callers read interior cells; most call
  * sites use just the total).  Same literal-char semantics as edit_matrix. */
 int64_t edit_total(const char *s1, int64_t l1, const char *s2, int64_t l2) {
+    dp_census[1] += (l1 + 1) * (l2 + 1);
     if (l1 == 0) return l2;
     if (l2 == 0) return l1;
     if (l1 == l2 && memcmp(s1, s2, (size_t)l1) == 0) return 0;

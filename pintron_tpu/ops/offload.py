@@ -151,9 +151,17 @@ STATS = {"problems": 0, "device_problems": 0, "device_cells": 0,
          "device_timeouts": 0, "edit_problems": 0}
 
 
+# Forked device-flow children ship their native host-DP cell census
+# (pintron_tpu.native.dp_census) back to the parent here, so a parent
+# process can report the honest host-vs-device cell split even though
+# the children's native counters die with them.
+HOST_CENSUS: dict = {}
+
+
 def reset_stats() -> None:
     for k in STATS:
         STATS[k] = 0
+    HOST_CENSUS.clear()
 
 
 # ---- bounded dispatch ----------------------------------------------------
@@ -337,6 +345,8 @@ def _eval_edit_batch_device(pairs: List[Tuple[bytes, bytes]]
     if r is not None:
         STATS["device_problems"] += len(rest)
         STATS["edit_problems"] += len(rest)
+        STATS["device_cells"] += sum(
+            len(a) * len(b) for _, a, b in rest)
         for (i, _a, _b), v in zip(rest, r):
             out[i] = int(v)
         return out
@@ -404,6 +414,10 @@ def _eval_kband_device(problems: List[Tuple[bytes, bytes, int]]
     if r is not None:
         STATS["device_problems"] += len(rest)
         STATS["batches"] += 1
+        STATS["device_cells"] += sum(
+            len(a) * len(b) if 2 * ub + 1 >= len(a)
+            else len(b) * (2 * ub + 1)
+            for _, a, b, ub in rest)
         for (i, _a, _b, _ub), v in zip(rest, r):
             ok[i] = int(v)
         return ok

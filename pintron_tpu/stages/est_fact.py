@@ -1119,17 +1119,20 @@ def _run_units_device_forked(gen: mf.EstInfo, tree: SuffixTree,
         # the parent's service socket must not be shared across forks,
         # and the inherited STATS snapshot must not be re-merged into
         # the parent (children report only their own work)
+        from pintron_tpu.native import dp_census, dp_census_reset
+
         off._SERVICE_CONN = None
         off._SERVICE_LOCK = None
         off.reset_stats()
+        dp_census_reset()
         try:
             dev = _run_units_device(gen, tree, gen_seq_bytes, config,
                                     ests_path, fresh=fresh,
                                     shard=(w, nworkers))
-            pw.send(("ok", dev, dict(off.STATS)))
+            pw.send(("ok", dev, dict(off.STATS), dp_census()))
         except BaseException as e:  # noqa: BLE001 - report to parent
             try:
-                pw.send(("err", f"{type(e).__name__}: {e}", None))
+                pw.send(("err", f"{type(e).__name__}: {e}", None, None))
             except OSError:
                 pass
         finally:
@@ -1148,15 +1151,17 @@ def _run_units_device_forked(gen: mf.EstInfo, tree: SuffixTree,
     ok = True
     for pr, proc in zip(pipes, procs):
         try:
-            status, payload, stats = pr.recv()
+            status, payload, stats, census = pr.recv()
         except (EOFError, OSError):
-            status, payload, stats = None, None, None
+            status, payload, stats, census = None, None, None, None
         if status == "ok" and payload is not None:
             for i, blobs in payload:
                 merged[i] = blobs
             for k, v in (stats or {}).items():
                 if k != "device_runs":
                     off.STATS[k] = off.STATS.get(k, 0) + v
+            for k, v in (census or {}).items():
+                off.HOST_CENSUS[k] = off.HOST_CENSUS.get(k, 0) + v
         else:
             ok = False
         proc.join()
