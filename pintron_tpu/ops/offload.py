@@ -262,6 +262,10 @@ def enable_compile_cache() -> None:
         return
     try:
         import jax
+        # one cache per backend: a CPU AOT result compiled for another
+        # host's ISA must never be served to this one (SIGILL risk),
+        # and accelerator entries are useless to the CPU client anyway
+        cache_dir = os.path.join(cache_dir, jax.default_backend())
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes",
                           -1)
@@ -431,10 +435,16 @@ def _eval_kband_device(problems: List[Tuple[bytes, bytes, int]]
     # The Pallas kernel is the production band path: its in-kernel
     # sequence window beats the XLA gather formulation by >=2x at
     # kernel-dominated batch sizes (see pallas_align.py).  On a CPU
-    # backend (tests, virtual meshes) it runs in interpret mode;
-    # PINTRON_DEVICE_XLA=1 opts back into the XLA op.
-    use_pallas = not bool(os.environ.get("PINTRON_DEVICE_XLA"))
-    pallas_interpret = jax.default_backend() == "cpu"
+    # backend (tests, virtual meshes, multi-process demos) the compiled
+    # XLA op runs instead — interpret-mode Pallas is an equivalence-test
+    # vehicle, ~100x slower than compiled code (PINTRON_DEVICE_PALLAS=
+    # interpret forces it for tests).  PINTRON_DEVICE_XLA=1 opts into
+    # the XLA op everywhere.
+    on_cpu = jax.default_backend() == "cpu"
+    force_interp = os.environ.get("PINTRON_DEVICE_PALLAS") == "interpret"
+    use_pallas = (not bool(os.environ.get("PINTRON_DEVICE_XLA"))
+                  and (not on_cpu or force_interp))
+    pallas_interpret = on_cpu
     full_groups = {}
     band_groups = {}
     for i, a, b, ub in rest:

@@ -99,3 +99,34 @@ def test_mesh_kband_real_data_invariance(golden):
         del os.environ["PINTRON_DEVICE_MESH"]
     ok_single = orig(problems)
     assert np.array_equal(ok_mesh, ok_single)
+
+
+def test_multiprocess_est_fact_byte_identical(golden, tmp_path):
+    """Two OS processes (jax.distributed over Gloo, disjoint EST
+    shards, one global all-reduce, deterministic merge) must reproduce
+    the single-process stage-2 artifacts byte-for-byte — the multi-host
+    execution pattern actually run, not argued by analogy."""
+    import shutil
+
+    from pintron_tpu.parallel.multihost import run_est_fact_multiprocess
+
+    case = golden("test-788")
+    work = tmp_path / "mh"
+    work.mkdir()
+    for fn in ("genomic.txt", "ests.txt"):
+        shutil.copy(case / fn, work / fn)
+    report = run_est_fact_multiprocess(str(work), 2)
+    assert report["nprocs"] == 2
+    assert len(report["ranks"]) == 2
+    # every rank observed the same all-reduced global counts
+    for r in report["ranks"]:
+        assert r["global_counts"] == report["global_counts"]
+        assert r["n_global_devices"] >= 2
+    assert sum(r["units"] for r in report["ranks"]) > 0
+    for name in ("raw-multifasta-out.txt", "processed-ests.txt",
+                 "megs.txt", "processed-megs.txt", "meg-edges.txt"):
+        gp = case / name
+        if not gp.exists():
+            continue
+        assert gp.read_bytes() == (work / name).read_bytes(), \
+            f"{name} differs in the 2-process distributed run"
