@@ -78,6 +78,18 @@ def _eval_group(op: str, payloads: list):
             out.append(d[i:i + c])
             i += c
         return out
+    if op == "rb":
+        counts = [len(p) for p in payloads]
+        merged = [pr for p in payloads for pr in p]
+        STATS["rb_problems"] = STATS.get("rb_problems", 0) + len(merged)
+        vals, pos = offload._eval_rb_device(merged)
+        out, i = [], 0
+        for p, c in zip(payloads, counts):
+            stride = max((len(pat) for _, pat in p), default=0) + 1
+            out.append((vals[i:i + c, :stride].copy(),
+                        pos[i:i + c, :stride].copy()))
+            i += c
+        return out
     if op == "pwm":
         # merge payloads with identical (pwm matrix, denominator);
         # pwm_scores_batched pads the batch axis to a power of two so

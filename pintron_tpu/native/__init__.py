@@ -204,6 +204,23 @@ def _build_and_load():
         + [ctypes.c_char_p, ctypes.c_int64]    # est original
         + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64])
     #   coords (4/i64), ok flags, n
+    if hasattr(lib, "est_collect_gaps"):
+        lib.est_collect_gaps.restype = ctypes.c_int64
+        lib.est_collect_gaps.argtypes = (
+            list(lib.est_process.argtypes)[:25]
+            #   ... through sp_est/sp_intron/sp_gen (no out buffers)
+            + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            #   pre_off, pre_f, pre_n
+            + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p])
+        #   gaps_out (9/i64 records), cap, meta[1]: need
+        lib.epm_fill_rb.restype = ctypes.c_int64
+        lib.epm_fill_rb.argtypes = (
+            [ctypes.c_char_p, ctypes.c_int64]      # gen
+            + [ctypes.c_char_p, ctypes.c_int64]    # est (masked)
+            + [ctypes.c_char_p, ctypes.c_int64]    # est original
+            + [ctypes.c_void_p, ctypes.c_int64]    # records (9/i64), n
+            + [ctypes.c_void_p] * 4                # minpp pospp minsp possp
+            + [ctypes.c_int64])                    # stride
     lib.unit_process.restype = ctypes.c_int64
     lib.unit_process.argtypes = (
         [ctypes.c_char_p, ctypes.c_int64]        # tree text

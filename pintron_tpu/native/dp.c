@@ -1750,6 +1750,42 @@ static int burset_adaptor(const char *t, int64_t lt, int64_t cut1,
 /* Border refinement DP (refine.c:105-192; python mirror
  * pintron_tpu/factorize/refine.py).  out6 = {ok, off_p, off_t1,
  * lt - off_t2, best_edit, best_burset}. */
+/* Cut selection over the per-row minima of the forward/reversed edit
+ * DPs (the tail of refine_borders, refine.c:105-192): min total errors,
+ * ties by Burset frequency of the induced intron.  Shared by the
+ * host-DP path (refine_borders_core) and the device-offload fill
+ * (epm_fill_rb), so both produce bit-identical out6. */
+static void rb_select(int64_t lp, int64_t min_cut, int64_t max_cut,
+                      const char *t, int64_t lt, int64_t max_errs,
+                      const int64_t *min_pp, const int64_t *pos_pp,
+                      const int64_t *min_sp, const int64_t *pos_sp,
+                      int64_t *out6) {
+    int64_t off_p = min_cut;
+    int64_t off_t1 = pos_pp[min_cut];
+    int64_t off_t2 = pos_sp[lp - min_cut];
+    int64_t best = min_pp[min_cut] + min_sp[lp - min_cut];
+    int64_t best_burset = burset_adaptor(t, lt, off_t1, lt - off_t2);
+    int64_t i;
+    for (i = min_cut + 1; i <= max_cut; i++) {
+        int64_t curr = min_pp[i] + min_sp[lp - i];
+        int64_t curr_burset = burset_adaptor(t, lt, pos_pp[i],
+                                             lt - pos_sp[lp - i]);
+        if (best > curr || (best == curr && curr_burset > best_burset)) {
+            best = curr;
+            off_p = i;
+            off_t1 = pos_pp[i];
+            off_t2 = pos_sp[lp - i];
+            best_burset = curr_burset;
+        }
+    }
+    out6[0] = best <= max_errs ? 1 : 0;
+    out6[1] = off_p;
+    out6[2] = off_t1;
+    out6[3] = lt - off_t2;
+    out6[4] = best;
+    out6[5] = best_burset;
+}
+
 void refine_borders_core(const char *p, int64_t lp, int64_t min_cut,
                          int64_t max_cut, const char *t, int64_t lt,
                          int64_t max_errs, int64_t *out6) {
@@ -1832,29 +1868,10 @@ void refine_borders_core(const char *p, int64_t lp, int64_t min_cut,
         }
         }
     }
-    off_p = min_cut;
-    off_t1 = pos_pp[min_cut];
-    off_t2 = pos_sp[lp - min_cut];
-    best = min_pp[min_cut] + min_sp[lp - min_cut];
-    best_burset = burset_adaptor(t, lt, off_t1, lt - off_t2);
-    for (i = min_cut + 1; i <= max_cut; i++) {
-        int64_t curr = min_pp[i] + min_sp[lp - i];
-        int64_t curr_burset = burset_adaptor(t, lt, pos_pp[i],
-                                             lt - pos_sp[lp - i]);
-        if (best > curr || (best == curr && curr_burset > best_burset)) {
-            best = curr;
-            off_p = i;
-            off_t1 = pos_pp[i];
-            off_t2 = pos_sp[lp - i];
-            best_burset = curr_burset;
-        }
-    }
-    out6[0] = best <= max_errs ? 1 : 0;
-    out6[1] = off_p;
-    out6[2] = off_t1;
-    out6[3] = lt - off_t2;
-    out6[4] = best;
-    out6[5] = best_burset;
+    rb_select(lp, min_cut, max_cut, t, lt, max_errs,
+              min_pp, pos_pp, min_sp, pos_sp, out6);
+    (void)off_p; (void)off_t1; (void)off_t2;
+    (void)best; (void)best_burset; (void)i;
 done:
     free(min_pp); free(pos_pp); free(min_sp); free(pos_sp);
     free(prev); free(cur); free(tb);
@@ -4676,8 +4693,44 @@ static int ep_check_gap_errors(efct *f, const char *est, int64_t elen,
             int64_t lp = rs_sub(est, elen, donor->ee + 1, gap_p, &p);
             int64_t lt = rs_sub(gen, glen, donor->ge + 1, gap_t, &t);
             int64_t out6[6];
-            refine_borders_core(p, lp, 0, lp, t, lt, gap_p, out6);
-            if (out6[0] < 0) return -1;   /* alloc failure: not a verdict */
+            /* memo (tag 10): keyed on the window-defining coords —
+             * donor (ee, ge) and accept (es, gs) fully determine the
+             * gap problem, and none of them is mutated by an earlier
+             * pair's refinement within this factorization.  Filled
+             * ahead by the device offload (epm_fill_rb) or by a
+             * previous factorization sharing the pair. */
+            uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
+            int found = 0;
+            epm_ent *me = NULL;
+            mk[0] = 10 | (epm_seq_id << 16);
+            mk[1] = ((uint64_t)(uint32_t)donor->ee << 32)
+                    | (uint32_t)donor->ge;
+            mk[2] = ((uint64_t)(uint32_t)accept->es << 32)
+                    | (uint32_t)accept->gs;
+            if (epm_seq_id != 0 && epm_tab)
+                me = epm_find(mk, &found);
+            if (found) {
+                out6[0] = me->v[0];
+                out6[1] = me->v[1];
+                out6[2] = me->v[2];
+                out6[3] = me->v[3];
+                out6[4] = me->v[4];
+            } else {
+                refine_borders_core(p, lp, 0, lp, t, lt, gap_p, out6);
+                if (out6[0] < 0) {
+                    if (me) me->gen = epm_gen - 1;  /* un-claim */
+                    return -1;   /* alloc failure: not a verdict */
+                }
+                if (me) {
+                    /* nothing below wipes the memo, so the claimed
+                     * slot pointer is still valid */
+                    me->v[0] = out6[0];
+                    me->v[1] = out6[1];
+                    me->v[2] = out6[2];
+                    me->v[3] = out6[3];
+                    me->v[4] = out6[4];
+                }
+            }
             ok = out6[0] == 1;
             if (ok) {
                 tot_ed += out6[4];
@@ -6271,6 +6324,51 @@ int64_t epm_fill_noisy(
     return 0;
 }
 
+/* Pre-fill the refine-borders memo (tag 10) from device-computed row
+ * tables: minpp/pospp (forward) and minsp/possp (reversed) hold, per
+ * record, the per-row minima and FIRST minimal positions of the
+ * (lp+1)-row edit DP (refine.c:105-192's two passes), laid out at
+ * record stride `stride`.  The cut selection runs HERE with the same
+ * rb_select the host DP uses, so the memoized out6 is bit-identical.
+ * Records are est_collect_gaps' 9-int64 rows. */
+int64_t epm_fill_rb(
+    const char *gen, int64_t glen,
+    const char *est, int64_t elen,
+    const char *est_orig, int64_t eolen,
+    const int64_t *recs, int64_t n,
+    const int64_t *minpp, const int64_t *pospp,
+    const int64_t *minsp, const int64_t *possp, int64_t stride) {
+
+    int64_t i;
+    epm_seq_id = epm_begin(gen, glen, est, elen, est_orig, eolen);
+    if (epm_seq_id == 0 || !epm_tab) return -1;
+    for (i = 0; i < n; i++) {
+        const int64_t *rec = recs + 9 * i;
+        int64_t lp = rec[5], lt = rec[7], gap_p = rec[8];
+        const char *t = gen + rec[6];
+        int64_t out6[6];
+        uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
+        int found;
+        epm_ent *me;
+        if (lp < 0 || lp + 1 > stride) return -2;
+        rb_select(lp, 0, lp, t, lt, gap_p,
+                  minpp + i * stride, pospp + i * stride,
+                  minsp + i * stride, possp + i * stride, out6);
+        mk[0] = 10 | (epm_seq_id << 16);
+        mk[1] = ((uint64_t)(uint32_t)rec[0] << 32) | (uint32_t)rec[1];
+        mk[2] = ((uint64_t)(uint32_t)rec[2] << 32) | (uint32_t)rec[3];
+        me = epm_find(mk, &found);
+        if (me) {
+            me->v[0] = out6[0];
+            me->v[1] = out6[1];
+            me->v[2] = out6[2];
+            me->v[3] = out6[3];
+            me->v[4] = out6[4];
+        }
+    }
+    return 0;
+}
+
 /* ---- est_process: the full per-EST post-MEG flow ------------------------
  * Returns the number of FINAL factorizations (>= 0), or:
  *   -1 timeout during candidate enumeration
@@ -6299,7 +6397,8 @@ static int64_t est_process_impl(
     int64_t *out_off, int64_t *out_f,
     int64_t *out_polya, int64_t *out_polyad,
     int64_t cap_facts, int64_t cap_factors, int64_t *counts,
-    const int64_t *pre_off, const int64_t *pre_f, int64_t pre_n) {
+    const int64_t *pre_off, const int64_t *pre_f, int64_t pre_n,
+    int64_t *gaps_out, int64_t gaps_cap, int64_t *gaps_meta) {
 
     int64_t *cand_off = NULL, *cand_f = NULL, n_cand = 0;
     int64_t est_length = ncols - 2;
@@ -6432,6 +6531,61 @@ static int64_t est_process_impl(
             lst.n = w;
         }
         free(gls);
+    }
+
+    /* COLLECT MODE (gaps_out != NULL): the device-offload flow replays
+     * the cascade to this point (all prior filters are deterministic
+     * with the K-band memo warm) and collects every gap problem FILTER
+     * 4 would hand to refine_borders — 9 int64s per record:
+     * {donor_ee, donor_ge, accept_es, accept_gs, p_off, lp, t_off, lt,
+     * gap_p}.  Pairs whose (tag 10) memo entry already exists are
+     * skipped.  Returns the record count (or -2, needed in
+     * gaps_meta[0]); the candidate/output state is discarded. */
+    if (gaps_out != NULL) {
+        int64_t n_out = 0, need = 0;
+        for (k = 0; k < lst.n; k++) {
+            efct *f = &lst.a[k];
+            int64_t kk;
+            for (kk = 0; kk + 1 < f->n; kk++) {
+                efac *donor = &f->f[kk];
+                efac *accept = &f->f[kk + 1];
+                int64_t gap_p = accept->es - donor->ee - 1;
+                int64_t gap_t, lp, lt;
+                const char *pp, *tt;
+                uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
+                int found = 0;
+                if (gap_p <= 0) continue;
+                mk[0] = 10 | (epm_seq_id << 16);
+                mk[1] = ((uint64_t)(uint32_t)donor->ee << 32)
+                        | (uint32_t)donor->ge;
+                mk[2] = ((uint64_t)(uint32_t)accept->es << 32)
+                        | (uint32_t)accept->gs;
+                if (epm_seq_id != 0 && epm_tab) {
+                    epm_ent *me = epm_find(mk, &found);
+                    if (!found && me) me->gen = epm_gen - 1; /* peek */
+                }
+                if (found) continue;
+                gap_t = accept->gs - donor->ge - 1;
+                lp = rs_sub(est, elen, donor->ee + 1, gap_p, &pp);
+                lt = rs_sub(gen, glen, donor->ge + 1, gap_t, &tt);
+                need++;
+                if (n_out < gaps_cap) {
+                    int64_t *rec = gaps_out + 9 * n_out;
+                    rec[0] = donor->ee; rec[1] = donor->ge;
+                    rec[2] = accept->es; rec[3] = accept->gs;
+                    rec[4] = pp - est; rec[5] = lp;
+                    rec[6] = tt - gen; rec[7] = lt;
+                    rec[8] = gap_p;
+                    n_out++;
+                }
+            }
+        }
+        gaps_meta[0] = need;
+        for (k = 0; k < lst.n; k++) efct_free(&lst.a[k]);
+        free(lst.a);
+        lst.a = NULL; lst.n = 0;
+        if (need > n_out) return -2;
+        return n_out;
     }
 
     /* FILTER 4: gap errors */
@@ -6582,7 +6736,7 @@ int64_t est_process(
         complexity_threshold, max_site_difference, max_coverage_diff,
         max_gapLength_diff, max_number_of_factorizations, sp_est,
         sp_intron, sp_gen, out_off, out_f, out_polya, out_polyad,
-        cap_facts, cap_factors, counts, NULL, NULL, 0);
+        cap_facts, cap_factors, counts, NULL, NULL, 0, NULL, 0, NULL);
 }
 
 /* est_process consuming a pre-enumerated candidate set (the exact
@@ -6611,7 +6765,37 @@ int64_t est_process_cands(
         complexity_threshold, max_site_difference, max_coverage_diff,
         max_gapLength_diff, max_number_of_factorizations, sp_est,
         sp_intron, sp_gen, out_off, out_f, out_polya, out_polyad,
-        cap_facts, cap_factors, counts, pre_off, pre_f, pre_n);
+        cap_facts, cap_factors, counts, pre_off, pre_f, pre_n,
+        NULL, 0, NULL);
+}
+
+/* Collect pass for the refine-borders offload: replays the cascade
+ * (with a warm K-band memo) through the coverage/gap-length filters and
+ * emits FILTER 4's gap problems instead of solving them
+ * (est-factorizations.c:416-433 -> refine.c:105-192).  Same argument
+ * block as est_process_cands plus the output buffer. */
+int64_t est_collect_gaps(
+    const int64_t *vp, const int64_t *vt, const int64_t *vl,
+    const int64_t *vcol, const int64_t *adj_off, const int64_t *adj,
+    int64_t nv, int64_t ncols,
+    const char *gen, int64_t glen,
+    const char *est, int64_t elen,
+    const char *est_orig, int64_t eolen,
+    int64_t min_factor_len, int64_t min_intron_length, double deadline,
+    double complexity_threshold, int64_t max_site_difference,
+    double max_coverage_diff, int64_t max_gapLength_diff,
+    int64_t max_number_of_factorizations,
+    int64_t sp_est, int64_t sp_intron, int64_t sp_gen,
+    const int64_t *pre_off, const int64_t *pre_f, int64_t pre_n,
+    int64_t *gaps_out, int64_t gaps_cap, int64_t *gaps_meta) {
+    int64_t counts[4] = {0, 0, 0, 0};
+    return est_process_impl(
+        vp, vt, vl, vcol, adj_off, adj, nv, ncols, gen, glen, est, elen,
+        est_orig, eolen, min_factor_len, min_intron_length, deadline,
+        complexity_threshold, max_site_difference, max_coverage_diff,
+        max_gapLength_diff, max_number_of_factorizations, sp_est,
+        sp_intron, sp_gen, NULL, NULL, NULL, NULL, 0, 0, counts,
+        pre_off, pre_f, pre_n, gaps_out, gaps_cap, gaps_meta);
 }
 
 /* ======================================================================

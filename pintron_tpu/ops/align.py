@@ -127,6 +127,67 @@ def batch_edit_distance_score(seq1, len1, seq2, len2, *, max_rows: int):
     return jnp.take_along_axis(Mf, len1[:, None], axis=1)[:, 0]
 
 
+@functools.partial(jax.jit, static_argnames=("max_rows",))
+def batch_edit_rowmin(seq1, len1, seq2, len2, *, max_rows: int):
+    """Batched full edit distance returning PER-ROW minima and FIRST
+    minimal positions — the device side of the refine-borders offload
+    (refine.c:105-192: each pass needs min/argmin-first of every DP
+    row, the host then selects the cut).
+
+    Args are batch_edit_distance_score's: seq1 (B, N) the TEXT windows
+    (columns), seq2 (B, M) the PATTERNS (rows), len1/len2 (B,) int32.
+    Returns (vals, pos), both (B, max_rows+1) int32: row r's minimum
+    over columns 0..len1 and the smallest column attaining it.  Rows
+    past len2 are garbage (callers slice 0..len2).  Same int32
+    recurrence as the host rows — bit-identical minima/positions.
+    Requires N + 2 <= 2**15 (encoded argmin fits int32)."""
+    B, N = seq1.shape
+    seq1 = seq1.astype(jnp.int32)
+    seq2 = seq2.astype(jnp.int32)
+    cols = jnp.arange(N + 1, dtype=jnp.int32)
+    M0 = jnp.broadcast_to(cols, (B, N + 1)).astype(jnp.int32)
+
+    C = 1
+    while C < N + 2:
+        C <<= 1
+    CLAMP = (1 << 30) // C - 1
+
+    def rowmin(row):
+        # mask columns beyond len1, encode (value, column) so one min
+        # gives the earliest minimal column
+        masked = jnp.where(cols[None, :] <= len1[:, None], row, BIG)
+        enc = jnp.minimum(masked, CLAMP) * C + cols[None, :]
+        best = jnp.min(enc, axis=1)
+        return best // C, best % C
+
+    v0, p0 = rowmin(M0)
+
+    def row_step(M1, r):
+        ch2 = jnp.take_along_axis(
+            seq2, jnp.broadcast_to(jnp.clip(r - 1, 0, seq2.shape[1] - 1),
+                                   (B, 1)), axis=1)
+        mism = (seq1 != ch2).astype(jnp.int32)
+        diag = M1[:, :-1] + mism
+        up = M1[:, 1:] + 1
+        cand = jnp.minimum(diag, up)
+        first = jnp.full((B, 1), r, dtype=jnp.int32)
+        cand = jnp.concatenate([first, cand], axis=1)
+        row = jax.lax.cummin(cand - cols[None, :], axis=1) + cols[None, :]
+        v, p = rowmin(row)
+        return row, (v, p)
+
+    rows = jnp.arange(1, max_rows + 1, dtype=jnp.int32)
+    _, (vs, ps) = jax.lax.scan(row_step, M0, rows)
+    vals = jnp.concatenate([v0[None, :], vs], axis=0).T  # (B, R+1)
+    pos = jnp.concatenate([p0[None, :], ps], axis=0).T
+    # int16 on the wire: genuine values are < 2**15 under the wrapper's
+    # size guard, and halving the row-table bytes matters when the
+    # device is remote-attached (the tables, not the sequences, are the
+    # transfer cost of this op)
+    return (jnp.clip(vals, 0, 32000).astype(jnp.int16),
+            pos.astype(jnp.int16))
+
+
 def encode_batch(strings, width: int) -> "tuple[np.ndarray, np.ndarray]":
     """Host helper: pack python strings into a padded int8 code batch."""
     B = len(strings)

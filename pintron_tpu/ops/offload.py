@@ -148,7 +148,7 @@ def _sharded_call(mesh, fn, arrays, ub, key=()):
 # problems actually evaluated on device, and DP cells computed there
 STATS = {"problems": 0, "device_problems": 0, "device_cells": 0,
          "batches": 0, "device_runs": 0, "pwm_windows": 0,
-         "device_timeouts": 0, "edit_problems": 0}
+         "device_timeouts": 0, "edit_problems": 0, "rb_problems": 0}
 
 
 # Forked device-flow children ship their native host-DP cell census
@@ -379,6 +379,65 @@ def _eval_edit_batch_device(pairs: List[Tuple[bytes, bytes]]
         for (i, _a, _b), dist in zip(items, rn):
             out[i] = int(dist)
     return out
+
+
+def eval_rb(problems: List[Tuple[bytes, bytes]]):
+    """Bounded entry point: batched refine-borders row tables.  Each
+    problem is a (text_window, pattern) pair — the forward or reversed
+    pass of one gap problem (refine.c:105-192); the caller submits both
+    passes as independent problems.  Returns (vals, pos) int64 arrays
+    of shape (n, stride), stride = max(len(pattern)) + 1: per-row
+    minima and FIRST minimal positions of the (len(pattern)+1)-row edit
+    DP, bit-identical to the host rows.  None when the device is
+    wedged/unavailable."""
+    return device_call(_eval_rb_device, problems,
+                       what="refine-borders device batch")
+
+
+def _eval_rb_device(problems: List[Tuple[bytes, bytes]]):
+    r = service_eval("rb", problems)
+    if r is not None:
+        STATS["problems"] += len(problems)
+        STATS["device_problems"] += len(problems)
+        STATS["rb_problems"] = (STATS.get("rb_problems", 0)
+                                + len(problems))
+        STATS["device_cells"] += sum(
+            (len(t) + 1) * (len(p) + 1) for t, p in problems)
+        return r
+    enable_compile_cache()
+    from pintron_tpu.ops.align import batch_edit_rowmin
+
+    n = len(problems)
+    stride = max((len(p) for _, p in problems), default=0) + 1
+    vals = np.zeros((n, stride), dtype=np.int64)
+    pos = np.zeros((n, stride), dtype=np.int64)
+    groups = {}
+    for i, (t, p) in enumerate(problems):
+        if len(t) + 2 >= (1 << 15) or len(t) + len(p) >= 32000:
+            # encoded argmin / int16 row values would overflow (every
+            # genuine row value is bounded by lp + tw): host path
+            return None
+        groups.setdefault((_p4(max(len(t), 1)), _p4(max(len(p), 1))),
+                          []).append((i, t, p))
+    STATS["problems"] += len(problems)
+    for (N, M), items in sorted(groups.items()):
+        Bp = _p2(len(items), lo=64)
+        s1, l1 = _encode([t for _, t, _ in items], N, rows=Bp)
+        s2, l2 = _encode([p for _, _, p in items], M, rows=Bp)
+        v, q = batch_edit_rowmin(s1, l1, s2, l2, max_rows=M)
+        v = np.asarray(v).astype(np.int64)
+        q = np.asarray(q).astype(np.int64)
+        for j, (i, t, p) in enumerate(items):
+            lp = len(p)
+            vals[i, :lp + 1] = v[j, :lp + 1]
+            pos[i, :lp + 1] = q[j, :lp + 1]
+        STATS["device_problems"] += len(items)
+        STATS["rb_problems"] = (STATS.get("rb_problems", 0)
+                                + len(items))
+        STATS["device_cells"] += sum(
+            (len(t) + 1) * (len(p) + 1) for _, t, p in items)
+        STATS["batches"] += 1
+    return vals, pos
 
 
 def eval_kband(problems: List[Tuple[bytes, bytes, int]]):

@@ -804,6 +804,49 @@ def _collect_noisy(lib, cands, gen_seq_bytes: bytes, est_bytes: bytes,
     return coords, probs, int(meta[1])
 
 
+def _collect_gaps(lib, meg_arrays, cands, gen_seq_bytes: bytes,
+                  est_bytes: bytes, est_orig_bytes: bytes,
+                  config: Config):
+    """Native collect pass for the refine-borders offload
+    (est_collect_gaps in dp.c): replay the cascade with the warm K-band
+    memo and list FILTER 4's gap problems.  Returns the (n, 9) int64
+    record array, or None when unavailable."""
+    import numpy as np
+
+    from pintron_tpu.native import np_scratch
+    if not hasattr(lib, "est_collect_gaps"):
+        return None
+    nv, ncols, ptrs = meg_arrays[6], meg_arrays[7], meg_arrays[8]
+    c_off, c_f, c_n = cands
+    meta, meta_ptr = np_scratch("cg_meta", 2)
+    cap = 128
+    while True:
+        out, out_ptr = np_scratch("cg_out", 9 * cap)
+        cap = out.size // 9
+        n = lib.est_collect_gaps(
+            ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4], ptrs[5],
+            nv, ncols,
+            gen_seq_bytes, len(gen_seq_bytes),
+            est_bytes, len(est_bytes),
+            est_orig_bytes, len(est_orig_bytes),
+            config.min_factor_len, config.min_intron_length, 0.0,
+            config.complexity_threshold, config.max_site_difference,
+            config.max_coverage_diff, config.max_gapLength_diff,
+            config.max_number_of_factorizations,
+            config.suffpref_length_on_est,
+            config.suffpref_length_for_intron,
+            config.suffpref_length_on_gen,
+            c_off.ctypes.data, c_f.ctypes.data, c_n,
+            out_ptr, cap, meta_ptr)
+        if n == -2:
+            cap = int(meta[0]) + 1
+            continue
+        if n < 0:
+            return None
+        break
+    return np.array(out[:9 * int(n)], dtype=np.int64).reshape(int(n), 9)
+
+
 def _own_meg_arrays(flat):
     """Deep-copy a scratch-backed MegFlat arrays tuple (build_meg_native
     reuses per-process scratch on every call) into owned arrays.  The
@@ -974,9 +1017,7 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
             ok_global = np.zeros(len(problems), dtype=np.int64)
             ok_valid = np.zeros(len(problems), dtype=bool)
 
-            def run_cascade(rec):
-                att = rec["att"]
-                est = rec["est"]
+            def fill_kband(rec):
                 if rec["probmap"] is not None and rec["probmap"][1]:
                     coords, idxs = rec["probmap"]
                     ivec = np.asarray(idxs, dtype=np.int64)
@@ -989,6 +1030,65 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                             len(rec["est_orig_bytes"]),
                             coords.ctypes.data, okvec.ctypes.data,
                             len(idxs))
+
+            def offload_rb(recs_c):
+                """Refine-borders offload for one chunk: collect FILTER
+                4's gap problems (cascade replay, K-band memo warm),
+                evaluate both DP passes' row tables in ONE device
+                batch, finish the cut selection natively and pre-fill
+                the tag-10 memo.  Any failure just skips the fill — the
+                cascade recomputes on host, byte-identically."""
+                if os.environ.get("PINTRON_DEVICE_RB") == "0":
+                    return   # kill-switch: K-band-only offload
+                from pintron_tpu.ops.offload import eval_rb
+                per_rec = []
+                problems = []
+                for rec in recs_c:
+                    if rec["cands"] is None or rec["meg_arrays"] is None:
+                        continue
+                    recs = _collect_gaps(
+                        lib, rec["meg_arrays"], rec["cands"],
+                        gen_seq_bytes, rec["est_bytes"],
+                        rec["est_orig_bytes"], config)
+                    if recs is None or not len(recs):
+                        continue
+                    base = len(problems)
+                    eb = rec["est_bytes"]
+                    for r in recs:
+                        pp = eb[int(r[4]):int(r[4]) + int(r[5])]
+                        tt = gen_seq_bytes[int(r[6]):int(r[6])
+                                           + int(r[7])]
+                        tw = min(int(r[5]) + int(r[8]), int(r[7]))
+                        problems.append((tt[:tw], pp))
+                        problems.append((tt[::-1][:tw], pp[::-1]))
+                    per_rec.append((rec, recs, base))
+                if not problems:
+                    return
+                res = eval_rb(problems)
+                if res is None:
+                    return
+                vals, pos = res
+                stride = vals.shape[1]
+                for rec, recs, base in per_rec:
+                    n = len(recs)
+                    sl = slice(base, base + 2 * n)
+                    minpp = np.ascontiguousarray(vals[sl][0::2])
+                    pospp = np.ascontiguousarray(pos[sl][0::2])
+                    minsp = np.ascontiguousarray(vals[sl][1::2])
+                    possp = np.ascontiguousarray(pos[sl][1::2])
+                    recsc = np.ascontiguousarray(recs)
+                    lib.epm_fill_rb(
+                        gen_seq_bytes, len(gen_seq_bytes),
+                        rec["est_bytes"], len(rec["est_bytes"]),
+                        rec["est_orig_bytes"],
+                        len(rec["est_orig_bytes"]),
+                        recsc.ctypes.data, n,
+                        minpp.ctypes.data, pospp.ctypes.data,
+                        minsp.ctypes.data, possp.ctypes.data, stride)
+
+            def run_cascade(rec):
+                att = rec["att"]
+                est = rec["est"]
 
                 t_fact0 = time.monotonic()
                 deadline = rec.get("deadline")
@@ -1078,6 +1178,9 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                         if res is not None:
                             ok_global[lo:hi] = res
                             ok_valid[lo:hi] = True
+                    for rec in recs_c:
+                        fill_kband(rec)
+                    offload_rb(recs_c)
                     for rec in recs_c:
                         run_cascade(rec)
             finally:
