@@ -9,9 +9,10 @@ Runs (in order):
   3. stage-2 byte check, device path    (tools/check_stage2.py --device)
   4. full-pipeline e2e classification   (tools/check_e2e.py)
   5. batch-driver sweep                 (tools/check_batch_sweep.py)
-  6. seeding-evidence invariant         (tools/seeding_evidence.py)
+  6. batch-driver sweep, device service (tools/check_batch_sweep.py --device)
+  7. seeding-evidence invariant         (tools/seeding_evidence.py)
 
---quick limits 2/3 to three representative cases and skips 5.
+--quick limits 2/3 to three representative cases and skips 5/6.
 Exits nonzero if any gate fails; prints one summary line per gate.
 """
 
@@ -57,6 +58,9 @@ def main():
     if not quick:
         gates.append(("batch-driver sweep",
                       [py, "tools/check_batch_sweep.py"], None))
+        gates.append(("batch-driver sweep (device service)",
+                      [py, "tools/check_batch_sweep.py", "--device"],
+                      None))
     gates.append(("seeding evidence",
                   [py, "tools/seeding_evidence.py"], None))
 
