@@ -218,7 +218,7 @@ def measure_device_stress():
         os.environ["PINTRON_FRESH_MEMO"] = "1"
         os.environ["PINTRON_DEVICE"] = "1"
         svc = _start_service()
-        best_dev = best_cpu = float("inf")
+        best_dev = best_kb = best_cpu = float("inf")
         try:
             run_est_fact(work)   # warm compiles/caches
             off.reset_stats()
@@ -226,6 +226,13 @@ def measure_device_stress():
                 t0 = time.perf_counter()
                 run_est_fact(work)
                 best_dev = min(best_dev, time.perf_counter() - t0)
+                # K-band-only offload (rb disabled): isolates the
+                # row-table transfer cost of the rb family
+                os.environ["PINTRON_DEVICE_RB"] = "0"
+                t0 = time.perf_counter()
+                run_est_fact(work)
+                best_kb = min(best_kb, time.perf_counter() - t0)
+                del os.environ["PINTRON_DEVICE_RB"]
                 del os.environ["PINTRON_DEVICE"]
                 t0 = time.perf_counter()
                 run_est_fact(work)
@@ -235,8 +242,11 @@ def measure_device_stress():
             _stop_service(svc)
             del os.environ["PINTRON_DEVICE"]
             del os.environ["PINTRON_FRESH_MEMO"]
+            os.environ.pop("PINTRON_DEVICE_RB", None)
         shutil.rmtree(work, ignore_errors=True)
         return {"stress_device_ests_per_s": round(5000 / best_dev, 1),
+                "stress_device_kband_only_ests_per_s":
+                    round(5000 / best_kb, 1),
                 "stress_cpu_ests_per_s": round(5000 / best_cpu, 1),
                 "stress_device_vs_cpu": round(best_cpu / best_dev, 3),
                 "stress_device_problems":

@@ -1038,7 +1038,8 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                 batch, finish the cut selection natively and pre-fill
                 the tag-10 memo.  Any failure just skips the fill — the
                 cascade recomputes on host, byte-identically."""
-                if os.environ.get("PINTRON_DEVICE_RB") == "0":
+                rb_mode = os.environ.get("PINTRON_DEVICE_RB", "")
+                if rb_mode == "0":
                     return   # kill-switch: K-band-only offload
                 from pintron_tpu.ops.offload import eval_rb
                 per_rec = []
@@ -1063,6 +1064,12 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                         problems.append((tt[::-1][:tw], pp[::-1]))
                     per_rec.append((rec, recs, base))
                 if not problems:
+                    return
+                if rb_mode != "1" and len(problems) < 64:
+                    # auto mode: a tiny batch saves less host DP time
+                    # than its dispatch round trip costs; let the
+                    # cascade compute these on host (PINTRON_DEVICE_RB=1
+                    # forces the offload regardless, =0 disables it)
                     return
                 res = eval_rb(problems)
                 if res is None:
@@ -1690,10 +1697,21 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
         cached = _SEQ_TREE_CACHE
         if fresh or cached is None or cached[0] != gen_seq_bytes:
             _SEQ_TREE_CACHE = (gen_seq_bytes, SuffixTree(gen_seq_bytes))
-        if os.environ.get("PINTRON_DEVICE_SERVICE") and nworkers > 1:
+        n_records = 0
+        try:
+            with open(wpath("ests.txt")) as _f:
+                for _line in _f:
+                    if _line.startswith(">"):
+                        n_records += 1
+        except OSError:
+            pass
+        if (os.environ.get("PINTRON_DEVICE_SERVICE") and nworkers > 1
+                and n_records >= 128):
             # service mode: shard the device flow across fork workers
             # (host cascade on all cores, device batches merged on the
-            # one chip-owning service)
+            # one chip-owning service).  Small loci skip the forks —
+            # their fixed cost (spawn, pipes, result pickling) exceeds
+            # the parallelizable cascade work.
             dev = _run_units_device_forked(
                 gen, _SEQ_TREE_CACHE[1], gen_seq_bytes, config,
                 wpath("ests.txt"), fresh, nworkers)

@@ -158,6 +158,8 @@ def test_device_stage4_pwm_byte_identical():
     cl.classify_genomic_intron_start_end.cache_clear()
     off.STATS.pop("pwm_windows", None)
     os.environ["PINTRON_DEVICE"] = "1"
+    os.environ["PINTRON_DEVICE_RB"] = "1"   # force rb on small batches
+    os.environ["PINTRON_FRESH_MEMO"] = "1"  # warm memo = nothing to collect
     try:
         run_est_fact(work)
         with open(os.path.join(work, "raw-multifasta-out.txt")) as fin, \
@@ -166,9 +168,13 @@ def test_device_stage4_pwm_byte_identical():
         run_intron_agreement(work)
     finally:
         del os.environ["PINTRON_DEVICE"]
+        del os.environ["PINTRON_DEVICE_RB"]
+        del os.environ["PINTRON_FRESH_MEMO"]
 
     assert off.STATS.get("pwm_windows", 0) > 0, \
         "PWM sweep never reached the device"
+    assert off.STATS.get("rb_problems", 0) > 0, \
+        "refine-borders problems never reached the device"
     assert off.STATS.get("edit_problems", 0) > 0, \
         "predicted-introns edit stats never reached the device"
     for name in ("out-after-intron-agree.txt", "predicted-introns.txt"):
