@@ -219,13 +219,17 @@ def measure_device_stress():
         os.environ["PINTRON_DEVICE"] = "1"
         svc = _start_service()
         best_dev = best_kb = best_cpu = float("inf")
+        dev_problems = 0
         try:
             run_est_fact(work)   # warm compiles/caches
-            off.reset_stats()
             for _ in range(3):
+                off.reset_stats()
                 t0 = time.perf_counter()
                 run_est_fact(work)
                 best_dev = min(best_dev, time.perf_counter() - t0)
+                # per-run count from the full-device config only (the
+                # kband-only and CPU runs below also touch STATS)
+                dev_problems = off.STATS["device_problems"]
                 # K-band-only offload (rb disabled): isolates the
                 # row-table transfer cost of the rb family
                 os.environ["PINTRON_DEVICE_RB"] = "0"
@@ -249,8 +253,7 @@ def measure_device_stress():
                     round(5000 / best_kb, 1),
                 "stress_cpu_ests_per_s": round(5000 / best_cpu, 1),
                 "stress_device_vs_cpu": round(best_cpu / best_dev, 3),
-                "stress_device_problems":
-                    off.STATS["device_problems"] // 3}
+                "stress_device_problems": dev_problems}
     except Exception:
         return {}
 

@@ -129,7 +129,11 @@ def _stop_service(proc) -> None:
             from pintron_tpu.devservice import AUTHKEY
             conn = Client(sock, family="AF_UNIX", authkey=AUTHKEY)
             conn.send(("shutdown", None))
-            conn.recv()
+            # bounded wait: a service wedged inside a hung dispatch
+            # never reaches the queued shutdown — terminate it instead
+            # of hanging the driver
+            if conn.poll(15):
+                conn.recv()
             conn.close()
         proc.wait(timeout=15)
     except Exception:

@@ -58,38 +58,37 @@ def _eval_group(op: str, payloads: list):
 
     from pintron_tpu.ops import offload
 
-    if op == "kband":
+    def merged_eval(stat_key, eval_fn, slice_fn):
         counts = [len(p) for p in payloads]
         merged = [pr for p in payloads for pr in p]
-        STATS["kband_problems"] += len(merged)
-        ok = offload._eval_kband_device(merged)
-        out, i = [], 0
-        for c in counts:
-            out.append(ok[i:i + c])
-            i += c
-        return out
-    if op == "edit":
-        counts = [len(p) for p in payloads]
-        merged = [pr for p in payloads for pr in p]
-        STATS["edit_problems"] += len(merged)
-        d = offload._eval_edit_batch_device(merged)
-        out, i = [], 0
-        for c in counts:
-            out.append(d[i:i + c])
-            i += c
-        return out
-    if op == "rb":
-        counts = [len(p) for p in payloads]
-        merged = [pr for p in payloads for pr in p]
-        STATS["rb_problems"] = STATS.get("rb_problems", 0) + len(merged)
-        vals, pos = offload._eval_rb_device(merged)
+        STATS[stat_key] = STATS.get(stat_key, 0) + len(merged)
+        res = eval_fn(merged)
+        if res is None:
+            # an evaluator declined the merged batch (e.g. an oversized
+            # problem): error EVERY merged client rather than crash the
+            # dispatcher — their device_call falls back to host
+            raise ValueError(f"{op}: merged batch declined by evaluator")
         out, i = [], 0
         for p, c in zip(payloads, counts):
-            stride = max((len(pat) for _, pat in p), default=0) + 1
-            out.append((vals[i:i + c, :stride].copy(),
-                        pos[i:i + c, :stride].copy()))
+            out.append(slice_fn(res, i, c, p))
             i += c
         return out
+
+    if op == "kband":
+        return merged_eval("kband_problems", offload._eval_kband_device,
+                           lambda r, i, c, p: r[i:i + c])
+    if op == "edit":
+        return merged_eval("edit_problems",
+                           offload._eval_edit_batch_device,
+                           lambda r, i, c, p: r[i:i + c])
+    if op == "rb":
+        def rb_slice(r, i, c, p):
+            vals, pos = r
+            stride = max((len(pat) for _, pat in p), default=0) + 1
+            return (vals[i:i + c, :stride].copy(),
+                    pos[i:i + c, :stride].copy())
+        return merged_eval("rb_problems", offload._eval_rb_device,
+                           rb_slice)
     if op == "pwm":
         # merge payloads with identical (pwm matrix, denominator);
         # pwm_scores_batched pads the batch axis to a power of two so

@@ -4718,7 +4718,7 @@ static int ep_check_gap_errors(efct *f, const char *est, int64_t elen,
             } else {
                 refine_borders_core(p, lp, 0, lp, t, lt, gap_p, out6);
                 if (out6[0] < 0) {
-                    if (me) me->gen = epm_gen - 1;  /* un-claim */
+                    if (me) { me->gen = epm_gen - 1; epm_fill--; }
                     return -1;   /* alloc failure: not a verdict */
                 }
                 if (me) {
@@ -6562,7 +6562,14 @@ static int64_t est_process_impl(
                         | (uint32_t)accept->gs;
                 if (epm_seq_id != 0 && epm_tab) {
                     epm_ent *me = epm_find(mk, &found);
-                    if (!found && me) me->gen = epm_gen - 1; /* peek */
+                    if (!found && me) {
+                        /* peek only: un-claim AND give back the fill
+                         * slot, or repeated collect passes would drift
+                         * epm_fill upward and trigger spurious
+                         * full-memo wipes */
+                        me->gen = epm_gen - 1;
+                        epm_fill--;
+                    }
                 }
                 if (found) continue;
                 gap_t = accept->gs - donor->ge - 1;

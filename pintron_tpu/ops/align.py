@@ -140,7 +140,9 @@ def batch_edit_rowmin(seq1, len1, seq2, len2, *, max_rows: int):
     over columns 0..len1 and the smallest column attaining it.  Rows
     past len2 are garbage (callers slice 0..len2).  Same int32
     recurrence as the host rows — bit-identical minima/positions.
-    Requires N + 2 <= 2**15 (encoded argmin fits int32)."""
+    Requires the PADDED width N <= 16382 (the argmin encoding needs
+    C = p2(N+2) <= 2**15 so CLAMP stays above every genuine row value;
+    callers guard before padding)."""
     B, N = seq1.shape
     seq1 = seq1.astype(jnp.int32)
     seq2 = seq2.astype(jnp.int32)

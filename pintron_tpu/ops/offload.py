@@ -395,6 +395,15 @@ def eval_rb(problems: List[Tuple[bytes, bytes]]):
 
 
 def _eval_rb_device(problems: List[Tuple[bytes, bytes]]):
+    # Size guard FIRST — before the problems can cross the service
+    # socket (a None mid-merge on the service would error every merged
+    # client).  The bound is on the PADDED bucket: batch_edit_rowmin's
+    # argmin encoding needs C = p2(N+2) <= 2**15, and _p4 pads text
+    # windows up to 16384; the int16 wire format needs every genuine
+    # row value (bounded by lp + tw) below its 32000 clip.
+    for t, p in problems:
+        if len(t) > 16382 or len(t) + len(p) >= 32000:
+            return None   # host DP path handles the oversized windows
     r = service_eval("rb", problems)
     if r is not None:
         STATS["problems"] += len(problems)
@@ -413,10 +422,6 @@ def _eval_rb_device(problems: List[Tuple[bytes, bytes]]):
     pos = np.zeros((n, stride), dtype=np.int64)
     groups = {}
     for i, (t, p) in enumerate(problems):
-        if len(t) + 2 >= (1 << 15) or len(t) + len(p) >= 32000:
-            # encoded argmin / int16 row values would overflow (every
-            # genuine row value is bounded by lp + tw): host path
-            return None
         groups.setdefault((_p4(max(len(t), 1)), _p4(max(len(p), 1))),
                           []).append((i, t, p))
     STATS["problems"] += len(problems)
