@@ -159,6 +159,8 @@ HOST_CENSUS: dict = {}
 
 
 def reset_stats() -> None:
+    # NOTE: deliberately leaves RB_SELF_TUNED_OFF alone — it is a
+    # link-quality tuning latch, not a statistic
     for k in STATS:
         STATS[k] = 0
     HOST_CENSUS.clear()
@@ -175,6 +177,12 @@ def reset_stats() -> None:
 # native cascade recomputes each miss with the byte-identical host DPs.
 
 _WEDGED = False
+
+# Self-tuning latch for the refine-borders offload (stages/est_fact.py):
+# flipped when a measured rb device batch costs more than the host rows
+# it replaces — i.e. the chip's attachment latency/bandwidth makes this
+# family a net loss.  Per-process; PINTRON_DEVICE_RB=1/0 overrides.
+RB_SELF_TUNED_OFF = False
 
 
 def device_wedged() -> bool:

@@ -1041,6 +1041,9 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                 rb_mode = os.environ.get("PINTRON_DEVICE_RB", "")
                 if rb_mode == "0":
                     return   # kill-switch: K-band-only offload
+                from pintron_tpu.ops import offload as _offmod
+                if rb_mode != "1" and _offmod.RB_SELF_TUNED_OFF:
+                    return
                 from pintron_tpu.ops.offload import eval_rb
                 per_rec = []
                 problems = []
@@ -1071,9 +1074,22 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                     # cascade compute these on host (PINTRON_DEVICE_RB=1
                     # forces the offload regardless, =0 disables it)
                     return
+                t_rb0 = time.monotonic()
                 res = eval_rb(problems)
                 if res is None:
                     return
+                if rb_mode != "1":
+                    # self-tuning: if this batch took longer on device
+                    # (dispatch + row-table transfer over whatever link
+                    # attaches the chip) than the host AVX2 rows would
+                    # have (~2 cells/ns), the link is too slow for this
+                    # family — stop offloading it in this process
+                    cells = sum((len(t) + 1) * (len(p) + 1)
+                                for t, p in problems)
+                    host_est = cells * 0.5e-9
+                    if time.monotonic() - t_rb0 > max(
+                            2 * host_est, 0.002):
+                        _offmod.RB_SELF_TUNED_OFF = True
                 vals, pos = res
                 stride = vals.shape[1]
                 for rec, recs, base in per_rec:
@@ -1239,7 +1255,9 @@ def _run_units_device_forked(gen: mf.EstInfo, tree: SuffixTree,
             dev = _run_units_device(gen, tree, gen_seq_bytes, config,
                                     ests_path, fresh=fresh,
                                     shard=(w, nworkers))
-            pw.send(("ok", dev, dict(off.STATS), dp_census()))
+            stats = dict(off.STATS)
+            stats["_rb_self_tuned_off"] = off.RB_SELF_TUNED_OFF
+            pw.send(("ok", dev, stats, dp_census()))
         except BaseException as e:  # noqa: BLE001 - report to parent
             try:
                 pw.send(("err", f"{type(e).__name__}: {e}", None, None))
@@ -1268,7 +1286,12 @@ def _run_units_device_forked(gen: mf.EstInfo, tree: SuffixTree,
             for i, blobs in payload:
                 merged[i] = blobs
             for k, v in (stats or {}).items():
-                if k != "device_runs":
+                if k == "_rb_self_tuned_off":
+                    # a child measured the rb offload as a net loss on
+                    # this link: remember it so later forks inherit
+                    if v:
+                        off.RB_SELF_TUNED_OFF = True
+                elif k != "device_runs":
                     off.STATS[k] = off.STATS.get(k, 0) + v
             for k, v in (census or {}).items():
                 off.HOST_CENSUS[k] = off.HOST_CENSUS.get(k, 0) + v
