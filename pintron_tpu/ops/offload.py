@@ -521,14 +521,17 @@ def _eval_kband_device(problems: List[Tuple[bytes, bytes, int]]
     band_groups = {}
     for i, a, b, ub in rest:
         n = len(a)
-        # one group per longer-length class: M/K pad to the group maxima
-        # at call time, so a whole batch costs a couple of device
-        # dispatches instead of one per (N, M, K) combination — dispatch
-        # latency dominates on small loci
+        # Bucketing trades padding waste (device microseconds) against
+        # dispatch count (a round trip each): every problem with
+        # n <= 1024 shares ONE bucket padded to 1024, and only longer
+        # outliers get their own power-of-four class — so a typical
+        # batch costs one band + one full dispatch, not one per length
+        # class.
+        key = 1024 if n <= 1024 else _p4(n)
         if 2 * ub + 1 >= n:
-            full_groups.setdefault(_p4(n), []).append((i, a, b, ub))
+            full_groups.setdefault(key, []).append((i, a, b, ub))
         else:
-            band_groups.setdefault(_p4(n), []).append((i, a, b, ub))
+            band_groups.setdefault(key, []).append((i, a, b, ub))
 
     mesh = _mesh()
 
