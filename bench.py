@@ -263,15 +263,26 @@ def run_device_channels(workdir: str, n_ests: int) -> dict:
     subprocess: first-compile latency over a remote-attached chip can
     occasionally blow up (minutes), and a hung device section must not
     prevent the headline JSON line from being printed."""
+    out = ""
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--device-channels", workdir, str(n_ests)],
-            capture_output=True, text=True, timeout=1200)
-        if r.returncode == 0 and r.stdout.strip():
-            return json.loads(r.stdout.strip().splitlines()[-1])
+            capture_output=True, text=True, timeout=1500)
+        out = r.stdout or ""
+    except subprocess.TimeoutExpired as e:
+        # the child prints cumulative JSON after EACH channel, so a
+        # timeout still yields the channels that finished
+        out = e.stdout or ""
+        if isinstance(out, bytes):
+            out = out.decode("utf-8", "replace")
     except Exception:
         pass
+    for line in reversed(out.strip().splitlines() or []):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
     return {"device_channels": "skipped (timeout or error)"}
 
 
@@ -377,9 +388,13 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--device-channels":
         res = {}
-        res.update(measure_device_kernel())
-        res.update(measure_device_mode(sys.argv[2], int(sys.argv[3])))
-        res.update(measure_device_stress())
-        print(json.dumps(res))
+        for step in (measure_device_kernel,
+                     lambda: measure_device_mode(sys.argv[2],
+                                                 int(sys.argv[3])),
+                     measure_device_stress):
+            res.update(step())
+            # cumulative line per channel: a parent-side timeout keeps
+            # whatever finished
+            print(json.dumps(res), flush=True)
         sys.exit(0)
     main()
