@@ -190,6 +190,116 @@ def batch_edit_rowmin(seq1, len1, seq2, len2, *, max_rows: int):
             pos.astype(jnp.int16))
 
 
+@functools.partial(jax.jit, static_argnames=("max_n", "max_m"))
+def batch_nw_traceback(est, elen, gen, glen, *, max_n: int, max_m: int):
+    """Batched Needleman-Wunsch WITH device-side traceback — the
+    building block for offloading the endpoint/alignment family
+    (reference compute-alignments.c:39-207: unit costs, N-wildcard
+    matches, direction preference diag > up > left).
+
+    Args: est (B, max_n) / gen (B, max_m) int8 byte codes (padded),
+    elen/glen (B,) int32.  Returns (score, ops, nsteps):
+      * score (B,) int32 — the final alignment cost;
+      * ops (B, max_n+max_m) int8 — traceback operations from the END
+        of the alignment backwards (0=diag, 1=up/gap-in-gen,
+        2=left/gap-in-est, 3=stopped at a matrix border);
+      * nsteps (B,) int32 — ops consumed before the border.
+    The host reverses ops[:nsteps], prepends the remaining i/j border
+    run, and materializes the two gapped strings — byte-identical to
+    the host traceback (same direction tie-breaks, same value
+    recurrence: ops/align.py's wavefront with cummin left-relax).
+    """
+    B = est.shape[0]
+    est = est.astype(jnp.int32)
+    gen = gen.astype(jnp.int32)
+    elen = elen.astype(jnp.int32)
+    glen = glen.astype(jnp.int32)
+    NCODE = jnp.int32(ord("N"))
+    ncode = jnp.int32(ord("n"))
+    wild_g = (gen == NCODE) | (gen == ncode)          # (B, M)
+    cols = jnp.arange(max_m + 1, dtype=jnp.int32)
+
+    M0 = jnp.broadcast_to(cols, (B, max_m + 1)).astype(jnp.int32)
+
+    def fill_row(M1, i):
+        ce = jnp.take_along_axis(
+            est, jnp.broadcast_to(jnp.clip(i - 1, 0, est.shape[1] - 1),
+                                  (B, 1)), axis=1)                # (B,1)
+        wild_e = (ce == NCODE) | (ce == ncode)
+        match = (gen == ce) | wild_e | wild_g                     # (B,M)
+        diag = M1[:, :-1] + jnp.where(match, 0, 1)
+        up = M1[:, 1:] + 1
+        cand = jnp.minimum(diag, up)
+        first = jnp.full((B, 1), i, dtype=jnp.int32)
+        cand_b = jnp.concatenate([first, cand], axis=1)
+        vals = jax.lax.cummin(cand_b - cols[None, :], axis=1)             + cols[None, :]
+        left = vals[:, :-1] + 1
+        dirs = jnp.zeros((B, max_m), dtype=jnp.int8)
+        dirs = jnp.where((up < diag) & (left >= up),
+                         jnp.int8(1), dirs)
+        dirs = jnp.where(left < jnp.minimum(diag, up),
+                         jnp.int8(2), dirs)
+        vals = jnp.where(i <= elen[:, None], vals, M1)
+        return vals, dirs
+
+    rows = jnp.arange(1, max_n + 1, dtype=jnp.int32)
+    Mf, dstack = jax.lax.scan(fill_row, M0, rows)   # dstack (N, B, M)
+    dirs = jnp.transpose(dstack, (1, 0, 2))          # (B, N, M)
+    score = jnp.take_along_axis(Mf, glen[:, None], axis=1)[:, 0]
+
+    # device traceback: every problem walks its own path in lockstep
+    flat = dirs.reshape(B, max_n * max_m)
+
+    def tb_step(carry, _):
+        i, j, k = carry
+        active = (i > 0) & (j > 0)
+        fidx = jnp.clip((i - 1) * max_m + (j - 1), 0,
+                        max_n * max_m - 1)
+        d = jnp.take_along_axis(flat, fidx[:, None],
+                                axis=1)[:, 0].astype(jnp.int32)
+        d = jnp.where(active, d, 3)
+        di = jnp.where((d == 0) | (d == 1), 1, 0)
+        dj = jnp.where((d == 0) | (d == 2), 1, 0)
+        return (i - di, j - dj, k + active.astype(jnp.int32)),             d.astype(jnp.int8)
+
+    (ti, tj, nsteps), opsT = jax.lax.scan(
+        tb_step, (elen, glen, jnp.zeros(B, jnp.int32)),
+        None, length=max_n + max_m)
+    return score, jnp.transpose(opsT, (1, 0)), nsteps
+
+
+def nw_traceback_decode(est_seq: str, gen_seq: str, ops, nsteps: int):
+    """Host decode of one batch_nw_traceback row into the two gapped
+    strings (same output as the host _traceback)."""
+    i, j = len(est_seq), len(gen_seq)
+    est_al = []
+    gen_al = []
+    for k in range(int(nsteps)):
+        d = int(ops[k])
+        if d == 0:
+            est_al.append(est_seq[i - 1])
+            gen_al.append(gen_seq[j - 1])
+            i -= 1
+            j -= 1
+        elif d == 1:
+            est_al.append(est_seq[i - 1])
+            gen_al.append("-")
+            i -= 1
+        else:
+            est_al.append("-")
+            gen_al.append(gen_seq[j - 1])
+            j -= 1
+    while i > 0:
+        est_al.append(est_seq[i - 1])
+        gen_al.append("-")
+        i -= 1
+    while j > 0:
+        est_al.append("-")
+        gen_al.append(gen_seq[j - 1])
+        j -= 1
+    return "".join(reversed(est_al)), "".join(reversed(gen_al))
+
+
 def encode_batch(strings, width: int) -> "tuple[np.ndarray, np.ndarray]":
     """Host helper: pack python strings into a padded int8 code batch."""
     B = len(strings)

@@ -116,3 +116,58 @@ def test_pallas_kband_matches_host_interpret():
         lib = get_lib()
         expect = int(lib.kband_core(s1.encode(), n, s2.encode(), m, k))
         assert int(got[b]) == expect, (b, s1, s2, k)
+
+
+def test_batch_nw_traceback_matches_host():
+    """Device NW fill + device-side traceback must reproduce the host
+    compute_alignment exactly: same score, same gapped strings (same
+    direction tie-breaks), including N-wildcard matching."""
+    import numpy as np
+
+    from pintron_tpu.factorize.alignments import _compute_alignment_uncached
+    from pintron_tpu.ops.align import (batch_nw_traceback,
+                                       nw_traceback_decode)
+
+    rng = np.random.default_rng(23)
+    alpha = np.array(list("ACGT"))
+    wildy = np.array(list("ACGTNn"))
+    cases = []
+    for _ in range(40):
+        n = int(rng.integers(1, 90))
+        m = int(rng.integers(1, 90))
+        src = wildy if rng.integers(0, 3) == 0 else alpha
+        e = "".join(rng.choice(src, n))
+        if rng.integers(0, 2):
+            g = list(e)
+            for _ in range(int(rng.integers(0, 8))):
+                g[int(rng.integers(0, n))] = str(rng.choice(alpha))
+            g = "".join(g)[: max(1, n - int(rng.integers(0, 5)))]
+        else:
+            g = "".join(rng.choice(src, m))
+        cases.append((e, g))
+    cases.append(("ACGT", "ACGT"))
+    cases.append(("A", "TTTT"))
+
+    N = max(len(e) for e, _ in cases)
+    M = max(len(g) for _, g in cases)
+    B = len(cases)
+    est = np.zeros((B, N), dtype=np.int8)
+    gen = np.zeros((B, M), dtype=np.int8)
+    elen = np.zeros(B, dtype=np.int32)
+    glen = np.zeros(B, dtype=np.int32)
+    for i, (e, g) in enumerate(cases):
+        est[i, :len(e)] = np.frombuffer(e.encode(), dtype=np.uint8)
+        gen[i, :len(g)] = np.frombuffer(g.encode(), dtype=np.uint8)
+        elen[i] = len(e)
+        glen[i] = len(g)
+
+    score, ops, nsteps = batch_nw_traceback(est, elen, gen, glen,
+                                            max_n=N, max_m=M)
+    score = np.asarray(score)
+    ops = np.asarray(ops)
+    nsteps = np.asarray(nsteps)
+    for i, (e, g) in enumerate(cases):
+        ref = _compute_alignment_uncached(e, g)
+        assert int(score[i]) == ref.score, (i, e, g)
+        ea, ga = nw_traceback_decode(e, g, ops[i], nsteps[i])
+        assert ea == ref.est and ga == ref.gen, (i, e, g)
