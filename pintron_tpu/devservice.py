@@ -81,6 +81,9 @@ def _eval_group(op: str, payloads: list):
         return merged_eval("edit_problems",
                            offload._eval_edit_batch_device,
                            lambda r, i, c, p: r[i:i + c])
+    if op == "nw":
+        return merged_eval("nw_problems", offload._eval_nw_device,
+                           lambda r, i, c, p: r[i:i + c])
     if op == "rb":
         def rb_slice(r, i, c, p):
             vals, pos = r

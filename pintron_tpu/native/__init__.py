@@ -213,6 +213,23 @@ def _build_and_load():
             #   pre_off, pre_f, pre_n
             + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p])
         #   gaps_out (9/i64 records), cap, meta[1]: need
+        lib.est_collect_endpoints.restype = ctypes.c_int64
+        lib.est_collect_endpoints.argtypes = (
+            [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # cands
+            + [ctypes.c_char_p, ctypes.c_int64]    # gen
+            + [ctypes.c_char_p, ctypes.c_int64]    # est (masked)
+            + [ctypes.c_char_p, ctypes.c_int64]    # est original
+            + [ctypes.c_int64]                     # est_length
+            + [ctypes.c_void_p, ctypes.c_int64]    # out records (9/i64)
+            + [ctypes.c_void_p])                   # meta[2]
+        lib.epm_fill_endpoints.restype = ctypes.c_int64
+        lib.epm_fill_endpoints.argtypes = (
+            [ctypes.c_char_p, ctypes.c_int64]      # gen
+            + [ctypes.c_char_p, ctypes.c_int64]    # est (masked)
+            + [ctypes.c_char_p, ctypes.c_int64]    # est original
+            + [ctypes.c_void_p, ctypes.c_int64]    # records, n
+            + [ctypes.c_void_p, ctypes.c_void_p]   # est_al, gen_al blobs
+            + [ctypes.c_void_p])                   # al_off (n+1)
         lib.epm_fill_rb.restype = ctypes.c_int64
         lib.epm_fill_rb.argtypes = (
             [ctypes.c_char_p, ctypes.c_int64]      # gen

@@ -4090,13 +4090,108 @@ static int ep_check_exon_start_end(const efct *f) {
     return 1;
 }
 
+/* Endpoint-cut scans over a computed head/tail alignment (the
+ * decision halves of filters.py:handle_endpoints /
+ * est-factorizations.c:2127-2301), shared by the host path
+ * (ep_handle_endpoints) and the device offload fill
+ * (epm_fill_endpoints) so both produce bit-identical memo values.
+ * out3 = {keep (0/1), new_start_or_end_est, new_start_or_end_gen}. */
+static void ep_head_cut(const char *est_al, const char *gen_al,
+                        int64_t alen, int64_t es, int64_t gs,
+                        int64_t *out3) {
+    int64_t j = 0, matches = 0;
+    int64_t cut_factor = es, cut_exon = gs;
+    int stop = 0;
+    while (j < alen && !stop) {
+        if (matches > 5) stop = 1;
+        else {
+            if (est_al[j] == gen_al[j]) {
+                cut_factor++; cut_exon++; matches++;
+            } else {
+                if (est_al[j] != '-') cut_factor++;
+                if (gen_al[j] != '-') cut_exon++;
+                matches = 0;
+            }
+            j++;
+        }
+    }
+    if (!stop) {
+        out3[0] = 0; out3[1] = 0; out3[2] = 0;
+    } else {
+        out3[0] = 1;
+        out3[1] = cut_factor - matches;
+        out3[2] = cut_exon - matches;
+    }
+}
+
+static void ep_tail_cut(char *est_al, char *gen_al, int64_t alen,
+                        int64_t ee0, int64_t ge0, int64_t gs,
+                        int64_t *out3) {
+    int64_t j = alen - 1, matches = 0;
+    int64_t cut_factor = ee0, cut_exon = ge0;
+    int stop = 0;
+    int64_t est_cleav, gen_cleav, cursor, dim;
+    int stop2;
+    while (j >= 0 && !stop) {
+        if (matches > 10) stop = 1;
+        else {
+            if (est_al[j] == gen_al[j]) {
+                cut_factor--; cut_exon--; matches++;
+            } else {
+                if (est_al[j] != '-') cut_factor--;
+                if (gen_al[j] != '-') cut_exon--;
+                matches = 0;
+            }
+            j--;
+        }
+    }
+    est_cleav = cut_factor + matches;
+    gen_cleav = cut_exon + matches;
+
+    cursor = j + matches + 1;
+    stop2 = 0;
+    dim = alen;
+    while (cursor < dim - 1
+           && (est_al[cursor] == '-' || gen_al[cursor] == '-')
+           && !stop2) {
+        if (est_al[cursor] == '-') {
+            int64_t t = cursor + 1;
+            while (t < dim && est_al[t] == '-') t++;
+            if (t < dim) {
+                if (est_al[t] == gen_al[cursor]) {
+                    est_al[cursor] = est_al[t];
+                    est_al[t] = '-';
+                    est_cleav++; gen_cleav++;
+                } else stop2 = 1;
+            } else stop2 = 1;
+        } else {
+            int64_t t = cursor + 1;
+            while (t < dim && gen_al[t] == '-') t++;
+            if (t < dim) {
+                if (gen_al[t] == est_al[cursor]) {
+                    gen_al[cursor] = gen_al[t];
+                    gen_al[t] = '-';
+                    est_cleav++; gen_cleav++;
+                } else stop2 = 1;
+            } else stop2 = 1;
+        }
+        cursor++;
+    }
+    if (gen_cleav >= gs) {
+        out3[0] = 1;
+        out3[1] = est_cleav;
+        out3[2] = gen_cleav;
+    } else {
+        out3[0] = 0; out3[1] = 0; out3[2] = 0;
+    }
+}
+
 /* filters.py:handle_endpoints (est-factorizations.c:2127-2301).
  * Returns 0 on allocation failure. */
 static int ep_handle_endpoints(efct *f, const char *gen, int64_t glen,
                                const char *est, int64_t elen) {
     const char *ge, *ee;
-    int64_t gel, eel, alen, j, matches, cut_factor, cut_exon;
-    int stop;
+    int64_t gel, eel, alen;
     char *est_al, *gen_al;
     int64_t out_len[1];
     efac *head = &f->f[0];
@@ -4125,31 +4220,22 @@ static int ep_handle_endpoints(efct *f, const char *gen, int64_t glen,
                 return 0;
             }
             alen = out_len[0];
-
-            j = 0; matches = 0;
-            cut_factor = head->es;
-            cut_exon = head->gs;
-            stop = 0;
-            while (j < alen && !stop) {
-                if (matches > 5) stop = 1;
-                else {
-                    if (est_al[j] == gen_al[j]) {
-                        cut_factor++; cut_exon++; matches++;
-                    } else {
-                        if (est_al[j] != '-') cut_factor++;
-                        if (gen_al[j] != '-') cut_exon++;
-                        matches = 0;
+            {
+                int64_t out3[3];
+                ep_head_cut(est_al, gen_al, alen, head->es, head->gs,
+                            out3);
+                if (!out3[0]) {
+                    if (me) me->v[0] = 0;
+                    efct_del(f, 0);
+                } else {
+                    head->es = out3[1];
+                    head->gs = out3[2];
+                    if (me) {
+                        me->v[0] = 1;
+                        me->v[1] = head->es;
+                        me->v[2] = head->gs;
                     }
-                    j++;
                 }
-            }
-            if (!stop) {
-                if (me) me->v[0] = 0;
-                efct_del(f, 0);
-            } else {
-                head->es = cut_factor - matches;
-                head->gs = cut_exon - matches;
-                if (me) { me->v[0] = 1; me->v[1] = head->es; me->v[2] = head->gs; }
             }
         }
     }
@@ -4157,8 +4243,6 @@ static int ep_handle_endpoints(efct *f, const char *gen, int64_t glen,
 
     {
         efac *tail = &f->f[f->n - 1];
-        int64_t est_cleav, gen_cleav, cursor, dim;
-        int stop2;
         uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
         int found;
         epm_ent *me;
@@ -4182,63 +4266,22 @@ static int ep_handle_endpoints(efct *f, const char *gen, int64_t glen,
             return 0;
         }
         alen = out_len[0];
-
-        j = alen - 1; matches = 0;
-        cut_factor = tail->ee;
-        cut_exon = tail->ge;
-        stop = 0;
-        while (j >= 0 && !stop) {
-            if (matches > 10) stop = 1;
-            else {
-                if (est_al[j] == gen_al[j]) {
-                    cut_factor--; cut_exon--; matches++;
-                } else {
-                    if (est_al[j] != '-') cut_factor--;
-                    if (gen_al[j] != '-') cut_exon--;
-                    matches = 0;
+        {
+            int64_t out3[3];
+            ep_tail_cut(est_al, gen_al, alen, tail->ee, tail->ge,
+                        tail->gs, out3);
+            if (out3[0]) {
+                tail->ee = out3[1];
+                tail->ge = out3[2];
+                if (me) {
+                    me->v[0] = 1;
+                    me->v[1] = tail->ee;
+                    me->v[2] = tail->ge;
                 }
-                j--;
-            }
-        }
-        est_cleav = cut_factor + matches;
-        gen_cleav = cut_exon + matches;
-
-        cursor = j + matches + 1;
-        stop2 = 0;
-        dim = alen;
-        while (cursor < dim - 1
-               && (est_al[cursor] == '-' || gen_al[cursor] == '-')
-               && !stop2) {
-            if (est_al[cursor] == '-') {
-                int64_t t = cursor + 1;
-                while (t < dim && est_al[t] == '-') t++;
-                if (t < dim) {
-                    if (est_al[t] == gen_al[cursor]) {
-                        est_al[cursor] = est_al[t];
-                        est_al[t] = '-';
-                        est_cleav++; gen_cleav++;
-                    } else stop2 = 1;
-                } else stop2 = 1;
             } else {
-                int64_t t = cursor + 1;
-                while (t < dim && gen_al[t] == '-') t++;
-                if (t < dim) {
-                    if (gen_al[t] == est_al[cursor]) {
-                        gen_al[cursor] = gen_al[t];
-                        gen_al[t] = '-';
-                        est_cleav++; gen_cleav++;
-                    } else stop2 = 1;
-                } else stop2 = 1;
+                if (me) me->v[0] = 0;
+                f->n--;     /* pop the tail */
             }
-            cursor++;
-        }
-        if (gen_cleav >= tail->gs) {
-            tail->ee = est_cleav;
-            tail->ge = gen_cleav;
-            if (me) { me->v[0] = 1; me->v[1] = tail->ee; me->v[2] = tail->ge; }
-        } else {
-            if (me) me->v[0] = 0;
-            f->n--;     /* pop the tail */
         }
     }
     return 1;
@@ -6320,6 +6363,163 @@ int64_t epm_fill_noisy(
         epm_key4(mk, 4, &e);
         me = epm_find(mk, &found);
         if (me) me->v[0] = ok[i];
+    }
+    return 0;
+}
+
+/* Collect pass for the endpoint-alignment offload: for every candidate
+ * factorization that passes the two pure pre-checks (not-source-sink,
+ * exon sanity — the checks that precede handle_endpoints in the
+ * cascade), emit the head (kind 0) and tail (kind 1) NW problems whose
+ * tag-1/2 memo entries are missing.  Single-factor candidates emit
+ * only the head: their tail cut runs on the head-mutated factor, a
+ * cross-dependency the host path resolves.  Records are 9 int64:
+ * {kind, es, ee, gs, ge, e_off, e_len, g_off, g_len}. */
+int64_t est_collect_endpoints(
+    const int64_t *cand_off, const int64_t *cand_f, int64_t n_cand,
+    const char *gen, int64_t glen,
+    const char *est, int64_t elen,
+    const char *est_orig, int64_t eolen,
+    int64_t est_length,
+    int64_t *out, int64_t cap, int64_t *meta) {
+
+    int64_t ci, k, n_out = 0, need = 0;
+    uint64_t set_cap = 64, set_fill = 0;
+    uint64_t *set;
+    int64_t ret = -3;
+
+    epm_seq_id = epm_begin(gen, glen, est, elen, est_orig, eolen);
+    meta[0] = 0;
+    meta[1] = (int64_t)epm_seq_id;
+    if (epm_seq_id == 0 || !epm_tab) return -1;
+
+    {
+        int64_t total = 0;
+        for (ci = 0; ci < n_cand; ci++) total += 2;
+        while ((int64_t)set_cap < 2 * total + 2) set_cap <<= 1;
+    }
+    set = (uint64_t *)calloc((size_t)set_cap * 3, sizeof(uint64_t));
+    if (!set) return -3;
+
+    for (ci = 0; ci < n_cand; ci++) {
+        efct f = {NULL, 0, 0, 0, 0};
+        int64_t a = cand_off[ci], b = cand_off[ci + 1];
+        int kind;
+        if (!efct_reserve(&f, b - a)) goto fail;
+        for (k = a; k < b; k++) {
+            efac e;
+            e.es = cand_f[4 * k];
+            e.ee = cand_f[4 * k + 1];
+            e.gs = cand_f[4 * k + 2];
+            e.ge = cand_f[4 * k + 3];
+            f.f[f.n++] = e;
+        }
+        if (!ep_check_not_ss(&f, est_length)
+            || !ep_check_exon_start_end(&f)) {
+            efct_free(&f);
+            continue;
+        }
+        for (kind = 0; kind < 2; kind++) {
+            efac *fac;
+            uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
+            int found;
+            epm_ent *me;
+            uint64_t w0, w1, idx, h;
+            int dup = 0;
+            if (kind == 1 && f.n < 2) continue;
+            fac = kind == 0 ? &f.f[0] : &f.f[f.n - 1];
+            epm_key4(mk, kind == 0 ? 1 : 2, fac);
+            me = epm_find(mk, &found);
+            if (me && !found) { me->gen = epm_gen - 1; epm_fill--; }
+            if (found) continue;
+            w0 = ((uint64_t)(uint32_t)fac->es << 32)
+                 | (uint32_t)fac->ee;
+            w1 = (((uint64_t)(uint32_t)fac->gs << 32)
+                  | (uint32_t)fac->ge) ^ ((uint64_t)kind << 62);
+            h = 1469598103934665603ULL;
+            h ^= w0; h *= 1099511628211ULL;
+            h ^= w1; h *= 1099511628211ULL;
+            idx = h & (set_cap - 1);
+            for (;;) {
+                if (!set[3 * idx + 2] && set_fill < set_cap - 1) {
+                    set[3 * idx] = w0;
+                    set[3 * idx + 1] = w1;
+                    set[3 * idx + 2] = 1;
+                    set_fill++;
+                    break;
+                }
+                if (set[3 * idx + 2] && set[3 * idx] == w0
+                    && set[3 * idx + 1] == w1) { dup = 1; break; }
+                idx = (idx + 1) & (set_cap - 1);
+            }
+            if (dup) continue;
+            need++;
+            if (n_out < cap) {
+                const char *gx, *ex;
+                int64_t gl = rs_sub(gen, glen, fac->gs,
+                                    fac->ge - fac->gs + 1, &gx);
+                int64_t el = rs_sub(est, elen, fac->es,
+                                    fac->ee - fac->es + 1, &ex);
+                int64_t *rec = out + 9 * n_out;
+                rec[0] = kind;
+                rec[1] = fac->es; rec[2] = fac->ee;
+                rec[3] = fac->gs; rec[4] = fac->ge;
+                rec[5] = ex - est; rec[6] = el;
+                rec[7] = gx - gen; rec[8] = gl;
+                n_out++;
+            }
+        }
+        efct_free(&f);
+    }
+    free(set);
+    meta[0] = need;
+    if (need > n_out) return -2;
+    return n_out;
+fail:
+    free(set);
+    return ret;
+}
+
+/* Pre-fill the endpoint memo (tags 1/2) from device-computed NW
+ * alignments: per record the caller provides the two gapped strings
+ * (byte-identical to nw_align_run's — the device traceback reproduces
+ * its direction preferences), and the SAME scan helpers the host path
+ * uses (ep_head_cut/ep_tail_cut) derive the memo value here.  est_al /
+ * gen_al are concatenated mutable blobs with al_off[i] offsets
+ * (ep_tail_cut normalizes gaps in place). */
+int64_t epm_fill_endpoints(
+    const char *gen, int64_t glen,
+    const char *est, int64_t elen,
+    const char *est_orig, int64_t eolen,
+    const int64_t *recs, int64_t n,
+    char *est_al, char *gen_al, const int64_t *al_off) {
+
+    int64_t i;
+    epm_seq_id = epm_begin(gen, glen, est, elen, est_orig, eolen);
+    if (epm_seq_id == 0 || !epm_tab) return -1;
+    for (i = 0; i < n; i++) {
+        const int64_t *rec = recs + 9 * i;
+        int64_t alen = al_off[i + 1] - al_off[i];
+        efac fac;
+        uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
+        int found;
+        epm_ent *me;
+        int64_t out3[3];
+        fac.es = rec[1]; fac.ee = rec[2];
+        fac.gs = rec[3]; fac.ge = rec[4];
+        if (rec[0] == 0)
+            ep_head_cut(est_al + al_off[i], gen_al + al_off[i], alen,
+                        fac.es, fac.gs, out3);
+        else
+            ep_tail_cut(est_al + al_off[i], gen_al + al_off[i], alen,
+                        fac.ee, fac.ge, fac.gs, out3);
+        epm_key4(mk, rec[0] == 0 ? 1 : 2, &fac);
+        me = epm_find(mk, &found);
+        if (me) {
+            me->v[0] = out3[0];
+            me->v[1] = out3[1];
+            me->v[2] = out3[2];
+        }
     }
     return 0;
 }

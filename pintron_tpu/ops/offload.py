@@ -148,7 +148,8 @@ def _sharded_call(mesh, fn, arrays, ub, key=()):
 # problems actually evaluated on device, and DP cells computed there
 STATS = {"problems": 0, "device_problems": 0, "device_cells": 0,
          "batches": 0, "device_runs": 0, "pwm_windows": 0,
-         "device_timeouts": 0, "edit_problems": 0, "rb_problems": 0}
+         "device_timeouts": 0, "edit_problems": 0, "rb_problems": 0,
+         "nw_problems": 0}
 
 
 # Forked device-flow children ship their native host-DP cell census
@@ -386,6 +387,74 @@ def _eval_edit_batch_device(pairs: List[Tuple[bytes, bytes]]
         rn = np.asarray(r)
         for (i, _a, _b), dist in zip(items, rn):
             out[i] = int(dist)
+    return out
+
+
+NW_SELF_TUNED_OFF = False
+
+
+def eval_nw(problems: List[Tuple[bytes, bytes]]):
+    """Bounded entry point: batched NW alignments WITH traceback for
+    the endpoint family (est-factorizations.c:2127-2301 head/tail
+    trims).  Each problem is an (est_window, gen_window) pair; returns
+    a list of (est_al, gen_al) gapped byte strings, byte-identical to
+    the host nw_align_run's alignment, or None when the device is
+    wedged/unavailable/oversized."""
+    return device_call(_eval_nw_device, problems,
+                       what="endpoint NW device batch")
+
+
+def _eval_nw_device(problems: List[Tuple[bytes, bytes]]):
+    # direction tensors are (B, N, M) int8 in HBM: guard per-problem
+    # area and sub-batch each bucket so a bucket never materializes
+    # more than ~256 MB of directions
+    for e, g in problems:
+        if len(e) * len(g) > (1 << 21) or len(e) + len(g) > 8192:
+            return None
+    r = service_eval("nw", problems)
+    if r is not None:
+        STATS["problems"] += len(problems)
+        STATS["device_problems"] += len(problems)
+        STATS["nw_problems"] = (STATS.get("nw_problems", 0)
+                                + len(problems))
+        STATS["device_cells"] += sum(
+            len(e) * len(g) for e, g in problems)
+        return r
+    enable_compile_cache()
+    from pintron_tpu.ops.align import (batch_nw_traceback,
+                                       nw_traceback_decode)
+
+    out: list = [None] * len(problems)
+    groups = {}
+    for i, (e, g) in enumerate(problems):
+        if e == g:
+            out[i] = (e, g)   # all-diagonal optimum (host shortcut)
+            continue
+        groups.setdefault((_p4(max(len(e), 1)), _p4(max(len(g), 1))),
+                          []).append((i, e, g))
+    STATS["problems"] += len(problems)
+    for (N, M), items in sorted(groups.items()):
+        sub = max(1, (1 << 28) // max(1, N * M))
+        for c0 in range(0, len(items), sub):
+            chunk = items[c0:c0 + sub]
+            Bp = _p2(len(chunk), lo=16)
+            s1, l1 = _encode([e for _, e, _ in chunk], N, rows=Bp)
+            s2, l2 = _encode([g for _, _, g in chunk], M, rows=Bp)
+            score, ops, nsteps = batch_nw_traceback(
+                s1, l1, s2, l2, max_n=N, max_m=M)
+            ops = np.asarray(ops)
+            nsteps = np.asarray(nsteps)
+            for j, (i, e, g) in enumerate(chunk):
+                ea, ga = nw_traceback_decode(
+                    e.decode("latin1"), g.decode("latin1"),
+                    ops[j], int(nsteps[j]))
+                out[i] = (ea.encode("latin1"), ga.encode("latin1"))
+            STATS["device_problems"] += len(chunk)
+            STATS["nw_problems"] = (STATS.get("nw_problems", 0)
+                                    + len(chunk))
+            STATS["device_cells"] += sum(
+                len(e) * len(g) for _, e, g in chunk)
+            STATS["batches"] += 1
     return out
 
 

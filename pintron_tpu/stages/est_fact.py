@@ -804,6 +804,39 @@ def _collect_noisy(lib, cands, gen_seq_bytes: bytes, est_bytes: bytes,
     return coords, probs, int(meta[1])
 
 
+def _collect_endpoints(lib, cands, gen_seq_bytes: bytes,
+                       est_bytes: bytes, est_orig_bytes: bytes,
+                       est_length: int):
+    """Native collect pass for the endpoint-NW offload
+    (est_collect_endpoints in dp.c): list the head/tail alignment
+    problems whose tag-1/2 memo entries are missing.  Returns the
+    (n, 9) int64 record array, or None when unavailable."""
+    import numpy as np
+
+    from pintron_tpu.native import np_scratch
+    if not hasattr(lib, "est_collect_endpoints"):
+        return None
+    c_off, c_f, c_n = cands
+    meta, meta_ptr = np_scratch("ce_meta", 2)
+    cap = 128
+    while True:
+        out, out_ptr = np_scratch("ce_out", 9 * cap)
+        cap = out.size // 9
+        n = lib.est_collect_endpoints(
+            c_off.ctypes.data, c_f.ctypes.data, c_n,
+            gen_seq_bytes, len(gen_seq_bytes),
+            est_bytes, len(est_bytes),
+            est_orig_bytes, len(est_orig_bytes),
+            est_length, out_ptr, cap, meta_ptr)
+        if n == -2:
+            cap = int(meta[0]) + 1
+            continue
+        if n < 0:
+            return None
+        break
+    return np.array(out[:9 * int(n)], dtype=np.int64).reshape(int(n), 9)
+
+
 def _collect_gaps(lib, meg_arrays, cands, gen_seq_bytes: bytes,
                   est_bytes: bytes, est_orig_bytes: bytes,
                   config: Config):
@@ -984,25 +1017,97 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                         est_orig_bytes = est.original_seq.encode("latin1")
                         rec["est_bytes"] = est_bytes
                         rec["est_orig_bytes"] = est_orig_bytes
-                        col = _collect_noisy(
-                            lib, cands, gen_seq_bytes, est_bytes,
-                            est_orig_bytes, int(meg_arrays[7]) - 2,
-                            config)
-                        if col is not None:
-                            coords, probs, seq_id = col
-                            idxs = []
-                            for c, p in zip(coords, probs):
-                                key = (seq_id, int(c[0]), int(c[1]),
-                                       int(c[2]), int(c[3]))
-                                j = prob_index.get(key)
-                                if j is None:
-                                    j = len(problems)
-                                    prob_index[key] = j
-                                    problems.append(p)
-                                idxs.append(j)
-                            rec["probmap"] = (coords, idxs)
-                rec["prob_end"] = len(problems)
                 round_recs.append(rec)
+
+            # ENDPOINT-NW offload phase (PINTRON_DEVICE_NW, self-tuned
+            # like rb): collect the head/tail alignment problems
+            # straight from the candidate arrays (only the two pure
+            # pre-checks precede handle_endpoints, so no cascade replay
+            # is needed), evaluate ONE device batch with traceback, and
+            # pre-fill the tag-1/2 memo — the noisy collect pass below
+            # then memo-hits every endpoint instead of running host NW.
+            nw_mode = os.environ.get("PINTRON_DEVICE_NW", "")
+            from pintron_tpu.ops import offload as _offmod
+            if nw_mode != "0" and not (nw_mode != "1"
+                                       and _offmod.NW_SELF_TUNED_OFF):
+                ep_per_rec = []
+                ep_problems = []
+                for rec in round_recs:
+                    if rec["cands"] is None or rec["meg_arrays"] is None:
+                        continue
+                    recs_ep = _collect_endpoints(
+                        lib, rec["cands"], gen_seq_bytes,
+                        rec["est_bytes"], rec["est_orig_bytes"],
+                        int(rec["meg_arrays"][7]) - 2)
+                    if recs_ep is None or not len(recs_ep):
+                        continue
+                    base = len(ep_problems)
+                    eb = rec["est_bytes"]
+                    for r in recs_ep:
+                        ep_problems.append(
+                            (eb[int(r[5]):int(r[5]) + int(r[6])],
+                             gen_seq_bytes[int(r[7]):int(r[7])
+                                           + int(r[8])]))
+                    ep_per_rec.append((rec, recs_ep, base))
+                if ep_problems:
+                    from pintron_tpu.ops.offload import eval_nw
+                    t_nw0 = time.monotonic()
+                    als = eval_nw(ep_problems)
+                    if als is not None and nw_mode != "1":
+                        cells = sum(len(e) * len(g)
+                                    for e, g in ep_problems)
+                        if time.monotonic() - t_nw0 > max(
+                                2 * cells * 1e-9, 0.002):
+                            _offmod.NW_SELF_TUNED_OFF = True
+                    if als is not None:
+                        for rec, recs_ep, base in ep_per_rec:
+                            nrec = len(recs_ep)
+                            pair = als[base:base + nrec]
+                            off_arr = np.zeros(nrec + 1, dtype=np.int64)
+                            for k, (ea, ga) in enumerate(pair):
+                                off_arr[k + 1] = off_arr[k] + len(ea)
+                            ea_blob = b"".join(ea for ea, _ in pair)
+                            ga_blob = b"".join(ga for _, ga in pair)
+                            ea_buf = bytearray(ea_blob)
+                            ga_buf = bytearray(ga_blob)
+                            recsc = np.ascontiguousarray(recs_ep)
+                            import ctypes as _ct
+                            ea_c = (_ct.c_char * max(1, len(ea_buf))
+                                    ).from_buffer(ea_buf)
+                            ga_c = (_ct.c_char * max(1, len(ga_buf))
+                                    ).from_buffer(ga_buf)
+                            lib.epm_fill_endpoints(
+                                gen_seq_bytes, len(gen_seq_bytes),
+                                rec["est_bytes"],
+                                len(rec["est_bytes"]),
+                                rec["est_orig_bytes"],
+                                len(rec["est_orig_bytes"]),
+                                recsc.ctypes.data, nrec,
+                                _ct.addressof(ea_c),
+                                _ct.addressof(ga_c),
+                                off_arr.ctypes.data)
+
+            # noisy-exon collect (memo-hits the endpoints filled above)
+            for rec in round_recs:
+                if rec["cands"] is not None:
+                    col = _collect_noisy(
+                        lib, rec["cands"], gen_seq_bytes,
+                        rec["est_bytes"], rec["est_orig_bytes"],
+                        int(rec["meg_arrays"][7]) - 2, config)
+                    if col is not None:
+                        coords, probs, seq_id = col
+                        idxs = []
+                        for c, p in zip(coords, probs):
+                            key = (seq_id, int(c[0]), int(c[1]),
+                                   int(c[2]), int(c[3]))
+                            j = prob_index.get(key)
+                            if j is None:
+                                j = len(problems)
+                                prob_index[key] = j
+                                problems.append(p)
+                            idxs.append(j)
+                        rec["probmap"] = (coords, idxs)
+                rec["prob_end"] = len(problems)
 
             # Device evaluation of the round's K-band problems, chunked
             # and double-buffered: chunk i+1's batch is IN FLIGHT while

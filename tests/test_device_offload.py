@@ -159,6 +159,7 @@ def test_device_stage4_pwm_byte_identical():
     off.STATS.pop("pwm_windows", None)
     os.environ["PINTRON_DEVICE"] = "1"
     os.environ["PINTRON_DEVICE_RB"] = "1"   # force rb on small batches
+    os.environ["PINTRON_DEVICE_NW"] = "1"   # force endpoint NW too
     os.environ["PINTRON_FRESH_MEMO"] = "1"  # warm memo = nothing to collect
     try:
         run_est_fact(work)
@@ -169,12 +170,15 @@ def test_device_stage4_pwm_byte_identical():
     finally:
         del os.environ["PINTRON_DEVICE"]
         del os.environ["PINTRON_DEVICE_RB"]
+        del os.environ["PINTRON_DEVICE_NW"]
         del os.environ["PINTRON_FRESH_MEMO"]
 
     assert off.STATS.get("pwm_windows", 0) > 0, \
         "PWM sweep never reached the device"
     assert off.STATS.get("rb_problems", 0) > 0, \
         "refine-borders problems never reached the device"
+    assert off.STATS.get("nw_problems", 0) > 0, \
+        "endpoint NW problems never reached the device"
     assert off.STATS.get("edit_problems", 0) > 0, \
         "predicted-introns edit stats never reached the device"
     for name in ("out-after-intron-agree.txt", "predicted-introns.txt"):
