@@ -82,8 +82,12 @@ def _eval_group(op: str, payloads: list):
                            offload._eval_edit_batch_device,
                            lambda r, i, c, p: r[i:i + c])
     if op == "nw":
+        def nw_slice(r, i, c, p):
+            ops, nsteps = r
+            w = max((len(e) + len(g) for e, g in p), default=1)
+            return (ops[i:i + c, :w].copy(), nsteps[i:i + c].copy())
         return merged_eval("nw_problems", offload._eval_nw_device,
-                           lambda r, i, c, p: r[i:i + c])
+                           nw_slice)
     if op == "rb":
         def rb_slice(r, i, c, p):
             vals, pos = r

@@ -228,8 +228,8 @@ def _build_and_load():
             + [ctypes.c_char_p, ctypes.c_int64]    # est (masked)
             + [ctypes.c_char_p, ctypes.c_int64]    # est original
             + [ctypes.c_void_p, ctypes.c_int64]    # records, n
-            + [ctypes.c_void_p, ctypes.c_void_p]   # est_al, gen_al blobs
-            + [ctypes.c_void_p])                   # al_off (n+1)
+            + [ctypes.c_void_p, ctypes.c_void_p]   # ops (int8), nsteps
+            + [ctypes.c_int64])                    # ops row stride
         lib.epm_fill_rb.restype = ctypes.c_int64
         lib.epm_fill_rb.argtypes = (
             [ctypes.c_char_p, ctypes.c_int64]      # gen

@@ -6481,37 +6481,87 @@ fail:
 }
 
 /* Pre-fill the endpoint memo (tags 1/2) from device-computed NW
- * alignments: per record the caller provides the two gapped strings
- * (byte-identical to nw_align_run's — the device traceback reproduces
- * its direction preferences), and the SAME scan helpers the host path
- * uses (ep_head_cut/ep_tail_cut) derive the memo value here.  est_al /
- * gen_al are concatenated mutable blobs with al_off[i] offsets
- * (ep_tail_cut normalizes gaps in place). */
+ * tracebacks: per record the caller provides the raw traceback op
+ * codes (0=diag, 1=up/gap-in-gen, 2=left/gap-in-est, ordered from the
+ * END of the alignment backwards, `nsteps[i]` of them at stride
+ * `stride`) as produced by ops/align.batch_nw_traceback; the two
+ * gapped strings are materialized HERE (the per-char decode is far too
+ * hot for python at production problem counts), and the SAME scan
+ * helpers the host path uses (ep_head_cut/ep_tail_cut) derive the
+ * memo value — bit-identical to ep_handle_endpoints computing its own
+ * nw_align_run alignment. */
 int64_t epm_fill_endpoints(
     const char *gen, int64_t glen,
     const char *est, int64_t elen,
     const char *est_orig, int64_t eolen,
     const int64_t *recs, int64_t n,
-    char *est_al, char *gen_al, const int64_t *al_off) {
+    const int8_t *ops, const int64_t *nsteps, int64_t stride) {
 
     int64_t i;
+    char *ebuf = NULL, *gbuf = NULL;
+    int64_t cap = 0;
     epm_seq_id = epm_begin(gen, glen, est, elen, est_orig, eolen);
     if (epm_seq_id == 0 || !epm_tab) return -1;
     for (i = 0; i < n; i++) {
         const int64_t *rec = recs + 9 * i;
-        int64_t alen = al_off[i + 1] - al_off[i];
+        const int8_t *op = ops + i * stride;
+        const char *ew = est + rec[5];
+        const char *gw = gen + rec[7];
+        int64_t el = rec[6], gl = rec[8];
+        int64_t ii = el, jj = gl, k, w;
+        int64_t alen;
         efac fac;
         uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
         int found;
         epm_ent *me;
         int64_t out3[3];
+        if (el + gl + 2 > cap) {
+            char *ne = (char *)realloc(ebuf, (size_t)(2 * (el + gl) + 64));
+            char *ng = (char *)realloc(gbuf, (size_t)(2 * (el + gl) + 64));
+            if (ne) ebuf = ne;
+            if (ng) gbuf = ng;
+            if (!ne || !ng) { free(ebuf); free(gbuf); return -3; }
+            cap = 2 * (el + gl) + 64;
+        }
+        /* decode from the END backwards, writing right-to-left */
+        w = el + gl;
+        for (k = 0; k < nsteps[i] && k < stride; k++) {
+            int d = op[k];
+            w--;
+            if (d == 0) {
+                ebuf[w] = ew[ii - 1];
+                gbuf[w] = gw[jj - 1];
+                ii--; jj--;
+            } else if (d == 1) {
+                ebuf[w] = ew[ii - 1];
+                gbuf[w] = '-';
+                ii--;
+            } else {
+                ebuf[w] = '-';
+                gbuf[w] = gw[jj - 1];
+                jj--;
+            }
+        }
+        while (ii > 0) {
+            w--;
+            ebuf[w] = ew[ii - 1];
+            gbuf[w] = '-';
+            ii--;
+        }
+        while (jj > 0) {
+            w--;
+            ebuf[w] = '-';
+            gbuf[w] = gw[jj - 1];
+            jj--;
+        }
+        alen = el + gl - w;
         fac.es = rec[1]; fac.ee = rec[2];
         fac.gs = rec[3]; fac.ge = rec[4];
         if (rec[0] == 0)
-            ep_head_cut(est_al + al_off[i], gen_al + al_off[i], alen,
+            ep_head_cut(ebuf + w, gbuf + w, alen,
                         fac.es, fac.gs, out3);
         else
-            ep_tail_cut(est_al + al_off[i], gen_al + al_off[i], alen,
+            ep_tail_cut(ebuf + w, gbuf + w, alen,
                         fac.ee, fac.ge, fac.gs, out3);
         epm_key4(mk, rec[0] == 0 ? 1 : 2, &fac);
         me = epm_find(mk, &found);
@@ -6521,6 +6571,8 @@ int64_t epm_fill_endpoints(
             me->v[2] = out3[2];
         }
     }
+    free(ebuf);
+    free(gbuf);
     return 0;
 }
 

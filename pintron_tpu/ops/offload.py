@@ -397,8 +397,10 @@ def eval_nw(problems: List[Tuple[bytes, bytes]]):
     """Bounded entry point: batched NW alignments WITH traceback for
     the endpoint family (est-factorizations.c:2127-2301 head/tail
     trims).  Each problem is an (est_window, gen_window) pair; returns
-    a list of (est_al, gen_al) gapped byte strings, byte-identical to
-    the host nw_align_run's alignment, or None when the device is
+    (ops, nsteps) — per-problem traceback op codes (int8, from the END
+    of the alignment backwards, stride = ops.shape[1]) and their counts
+    — byte-equivalent to the host nw_align_run's alignment when decoded
+    (epm_fill_endpoints does that natively).  None when the device is
     wedged/unavailable/oversized."""
     return device_call(_eval_nw_device, problems,
                        what="endpoint NW device batch")
@@ -421,14 +423,16 @@ def _eval_nw_device(problems: List[Tuple[bytes, bytes]]):
             len(e) * len(g) for e, g in problems)
         return r
     enable_compile_cache()
-    from pintron_tpu.ops.align import (batch_nw_traceback,
-                                       nw_traceback_decode)
+    from pintron_tpu.ops.align import batch_nw_traceback
 
-    out: list = [None] * len(problems)
+    L = max((len(e) + len(g) for e, g in problems), default=1)
+    all_ops = np.zeros((len(problems), L), dtype=np.int8)
+    all_n = np.zeros(len(problems), dtype=np.int64)
     groups = {}
     for i, (e, g) in enumerate(problems):
         if e == g:
-            out[i] = (e, g)   # all-diagonal optimum (host shortcut)
+            # all-diagonal optimum (host shortcut): len(e) diag ops
+            all_n[i] = len(e)
             continue
         groups.setdefault((_p4(max(len(e), 1)), _p4(max(len(g), 1))),
                           []).append((i, e, g))
@@ -440,22 +444,21 @@ def _eval_nw_device(problems: List[Tuple[bytes, bytes]]):
             Bp = _p2(len(chunk), lo=16)
             s1, l1 = _encode([e for _, e, _ in chunk], N, rows=Bp)
             s2, l2 = _encode([g for _, _, g in chunk], M, rows=Bp)
-            score, ops, nsteps = batch_nw_traceback(
+            _score, ops, nsteps = batch_nw_traceback(
                 s1, l1, s2, l2, max_n=N, max_m=M)
             ops = np.asarray(ops)
             nsteps = np.asarray(nsteps)
             for j, (i, e, g) in enumerate(chunk):
-                ea, ga = nw_traceback_decode(
-                    e.decode("latin1"), g.decode("latin1"),
-                    ops[j], int(nsteps[j]))
-                out[i] = (ea.encode("latin1"), ga.encode("latin1"))
+                w = min(len(e) + len(g), ops.shape[1])
+                all_ops[i, :w] = ops[j, :w]
+                all_n[i] = int(nsteps[j])
             STATS["device_problems"] += len(chunk)
             STATS["nw_problems"] = (STATS.get("nw_problems", 0)
                                     + len(chunk))
             STATS["device_cells"] += sum(
                 len(e) * len(g) for _, e, g in chunk)
             STATS["batches"] += 1
-    return out
+    return all_ops, all_n
 
 
 def eval_rb(problems: List[Tuple[bytes, bytes]]):

@@ -1052,30 +1052,30 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                 if ep_problems:
                     from pintron_tpu.ops.offload import eval_nw
                     t_nw0 = time.monotonic()
-                    als = eval_nw(ep_problems)
-                    if als is not None and nw_mode != "1":
+                    res_nw = eval_nw(ep_problems)
+                    if res_nw is not None and nw_mode != "1":
+                        # host NW runs ~3 cells/ns in the int16 SIMD
+                        # rows; flip the latch when the device batch
+                        # (dispatch + ops transfer included) loses to
+                        # that with a 2x margin
                         cells = sum(len(e) * len(g)
                                     for e, g in ep_problems)
                         if time.monotonic() - t_nw0 > max(
-                                2 * cells * 1e-9, 0.002):
+                                2 * cells * 0.35e-9, 0.002):
                             _offmod.NW_SELF_TUNED_OFF = True
-                    if als is not None:
+                    if res_nw is not None:
+                        all_ops, all_n = res_nw
+                        all_ops = np.ascontiguousarray(all_ops)
+                        all_n = np.ascontiguousarray(
+                            all_n.astype(np.int64))
+                        stride = all_ops.shape[1]
                         for rec, recs_ep, base in ep_per_rec:
                             nrec = len(recs_ep)
-                            pair = als[base:base + nrec]
-                            off_arr = np.zeros(nrec + 1, dtype=np.int64)
-                            for k, (ea, ga) in enumerate(pair):
-                                off_arr[k + 1] = off_arr[k] + len(ea)
-                            ea_blob = b"".join(ea for ea, _ in pair)
-                            ga_blob = b"".join(ga for _, ga in pair)
-                            ea_buf = bytearray(ea_blob)
-                            ga_buf = bytearray(ga_blob)
                             recsc = np.ascontiguousarray(recs_ep)
-                            import ctypes as _ct
-                            ea_c = (_ct.c_char * max(1, len(ea_buf))
-                                    ).from_buffer(ea_buf)
-                            ga_c = (_ct.c_char * max(1, len(ga_buf))
-                                    ).from_buffer(ga_buf)
+                            ops_c = np.ascontiguousarray(
+                                all_ops[base:base + nrec])
+                            n_c = np.ascontiguousarray(
+                                all_n[base:base + nrec])
                             lib.epm_fill_endpoints(
                                 gen_seq_bytes, len(gen_seq_bytes),
                                 rec["est_bytes"],
@@ -1083,9 +1083,8 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                                 rec["est_orig_bytes"],
                                 len(rec["est_orig_bytes"]),
                                 recsc.ctypes.data, nrec,
-                                _ct.addressof(ea_c),
-                                _ct.addressof(ga_c),
-                                off_arr.ctypes.data)
+                                ops_c.ctypes.data, n_c.ctypes.data,
+                                stride)
 
             # noisy-exon collect (memo-hits the endpoints filled above)
             for rec in round_recs:
