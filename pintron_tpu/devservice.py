@@ -88,6 +88,14 @@ def _eval_group(op: str, payloads: list):
             return (ops[i:i + c, :w].copy(), nsteps[i:i + c].copy())
         return merged_eval("nw_problems", offload._eval_nw_device,
                            nw_slice)
+    if op == "gap":
+        def gap_slice(r, i, c, p):
+            sm, ops, nsteps = r
+            w = max((len(e) + len(g) for e, g in p), default=1)
+            return (sm[i:i + c].copy(), ops[i:i + c, :w].copy(),
+                    nsteps[i:i + c].copy())
+        return merged_eval("gap_problems", offload._eval_gap_device,
+                           gap_slice)
     if op == "rb":
         def rb_slice(r, i, c, p):
             vals, pos = r

@@ -238,6 +238,26 @@ def _build_and_load():
             + [ctypes.c_void_p, ctypes.c_int64]    # records (9/i64), n
             + [ctypes.c_void_p] * 4                # minpp pospp minsp possp
             + [ctypes.c_int64])                    # stride
+    if hasattr(lib, "est_collect_introns"):
+        lib.est_collect_introns.restype = ctypes.c_int64
+        lib.est_collect_introns.argtypes = (
+            list(lib.est_process.argtypes)[:25]
+            #   ... through sp_est/sp_intron/sp_gen (no out buffers)
+            + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            #   pre_off, pre_f, pre_n
+            + [ctypes.c_void_p, ctypes.c_int64]    # recs_out (13/i64), cap
+            + [ctypes.c_void_p, ctypes.c_int64]    # arena, arena_cap
+            + [ctypes.c_void_p])                   # meta[2]: need, arena
+        lib.epm_fill_introns.restype = ctypes.c_int64
+        lib.epm_fill_introns.argtypes = (
+            [ctypes.c_char_p, ctypes.c_int64]      # gen
+            + [ctypes.c_char_p, ctypes.c_int64]    # est (masked)
+            + [ctypes.c_char_p, ctypes.c_int64]    # est original
+            + [ctypes.c_void_p, ctypes.c_int64]    # records (13/i64), n
+            + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            #   sm0 (i64), ops (int8), nsteps (i64)
+            + [ctypes.c_int64]                     # ops row stride
+            + [ctypes.c_int64] * 4)                # sp_*, min_intron
     lib.unit_process.restype = ctypes.c_int64
     lib.unit_process.argtypes = (
         [ctypes.c_char_p, ctypes.c_int64]        # tree text

@@ -3609,23 +3609,48 @@ static void ri_try_burset(const char *est, int64_t est_len,
     out3[2] = upd_afl;
 }
 
-int64_t refine_intron_core(
+/* Window construction shared by refine_intron_core, the intron collect
+ * pass and the device-fill decoder (all three must build byte-identical
+ * windows).  Fills the module statics ri_seq_est/ri_seq_gen and the
+ * geometry needed to map alignment coordinates back to the locus. */
+typedef struct {
+    int64_t n, m;                 /* window lengths (est, gen) */
+    int64_t dsl_est, dsl_gen;     /* window origins */
+    int64_t deleted_intron_dim;   /* genomic bases elided between the
+                                     intron prefix and suffix */
+} ri_win;
+
+static char *ri_seq_est = NULL, *ri_seq_gen = NULL;
+static int64_t ri_cap_e = 0, ri_cap_g = 0;
+static char *ri_est_al = NULL, *ri_gen_al = NULL;
+static int64_t ri_cap_al = 0;
+
+static int ri_al_reserve(int64_t need) {
+    if (need + 8 <= ri_cap_al) return 1;
+    {
+        /* commit each static only after its own realloc succeeds: a
+         * partial failure must leave both pointers valid (ri_cap_al
+         * stays put, so the next call retries the grow) */
+        char *na = (char *)realloc(ri_est_al, (size_t)(2 * need + 64));
+        char *ng;
+        if (!na) return 0;
+        ri_est_al = na;
+        ng = (char *)realloc(ri_gen_al, (size_t)(2 * need + 64));
+        if (!ng) return 0;
+        ri_gen_al = ng;
+        ri_cap_al = 2 * need + 64;
+    }
+    return 1;
+}
+
+static int ri_build_windows(
     const char *gen, int64_t gen_len, const char *est, int64_t est_len,
     int64_t d_es, int64_t d_ee, int64_t d_gs, int64_t d_ge,
     int64_t a_es, int64_t a_ee, int64_t a_gs, int64_t a_ge,
-    int64_t sp_est, int64_t sp_intron, int64_t sp_gen,
-    int64_t min_intron_length, int64_t first_intron, int64_t *out4) {
-    static char *seq_est = NULL, *seq_gen = NULL;
-    static char *est_al = NULL, *gen_al = NULL;
-    static int64_t cap_e = 0, cap_g = 0, cap_al = 0;
+    int64_t sp_est, int64_t sp_intron, int64_t sp_gen, ri_win *w) {
     int64_t n = 0, m = 0;
     int64_t dsl_gen, dsl_est, apr_gen, apr_est;
-    int64_t deleted_intron_dim;
     int64_t need_e, need_g;
-    int64_t out7[8], o3[3];
-    ri_al_t al;
-    int64_t final0, final1, final2;
-    int ok;
 
     /* window bounds */
     dsl_gen = d_gs;
@@ -3649,61 +3674,69 @@ int64_t refine_intron_core(
         if (t3 < 0) t3 = 0;
         need_g = t1 + 2 * sp_intron + t3 + 16;
     }
-    if (need_e > cap_e) {
-        char *nb = (char *)realloc(seq_est, (size_t)(2 * need_e));
-        if (!nb) return -1;
-        seq_est = nb; cap_e = 2 * need_e;
+    if (need_e > ri_cap_e) {
+        char *nb = (char *)realloc(ri_seq_est, (size_t)(2 * need_e));
+        if (!nb) return 0;
+        ri_seq_est = nb; ri_cap_e = 2 * need_e;
     }
-    if (need_g > cap_g) {
-        char *nb = (char *)realloc(seq_gen, (size_t)(2 * need_g));
-        if (!nb) return -1;
-        seq_gen = nb; cap_g = 2 * need_g;
+    if (need_g > ri_cap_g) {
+        char *nb = (char *)realloc(ri_seq_gen, (size_t)(2 * need_g));
+        if (!nb) return 0;
+        ri_seq_gen = nb; ri_cap_g = 2 * need_g;
     }
 
     /* sequence_on_est = donor suffix + gap + acceptor prefix */
-    n += ri_substr(seq_est + n, est, est_len, dsl_est,
+    n += ri_substr(ri_seq_est + n, est, est_len, dsl_est,
                    d_ee - dsl_est + 1);
     if (d_ee != a_es - 1)
-        n += ri_substr(seq_est + n, est, est_len, d_ee + 1,
+        n += ri_substr(ri_seq_est + n, est, est_len, d_ee + 1,
                        a_es - d_ee - 1);
-    n += ri_substr(seq_est + n, est, est_len, a_es, apr_est - a_es + 1);
+    n += ri_substr(ri_seq_est + n, est, est_len, a_es,
+                   apr_est - a_es + 1);
 
     /* sequence_on_gen = donor suffix + intron prefix + intron suffix +
      * acceptor prefix */
-    m += ri_substr(seq_gen + m, gen, gen_len, dsl_gen, d_ge - dsl_gen + 1);
-    m += ri_substr(seq_gen + m, gen, gen_len, d_ge + 1, sp_intron);
-    m += ri_substr(seq_gen + m, gen, gen_len, a_gs - sp_intron, sp_intron);
-    m += ri_substr(seq_gen + m, gen, gen_len, a_gs, apr_gen - a_gs + 1);
+    m += ri_substr(ri_seq_gen + m, gen, gen_len, dsl_gen,
+                   d_ge - dsl_gen + 1);
+    m += ri_substr(ri_seq_gen + m, gen, gen_len, d_ge + 1, sp_intron);
+    m += ri_substr(ri_seq_gen + m, gen, gen_len, a_gs - sp_intron,
+                   sp_intron);
+    m += ri_substr(ri_seq_gen + m, gen, gen_len, a_gs,
+                   apr_gen - a_gs + 1);
 
-    deleted_intron_dim = a_gs - d_ge - 1 - 2 * sp_intron;
+    w->n = n;
+    w->m = m;
+    w->dsl_est = dsl_est;
+    w->dsl_gen = dsl_gen;
+    w->deleted_intron_dim = a_gs - d_ge - 1 - 2 * sp_intron;
+    return 1;
+}
 
-    if (n + m + 8 > cap_al) {
-        /* commit each static only after its own realloc succeeds: a
-         * partial failure must leave both pointers valid (cap_al stays
-         * put, so the next call retries the grow) */
-        char *na = (char *)realloc(est_al, (size_t)(2 * (n + m) + 64));
-        char *ng;
-        if (!na) return -1;
-        est_al = na;
-        ng = (char *)realloc(gen_al, (size_t)(2 * (n + m) + 64));
-        if (!ng) return -1;
-        gen_al = ng;
-        cap_al = 2 * (n + m) + 64;
-    }
+/* Everything refine_intron_core does AFTER the gap alignment: splice
+ * re-placement via shifts/Burset and the accept/reject rules
+ * (refine-intron.c:47-265 below the DP).  est_al/gen_al/out7 come
+ * either from gap_align_run (host) or from the device traceback decode
+ * (epm_fill_introns) — byte-identical by construction. */
+static int64_t ri_post_align(
+    const char *gen, int64_t gen_len, const char *est, int64_t est_len,
+    int64_t d_es, int64_t d_gs, int64_t d_ge,
+    int64_t a_ee, int64_t a_gs, int64_t a_ge, const ri_win *w,
+    char *est_al, char *gen_al, const int64_t *out7,
+    int64_t min_intron_length, int64_t first_intron, int64_t *out4) {
+    int64_t o3[3];
+    ri_al_t al;
+    int64_t final0, final1, final2;
+    int ok;
 
-    { double rt0 = fe_now();
-    gap_align_run(seq_est, n, seq_gen, m, est_al, gen_al, out7);
-    ri_stats[0] += fe_now() - rt0; ri_stats[4] += 1.0; }
-    if (out7[0] < 0) return -1;
     /* the shift-table rows hold alignment-derived substrings in fixed
      * buffers; outsized alignments fall back to the python path */
     if (out7[0] >= RI_STR_CAP) return -1;
 
     al.est_al = est_al; al.gen_al = gen_al; al.alen = out7[0];
     al.isa = out7[4]; al.iea = out7[5];
-    al.nafl = dsl_est + out7[1];
-    al.ndrg = dsl_gen + out7[2] - 1;
-    al.nalg = dsl_gen + out7[3] + deleted_intron_dim + 1;
+    al.nafl = w->dsl_est + out7[1];
+    al.ndrg = w->dsl_gen + out7[2] - 1;
+    al.nalg = w->dsl_gen + out7[3] + w->deleted_intron_dim + 1;
 
     if (al.nafl == d_es) {
         if (first_intron) {
@@ -3754,6 +3787,33 @@ mutate:
     out4[1] = final1;
     out4[2] = final2;
     return 2;
+}
+
+int64_t refine_intron_core(
+    const char *gen, int64_t gen_len, const char *est, int64_t est_len,
+    int64_t d_es, int64_t d_ee, int64_t d_gs, int64_t d_ge,
+    int64_t a_es, int64_t a_ee, int64_t a_gs, int64_t a_ge,
+    int64_t sp_est, int64_t sp_intron, int64_t sp_gen,
+    int64_t min_intron_length, int64_t first_intron, int64_t *out4) {
+    ri_win w;
+    int64_t out7[8];
+
+    if (!ri_build_windows(gen, gen_len, est, est_len,
+                          d_es, d_ee, d_gs, d_ge, a_es, a_ee, a_gs, a_ge,
+                          sp_est, sp_intron, sp_gen, &w))
+        return -1;
+    if (!ri_al_reserve(w.n + w.m)) return -1;
+
+    { double rt0 = fe_now();
+    gap_align_run(ri_seq_est, w.n, ri_seq_gen, w.m,
+                  ri_est_al, ri_gen_al, out7);
+    ri_stats[0] += fe_now() - rt0; ri_stats[4] += 1.0; }
+    if (out7[0] < 0) return -1;
+
+    return ri_post_align(gen, gen_len, est, est_len,
+                         d_es, d_gs, d_ge, a_ee, a_gs, a_ge, &w,
+                         ri_est_al, ri_gen_al, out7,
+                         min_intron_length, first_intron, out4);
 }
 
 /* ======================================================================
@@ -6621,6 +6681,27 @@ int64_t epm_fill_rb(
     return 0;
 }
 
+/* ---- intron (gap-alignment) collect sink --------------------------------
+ * When active, est_process_impl replays the refine-intron chains
+ * against the tag-3 memo and emits the first un-memoized gap-alignment
+ * problem of each chain instead of solving it (the device evaluates the
+ * batch; epm_fill_introns decodes + memoizes; rounds repeat until no
+ * problems remain).  Per-process like every other scratch here.
+ * Records are 13 int64s: {d_es, d_ee, d_gs, d_ge, a_es, a_ee, a_gs,
+ * a_ge, first, est_arena_off, n, gen_arena_off, m}; window bytes live
+ * in the arena. */
+#define RI_DEV_MAX_CELLS (1 << 21)
+#define RI_DEV_MAX_LEN 8192
+typedef struct {
+    int64_t *out;
+    char *arena;
+    int64_t cap, arena_cap;
+    int64_t n, arena_n;
+    int64_t need, arena_need;
+    int active;
+} ri_sink_t;
+static ri_sink_t ri_sink;
+
 /* ---- est_process: the full per-EST post-MEG flow ------------------------
  * Returns the number of FINAL factorizations (>= 0), or:
  *   -1 timeout during candidate enumeration
@@ -6873,6 +6954,114 @@ static int64_t est_process_impl(
 
     t1 = fe_now(); ep_stats[2] += t1 - t0; t0 = t1;
 
+    /* INTRON COLLECT MODE (ri_sink.active): replay each factorization's
+     * refine-intron CHAIN against the tag-3 memo.  Memo hits apply
+     * ep_refine_intron's mutation rules and the chain proceeds; the
+     * first miss emits one gap-alignment problem (coords + the two DP
+     * windows, byte-identical to refine_intron_core's construction) and
+     * stops that chain — the chain is sequential because each
+     * refinement rewrites the coordinates (and thus the memo key and
+     * windows) of the NEXT pair's donor.  The device flow alternates
+     * collect rounds with epm_fill_introns until no problems remain;
+     * problems too large for the device batch are solved host-side HERE
+     * so every round makes progress. */
+    if (ri_sink.active) {
+        int64_t n_out = 0, need = 0, arena_need = 0;
+        for (k = 0; k < lst.n; k++) {
+            efct *f = &lst.a[k];
+            int first = 1;
+            int64_t j, limit = f->n - 1;
+            if (f->n == 0) continue;
+            for (j = 0; j < limit; j++) {
+                efac *donor = &f->f[j];
+                efac *accept = &f->f[j + 1];
+                uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
+                int found = 0;
+                epm_ent *me;
+                mk[0] = 3 | ((uint64_t)(first ? 1 : 0) << 8)
+                        | (epm_seq_id << 16);
+                mk[1] = ((uint64_t)(uint32_t)donor->es << 32)
+                        | (uint32_t)donor->ee;
+                mk[2] = ((uint64_t)(uint32_t)donor->gs << 32)
+                        | (uint32_t)donor->ge;
+                mk[3] = ((uint64_t)(uint32_t)accept->es << 32)
+                        | (uint32_t)accept->ee;
+                mk[4] = ((uint64_t)(uint32_t)accept->gs << 32)
+                        | (uint32_t)accept->ge;
+                me = epm_find(mk, &found);
+                if (!found) {
+                    ri_win w;
+                    if (me) {   /* peek only: un-claim and refund */
+                        me->gen = epm_gen - 1;
+                        epm_fill--;
+                    }
+                    if (!ri_build_windows(
+                            gen, glen, est, elen,
+                            donor->es, donor->ee, donor->gs, donor->ge,
+                            accept->es, accept->ee, accept->gs,
+                            accept->ge, sp_est, sp_intron, sp_gen, &w))
+                        break;
+                    if (w.n * w.m > RI_DEV_MAX_CELLS
+                        || w.n + w.m > RI_DEV_MAX_LEN) {
+                        /* oversized for the device batch: solve on host
+                         * now (fills the memo) so the rounds converge */
+                        if (ep_refine_intron(gen, glen, est, elen,
+                                             donor, accept, sp_est,
+                                             sp_intron, sp_gen,
+                                             min_intron_length,
+                                             first) < 0)
+                            break;
+                        first = 0;
+                        continue;
+                    }
+                    need++;
+                    arena_need += w.n + w.m;
+                    if (n_out < ri_sink.cap
+                        && ri_sink.arena_n + w.n + w.m
+                           <= ri_sink.arena_cap) {
+                        int64_t *rec = ri_sink.out + 13 * n_out;
+                        rec[0] = donor->es; rec[1] = donor->ee;
+                        rec[2] = donor->gs; rec[3] = donor->ge;
+                        rec[4] = accept->es; rec[5] = accept->ee;
+                        rec[6] = accept->gs; rec[7] = accept->ge;
+                        rec[8] = first;
+                        rec[9] = ri_sink.arena_n; rec[10] = w.n;
+                        rec[11] = ri_sink.arena_n + w.n; rec[12] = w.m;
+                        memcpy(ri_sink.arena + ri_sink.arena_n,
+                               ri_seq_est, (size_t)w.n);
+                        memcpy(ri_sink.arena + ri_sink.arena_n + w.n,
+                               ri_seq_gen, (size_t)w.m);
+                        ri_sink.arena_n += w.n + w.m;
+                        n_out++;
+                    }
+                    break;   /* chain blocked until this pair is filled */
+                }
+                {
+                    int64_t mret = me->v[0];
+                    if (mret < 0) break;   /* python-fallback pair */
+                    if (mret == 1) {
+                        accept->es = me->v[3];
+                        accept->gs = me->v[2];
+                    } else if (mret == 2) {
+                        donor->ge = me->v[1];
+                        accept->gs = me->v[2];
+                        accept->es = me->v[3];
+                        donor->ee = accept->es - 1;
+                    }
+                }
+                first = 0;
+            }
+        }
+        ri_sink.n = n_out;
+        ri_sink.need = need;
+        ri_sink.arena_need = arena_need;
+        for (k = 0; k < lst.n; k++) efct_free(&lst.a[k]);
+        free(lst.a);
+        lst.a = NULL; lst.n = 0;
+        if (need > n_out) return -2;
+        return n_out;
+    }
+
     /* intron refinement (est-factorizations.c:444-492) */
     for (k = 0; k < lst.n; k++) {
         efct *f = &lst.a[k];
@@ -7055,6 +7244,176 @@ int64_t est_collect_gaps(
         max_gapLength_diff, max_number_of_factorizations, sp_est,
         sp_intron, sp_gen, NULL, NULL, NULL, NULL, 0, 0, counts,
         pre_off, pre_f, pre_n, gaps_out, gaps_cap, gaps_meta);
+}
+
+/* Collect pass for the intron-refinement (gap-alignment) offload:
+ * replays the cascade through FILTER 4 (K-band/rb memos warm), then
+ * walks the refine-intron chains against the tag-3 memo and emits the
+ * first un-memoized 3-matrix gap problem of each chain (see the
+ * INTRON COLLECT MODE block in est_process_impl; reference:
+ * est-factorizations.c:444-492 -> refine-intron.c:47-265).
+ * Returns the record count, or -2 when caps are too small
+ * (meta[0] = records needed, meta[1] = arena bytes needed), or any
+ * other negative est_process error. */
+int64_t est_collect_introns(
+    const int64_t *vp, const int64_t *vt, const int64_t *vl,
+    const int64_t *vcol, const int64_t *adj_off, const int64_t *adj,
+    int64_t nv, int64_t ncols,
+    const char *gen, int64_t glen,
+    const char *est, int64_t elen,
+    const char *est_orig, int64_t eolen,
+    int64_t min_factor_len, int64_t min_intron_length, double deadline,
+    double complexity_threshold, int64_t max_site_difference,
+    double max_coverage_diff, int64_t max_gapLength_diff,
+    int64_t max_number_of_factorizations,
+    int64_t sp_est, int64_t sp_intron, int64_t sp_gen,
+    const int64_t *pre_off, const int64_t *pre_f, int64_t pre_n,
+    int64_t *recs_out, int64_t recs_cap,
+    char *arena_out, int64_t arena_cap, int64_t *meta) {
+    int64_t counts[4] = {0, 0, 0, 0};
+    int64_t r;
+    ri_sink.out = recs_out;
+    ri_sink.arena = arena_out;
+    ri_sink.cap = recs_cap;
+    ri_sink.arena_cap = arena_cap;
+    ri_sink.n = 0;
+    ri_sink.arena_n = 0;
+    ri_sink.need = 0;
+    ri_sink.arena_need = 0;
+    ri_sink.active = 1;
+    r = est_process_impl(
+        vp, vt, vl, vcol, adj_off, adj, nv, ncols, gen, glen, est, elen,
+        est_orig, eolen, min_factor_len, min_intron_length, deadline,
+        complexity_threshold, max_site_difference, max_coverage_diff,
+        max_gapLength_diff, max_number_of_factorizations, sp_est,
+        sp_intron, sp_gen, NULL, NULL, NULL, NULL, 0, 0, counts,
+        pre_off, pre_f, pre_n, NULL, 0, NULL);
+    ri_sink.active = 0;
+    meta[0] = ri_sink.need;
+    meta[1] = ri_sink.arena_need;
+    return r;
+}
+
+/* Pre-fill the refine-intron memo (tag 3) from device-computed gap
+ * alignments: per record, `sm` holds batch_gap_traceback's start
+ * matrix, `ops` its traceback op codes (0=diag, 1=up, 2=left,
+ * 3=left+matrix-jump, from the END backwards) and `nsteps` their
+ * count.  The decode reproduces gap_align_run's walk exactly (same
+ * buffers, same jump bookkeeping), then ri_post_align — the identical
+ * shift/Burset code the host runs — computes the memo value, so the
+ * memoized outcome is bit-identical to the host computation. */
+int64_t epm_fill_introns(
+    const char *gen, int64_t glen,
+    const char *est, int64_t elen,
+    const char *est_orig, int64_t eolen,
+    const int64_t *recs, int64_t nrec,
+    const int64_t *sm0s, const int8_t *ops, const int64_t *nsteps,
+    int64_t stride,
+    int64_t sp_est, int64_t sp_intron, int64_t sp_gen,
+    int64_t min_intron_length) {
+
+    int64_t idx;
+    epm_seq_id = epm_begin(gen, glen, est, elen, est_orig, eolen);
+    if (epm_seq_id == 0 || !epm_tab) return -1;
+    for (idx = 0; idx < nrec; idx++) {
+        const int64_t *rec = recs + 13 * idx;
+        const int8_t *op = ops + idx * stride;
+        ri_win w;
+        int64_t n, m, i, j, sm, cap2, w2, k, total;
+        int64_t jump_w[2]; int64_t njump = 0;
+        int64_t factor_cut = 0, intron_start = 0, intron_end = 0;
+        int64_t is_al = 0, ie_al = 0;
+        int64_t out7[8], out4[4] = {0, 0, 0, 0};
+        int64_t ret;
+        int64_t sm_start = sm0s[idx];
+        uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
+        int found;
+        epm_ent *me;
+
+        if (!ri_build_windows(gen, glen, est, elen,
+                              rec[0], rec[1], rec[2], rec[3],
+                              rec[4], rec[5], rec[6], rec[7],
+                              sp_est, sp_intron, sp_gen, &w))
+            return -3;
+        n = w.n; m = w.m;
+        if (n != rec[10] || m != rec[12]) return -2;   /* stale record */
+        if (!ri_al_reserve(n + m)) return -3;
+
+        i = n; j = m; sm = sm_start; cap2 = n + m; w2 = cap2;
+        for (k = 0; k < nsteps[idx] && k < stride; k++) {
+            int d = op[k];
+            w2--;
+            if (d == 0) {
+                ri_est_al[w2] = ri_seq_est[i - 1];
+                ri_gen_al[w2] = ri_seq_gen[j - 1];
+                i--; j--;
+            } else if (d == 1) {
+                ri_est_al[w2] = ri_seq_est[i - 1];
+                ri_gen_al[w2] = '-';
+                i--;
+            } else {
+                if (d == 3) {
+                    if (sm == 2) { intron_end = j - 1; factor_cut = i; }
+                    else intron_start = j - 1;
+                    sm--;
+                    if (njump < 2) jump_w[njump++] = w2;
+                }
+                ri_est_al[w2] = '-';
+                ri_gen_al[w2] = ri_seq_gen[j - 1];
+                j--;
+            }
+        }
+        while (i > 0) {
+            w2--;
+            ri_est_al[w2] = ri_seq_est[i - 1];
+            ri_gen_al[w2] = '-';
+            i--;
+        }
+        while (j > 0) {
+            w2--;
+            ri_est_al[w2] = '-';
+            ri_gen_al[w2] = ri_seq_gen[j - 1];
+            j--;
+        }
+        total = cap2 - w2;
+        if (w2 > 0) {
+            memmove(ri_est_al, ri_est_al + w2, (size_t)total);
+            memmove(ri_gen_al, ri_gen_al + w2, (size_t)total);
+        }
+        if (sm_start == 2) {
+            if (njump >= 1) ie_al = jump_w[0] - w2;
+            if (njump >= 2) is_al = jump_w[1] - w2;
+        } else if (sm_start == 1) {
+            if (njump >= 1) is_al = jump_w[0] - w2;
+        }
+        out7[0] = total;
+        out7[1] = factor_cut;
+        out7[2] = intron_start;
+        out7[3] = intron_end;
+        out7[4] = is_al;
+        out7[5] = ie_al;
+        out7[6] = sm_start;
+
+        ret = ri_post_align(gen, glen, est, elen,
+                            rec[0], rec[2], rec[3], rec[5], rec[6],
+                            rec[7], &w, ri_est_al, ri_gen_al, out7,
+                            min_intron_length, rec[8] ? 1 : 0, out4);
+
+        mk[0] = 3 | ((uint64_t)(rec[8] ? 1 : 0) << 8)
+                | (epm_seq_id << 16);
+        mk[1] = ((uint64_t)(uint32_t)rec[0] << 32) | (uint32_t)rec[1];
+        mk[2] = ((uint64_t)(uint32_t)rec[2] << 32) | (uint32_t)rec[3];
+        mk[3] = ((uint64_t)(uint32_t)rec[4] << 32) | (uint32_t)rec[5];
+        mk[4] = ((uint64_t)(uint32_t)rec[6] << 32) | (uint32_t)rec[7];
+        me = epm_find(mk, &found);
+        if (me) {
+            me->v[0] = ret;
+            me->v[1] = out4[0];
+            me->v[2] = out4[1];
+            me->v[3] = out4[2];
+        }
+    }
+    return 0;
 }
 
 /* ======================================================================

@@ -268,6 +268,145 @@ def batch_nw_traceback(est, elen, gen, glen, *, max_n: int, max_m: int):
     return score, jnp.transpose(opsT, (1, 0)), nsteps
 
 
+@functools.partial(jax.jit, static_argnames=("max_n", "max_m"))
+def batch_gap_traceback(est, elen, gen, glen, *, max_n: int, max_m: int):
+    """Batched 3-matrix L/G/R gap alignment WITH device-side traceback —
+    the device half of the intron-refinement offload (reference
+    compute_gap_alignment, refine-intron.c:560-806: match +1 /
+    mismatch -1 with N wildcards, gap -1 in L and R, zero-cost genomic
+    gap in G, zero-cost horizontal moves on the LAST row of R).
+
+    Bit-identical to the native ``gap_align_fill_packed`` +
+    ``gap_align_run`` traceback (dp.c): same per-row formulation (raw
+    diag/up candidates, slope-1 left relaxation via cummax, per-row
+    prefix-max G), same direction tie chains (L: diag > up > left;
+    G: keep > take-L; R: diag > i_del > grow > up), same start-matrix
+    choice (R >= G >= L on ties).
+
+    Args: est (B, max_n) / gen (B, max_m) int8 byte codes (padded),
+    elen/glen (B,) int32.  Returns (start_matrix, ops, nsteps):
+      * start_matrix (B,) int32 in {0,1,2} (L/G/R);
+      * ops (B, max_n+max_m) int8 — traceback operations from the END
+        of the alignment backwards (0=diag, 1=up/gap-in-gen,
+        2=left/gap-in-est, 3=left with a matrix JUMP (R->G or G->L),
+        4=stopped at a matrix border);
+      * nsteps (B,) int32 — ops consumed before the border.
+    The native decoder (``epm_fill_introns``) replays gap_align_run's
+    walk from these ops: emits the two gapped strings right-to-left,
+    records intron_end/factor_cut at the first jump when starting in R
+    and intron_start at the G->L jump, prepends the border runs.
+    """
+    B = est.shape[0]
+    est = est.astype(jnp.int32)
+    gen = gen.astype(jnp.int32)
+    elen = elen.astype(jnp.int32)
+    glen = glen.astype(jnp.int32)
+    NCODE = jnp.int32(ord("N"))
+    ncode = jnp.int32(ord("n"))
+    wild_g = (gen == NCODE) | (gen == ncode)            # (B, M)
+    cols = jnp.arange(max_m + 1, dtype=jnp.int32)       # j = 0..M
+
+    Z = jnp.zeros((B, max_m + 1), dtype=jnp.int32)
+    L0, R0 = Z, Z
+
+    def fill_row(carry, r):
+        Lprev, Rprev = carry
+        ce = jnp.take_along_axis(
+            est, jnp.broadcast_to(jnp.clip(r - 1, 0, est.shape[1] - 1),
+                                  (B, 1)), axis=1)      # (B, 1)
+        wild_e = (ce == NCODE) | (ce == ncode)
+        match = (gen == ce) | wild_e | wild_g           # (B, M)
+        ms = jnp.where(match, 1, -1).astype(jnp.int32)
+        cost = jnp.where(r == elen, 0, 1)[:, None]      # (B, 1)
+
+        # L row: raw diag/up, then slope-1 left relaxation including
+        # the fixed L[i][0] = 0 (cummax of value+j, minus j)
+        diagL = Lprev[:, :-1] + ms
+        upL = Lprev[:, 1:] - 1
+        Lb = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), jnp.maximum(diagL, upL)],
+            axis=1)
+        Lrel = jax.lax.cummax(Lb + cols[None, :], axis=1) - cols[None, :]
+
+        # G row: prefix max of the relaxed L row, shifted (G[0] = 0;
+        # L[0] = 0 so the initial 0 is included by the cummax)
+        Gcm = jax.lax.cummax(Lrel, axis=1)
+        Grow = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), Gcm[:, :-1]], axis=1)
+
+        # R row: raw diag/up/grow, then slope-`cost` left relaxation
+        # (cost = 0 on each problem's LAST genuine row)
+        diagR = Rprev[:, :-1] + ms
+        upR = Rprev[:, 1:] - 1
+        Rb = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32),
+             jnp.maximum(jnp.maximum(diagR, upR), Grow[:, :-1])],
+            axis=1)
+        ccols = cost * cols[None, :]
+        Rrel = jax.lax.cummax(Rb + ccols, axis=1) - ccols
+
+        # packed direction byte (dp.c gap_align_fill_packed layout):
+        # bits 0-1 L dir, bit 2 G keep(1)/take-L(0), bits 3-4 R dir
+        # (3 == the jump to G)
+        lv = Lrel[:, 1:]
+        ld = jnp.where(lv == diagL, 0, jnp.where(lv == upL, 1, 2))
+        gd = jnp.where(Grow[:, :-1] < Lrel[:, :-1], 0, 1)
+        rv = Rrel[:, 1:]
+        rd = jnp.where(
+            rv == diagR, 0,
+            jnp.where(rv == Rrel[:, :-1] - cost, 2,
+                      jnp.where(rv == Grow[:, :-1], 3, 1)))
+        comb = (ld | (gd << 2) | (rd << 3)).astype(jnp.int8)
+
+        # freeze rows past each problem's n (garbage dirs unread)
+        keep = (r <= elen)[:, None]
+        Lf = jnp.where(keep, Lrel, Lprev)
+        Rf = jnp.where(keep, Rrel, Rprev)
+        return (Lf, Rf), comb
+
+    rows = jnp.arange(1, max_n + 1, dtype=jnp.int32)
+    (Lfin, Rfin), cstack = jax.lax.scan(fill_row, (L0, R0), rows)
+    dirs = jnp.transpose(cstack, (1, 0, 2))             # (B, N, M)
+
+    # finals at (n, m): G recomputed from the frozen final L row
+    Gfin = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32),
+         jax.lax.cummax(Lfin, axis=1)[:, :-1]], axis=1)
+    Lf = jnp.take_along_axis(Lfin, glen[:, None], axis=1)[:, 0]
+    Gf = jnp.take_along_axis(Gfin, glen[:, None], axis=1)[:, 0]
+    Rf = jnp.take_along_axis(Rfin, glen[:, None], axis=1)[:, 0]
+    sm0 = jnp.where(Rf >= Gf,
+                    jnp.where(Rf >= Lf, 2, 0),
+                    jnp.where(Gf >= Lf, 1, 0)).astype(jnp.int32)
+
+    # device traceback with the matrix-state walk of gap_align_run
+    flat = dirs.reshape(B, max_n * max_m)
+    JUMP = jnp.int32(5)
+
+    def tb_step(carry, _):
+        i, j, sm, k = carry
+        active = (i > 0) & (j > 0)
+        fidx = jnp.clip((i - 1) * max_m + (j - 1), 0, max_n * max_m - 1)
+        c = jnp.take_along_axis(flat, fidx[:, None],
+                                axis=1)[:, 0].astype(jnp.int32)
+        rdc = (c >> 3) & 3
+        d2 = jnp.where(rdc == 3, JUMP, rdc)
+        d1 = jnp.where((c & 4) != 0, 2, JUMP)
+        d0 = c & 3
+        d = jnp.where(sm == 2, d2, jnp.where(sm == 1, d1, d0))
+        d = jnp.where(active, d, 4)
+        opc = jnp.where(d == JUMP, 3, d).astype(jnp.int8)
+        di = jnp.where((d == 0) | (d == 1), 1, 0)
+        dj = jnp.where((d == 0) | (d == 2) | (d == JUMP), 1, 0)
+        sm2 = sm - (d == JUMP).astype(jnp.int32)
+        return (i - di, j - dj, sm2, k + active.astype(jnp.int32)), opc
+
+    (_, _, _, nsteps), opsT = jax.lax.scan(
+        tb_step, (elen, glen, sm0, jnp.zeros(B, jnp.int32)),
+        None, length=max_n + max_m)
+    return sm0, jnp.transpose(opsT, (1, 0)), nsteps
+
+
 def nw_traceback_decode(est_seq: str, gen_seq: str, ops, nsteps: int):
     """Host decode of one batch_nw_traceback row into the two gapped
     strings (same output as the host _traceback)."""

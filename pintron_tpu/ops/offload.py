@@ -149,7 +149,7 @@ def _sharded_call(mesh, fn, arrays, ub, key=()):
 STATS = {"problems": 0, "device_problems": 0, "device_cells": 0,
          "batches": 0, "device_runs": 0, "pwm_windows": 0,
          "device_timeouts": 0, "edit_problems": 0, "rb_problems": 0,
-         "nw_problems": 0}
+         "nw_problems": 0, "gap_problems": 0}
 
 
 # Forked device-flow children ship their native host-DP cell census
@@ -391,6 +391,75 @@ def _eval_edit_batch_device(pairs: List[Tuple[bytes, bytes]]
 
 
 NW_SELF_TUNED_OFF = False
+GAP_SELF_TUNED_OFF = False
+
+
+def eval_gap(problems: List[Tuple[bytes, bytes]]):
+    """Bounded entry point: batched 3-matrix L/G/R gap alignments WITH
+    traceback for the intron-refinement family (refine-intron.c:560-806
+    — the single largest DP family in the cascade).  Each problem is a
+    (est_window, gen_window) pair from est_collect_introns; returns
+    (sm, ops, nsteps) — per-problem start matrix (int64), traceback op
+    codes (int8, from the END backwards, stride = ops.shape[1]) and
+    their counts — decoded natively by epm_fill_introns into memo
+    values bit-identical to the host gap_align_run + ri_post_align.
+    None when the device is wedged/unavailable/oversized."""
+    return device_call(_eval_gap_device, problems,
+                       what="gap-align device batch")
+
+
+def _eval_gap_device(problems: List[Tuple[bytes, bytes]]):
+    # packed direction tensors are (B, N, M) int8 in HBM: guard
+    # per-problem area (the native collect already enforces this, but
+    # the guard keeps direct callers safe) and sub-batch each bucket
+    for e, g in problems:
+        if len(e) * len(g) > (1 << 21) or len(e) + len(g) > 8192:
+            return None
+    r = service_eval("gap", problems)
+    if r is not None:
+        STATS["problems"] += len(problems)
+        STATS["device_problems"] += len(problems)
+        STATS["gap_problems"] = (STATS.get("gap_problems", 0)
+                                 + len(problems))
+        STATS["device_cells"] += sum(
+            3 * (len(e) + 1) * (len(g) + 1) for e, g in problems)
+        return r
+    enable_compile_cache()
+    from pintron_tpu.ops.align import batch_gap_traceback
+
+    L = max((len(e) + len(g) for e, g in problems), default=1)
+    all_sm = np.zeros(len(problems), dtype=np.int64)
+    all_ops = np.zeros((len(problems), L), dtype=np.int8)
+    all_n = np.zeros(len(problems), dtype=np.int64)
+    groups = {}
+    for i, (e, g) in enumerate(problems):
+        groups.setdefault((_p4(max(len(e), 1)), _p4(max(len(g), 1))),
+                          []).append((i, e, g))
+    STATS["problems"] += len(problems)
+    for (N, M), items in sorted(groups.items()):
+        sub = max(1, (1 << 28) // max(1, N * M))
+        for c0 in range(0, len(items), sub):
+            chunk = items[c0:c0 + sub]
+            Bp = _p2(len(chunk), lo=16)
+            s1, l1 = _encode([e for _, e, _ in chunk], N, rows=Bp)
+            s2, l2 = _encode([g for _, _, g in chunk], M, rows=Bp)
+            sm, ops, nsteps = batch_gap_traceback(
+                s1, l1, s2, l2, max_n=N, max_m=M)
+            sm = np.asarray(sm)
+            ops = np.asarray(ops)
+            nsteps = np.asarray(nsteps)
+            for j, (i, e, g) in enumerate(chunk):
+                w = min(len(e) + len(g), ops.shape[1])
+                all_ops[i, :w] = ops[j, :w]
+                all_sm[i] = int(sm[j])
+                all_n[i] = int(nsteps[j])
+            STATS["device_problems"] += len(chunk)
+            STATS["gap_problems"] = (STATS.get("gap_problems", 0)
+                                     + len(chunk))
+            STATS["device_cells"] += sum(
+                3 * (len(e) + 1) * (len(g) + 1) for _, e, g in chunk)
+            STATS["batches"] += 1
+    return all_sm, all_ops, all_n
 
 
 def eval_nw(problems: List[Tuple[bytes, bytes]]):

@@ -880,6 +880,59 @@ def _collect_gaps(lib, meg_arrays, cands, gen_seq_bytes: bytes,
     return np.array(out[:9 * int(n)], dtype=np.int64).reshape(int(n), 9)
 
 
+def _collect_introns(lib, meg_arrays, cands, gen_seq_bytes: bytes,
+                     est_bytes: bytes, est_orig_bytes: bytes,
+                     config: Config):
+    """Native collect pass for the intron-refinement (gap-alignment)
+    offload (est_collect_introns in dp.c): replay the cascade through
+    FILTER 4 with the warm K-band/rb memos, then walk each refine-intron
+    chain against the tag-3 memo and list the first un-memoized gap
+    problem per chain.  Returns (records (n, 13) int64, window arena
+    bytes), or None when unavailable."""
+    import numpy as np
+
+    from pintron_tpu.native import np_scratch
+    if not hasattr(lib, "est_collect_introns"):
+        return None
+    nv, ncols, ptrs = meg_arrays[6], meg_arrays[7], meg_arrays[8]
+    c_off, c_f, c_n = cands
+    meta, meta_ptr = np_scratch("ci_meta", 2)
+    cap = 128
+    arena_cap = 64 * 1024
+    while True:
+        out, out_ptr = np_scratch("ci_out", 13 * cap)
+        cap = out.size // 13
+        # byte arena carried in an int64 scratch (np_scratch is
+        # int64-only); viewed as bytes below
+        arena, arena_ptr = np_scratch("ci_arena", (arena_cap + 7) // 8)
+        arena_cap = arena.size * 8
+        n = lib.est_collect_introns(
+            ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4], ptrs[5],
+            nv, ncols,
+            gen_seq_bytes, len(gen_seq_bytes),
+            est_bytes, len(est_bytes),
+            est_orig_bytes, len(est_orig_bytes),
+            config.min_factor_len, config.min_intron_length, 0.0,
+            config.complexity_threshold, config.max_site_difference,
+            config.max_coverage_diff, config.max_gapLength_diff,
+            config.max_number_of_factorizations,
+            config.suffpref_length_on_est,
+            config.suffpref_length_for_intron,
+            config.suffpref_length_on_gen,
+            c_off.ctypes.data, c_f.ctypes.data, c_n,
+            out_ptr, cap, arena_ptr, arena_cap, meta_ptr)
+        if n == -2:
+            cap = int(meta[0]) + 1
+            arena_cap = max(arena_cap, int(meta[1]) + 1)
+            continue
+        if n < 0:
+            return None
+        break
+    recs = np.array(out[:13 * int(n)], dtype=np.int64).reshape(int(n), 13)
+    arena_bytes = arena.view(np.uint8).tobytes()
+    return recs, arena_bytes
+
+
 def _own_meg_arrays(flat):
     """Deep-copy a scratch-backed MegFlat arrays tuple (build_meg_native
     reuses per-process scratch on every call) into owned arrays.  The
@@ -1213,6 +1266,97 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                         minpp.ctypes.data, pospp.ctypes.data,
                         minsp.ctypes.data, possp.ctypes.data, stride)
 
+            def offload_introns(recs_c):
+                """Intron-refinement (gap-alignment) offload for one
+                chunk: alternate native collect rounds with device
+                batches until every refine-intron chain is memoized.
+                The chains are sequential (each refinement rewrites the
+                next pair's coordinates), so round r resolves pair r of
+                every chain — the batch merges ACROSS factorizations
+                and ESTs, and chains typically have <= a dozen introns.
+                Any failure just stops the pre-fill — the cascade
+                recomputes the rest on host, byte-identically."""
+                gap_mode = os.environ.get("PINTRON_DEVICE_GAP", "")
+                if gap_mode == "0":
+                    return   # kill-switch
+                from pintron_tpu.ops import offload as _offmod
+                if gap_mode != "1" and _offmod.GAP_SELF_TUNED_OFF:
+                    return
+                from pintron_tpu.ops.offload import eval_gap
+                t_spent = 0.0
+                host_est = 0.0
+                for _round in range(64):
+                    per_rec = []
+                    problems = []
+                    for rec in recs_c:
+                        if (rec["cands"] is None
+                                or rec["meg_arrays"] is None):
+                            continue
+                        col = _collect_introns(
+                            lib, rec["meg_arrays"], rec["cands"],
+                            gen_seq_bytes, rec["est_bytes"],
+                            rec["est_orig_bytes"], config)
+                        if col is None:
+                            continue
+                        recs_i, arena = col
+                        if not len(recs_i):
+                            continue
+                        base = len(problems)
+                        for r in recs_i:
+                            eo, nn = int(r[9]), int(r[10])
+                            go, mm = int(r[11]), int(r[12])
+                            problems.append((arena[eo:eo + nn],
+                                             arena[go:go + mm]))
+                        per_rec.append((rec, recs_i, base))
+                    if not problems:
+                        break
+                    if (gap_mode != "1" and _round == 0
+                            and len(problems) < 32):
+                        # tiny chunk: the dispatch round trips of the
+                        # chain rounds cost more than the host DP saved
+                        return
+                    t0 = time.monotonic()
+                    res = eval_gap(problems)
+                    if res is None:
+                        return
+                    t_spent += time.monotonic() - t0
+                    host_est += sum(
+                        3 * (len(e) + 1) * (len(g) + 1)
+                        for e, g in problems) * 0.4e-9
+                    sm, ops, nsteps = res
+                    stride = ops.shape[1]
+                    for rec, recs_i, base in per_rec:
+                        nrec = len(recs_i)
+                        recsc = np.ascontiguousarray(recs_i)
+                        smc = np.ascontiguousarray(
+                            np.asarray(sm[base:base + nrec],
+                                       dtype=np.int64))
+                        opsc = np.ascontiguousarray(
+                            ops[base:base + nrec])
+                        nc = np.ascontiguousarray(
+                            np.asarray(nsteps[base:base + nrec],
+                                       dtype=np.int64))
+                        lib.epm_fill_introns(
+                            gen_seq_bytes, len(gen_seq_bytes),
+                            rec["est_bytes"], len(rec["est_bytes"]),
+                            rec["est_orig_bytes"],
+                            len(rec["est_orig_bytes"]),
+                            recsc.ctypes.data, nrec,
+                            smc.ctypes.data, opsc.ctypes.data,
+                            nc.ctypes.data, stride,
+                            config.suffpref_length_on_est,
+                            config.suffpref_length_for_intron,
+                            config.suffpref_length_on_gen,
+                            config.min_intron_length)
+                if gap_mode != "1" and t_spent > max(
+                        2 * host_est, 0.004):
+                    # self-tuning: the chain rounds (dispatches + op
+                    # transfers over whatever link attaches the chip)
+                    # cost more than the host packed16 fill would have
+                    # (~2.5 cells/ns) — stop offloading this family in
+                    # this process
+                    _offmod.GAP_SELF_TUNED_OFF = True
+
             def run_cascade(rec):
                 att = rec["att"]
                 est = rec["est"]
@@ -1308,6 +1452,7 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                     for rec in recs_c:
                         fill_kband(rec)
                     offload_rb(recs_c)
+                    offload_introns(recs_c)
                     for rec in recs_c:
                         run_cascade(rec)
             finally:
@@ -1361,6 +1506,8 @@ def _run_units_device_forked(gen: mf.EstInfo, tree: SuffixTree,
                                     shard=(w, nworkers))
             stats = dict(off.STATS)
             stats["_rb_self_tuned_off"] = off.RB_SELF_TUNED_OFF
+            stats["_nw_self_tuned_off"] = off.NW_SELF_TUNED_OFF
+            stats["_gap_self_tuned_off"] = off.GAP_SELF_TUNED_OFF
             pw.send(("ok", dev, stats, dp_census()))
         except BaseException as e:  # noqa: BLE001 - report to parent
             try:
@@ -1395,6 +1542,12 @@ def _run_units_device_forked(gen: mf.EstInfo, tree: SuffixTree,
                     # this link: remember it so later forks inherit
                     if v:
                         off.RB_SELF_TUNED_OFF = True
+                elif k == "_nw_self_tuned_off":
+                    if v:
+                        off.NW_SELF_TUNED_OFF = True
+                elif k == "_gap_self_tuned_off":
+                    if v:
+                        off.GAP_SELF_TUNED_OFF = True
                 elif k != "device_runs":
                     off.STATS[k] = off.STATS.get(k, 0) + v
             for k, v in (census or {}).items():

@@ -243,3 +243,48 @@ def test_wedged_device_degrades_to_cpu_byte_identical(monkeypatch):
         assert g == w, f"{name} differs after device-wedge fallback"
     shutil.rmtree(gold, ignore_errors=True)
     shutil.rmtree(work, ignore_errors=True)
+
+
+def test_device_gap_family_byte_identical():
+    """est-fact with the intron-refinement (gap-align) family forced
+    (PINTRON_DEVICE_GAP=1) must stay byte-identical to golden, with
+    real gap problems evaluated on device through the chain rounds."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "est_collect_introns"):
+        pytest.skip("native intron collect entry unavailable")
+    import pintron_tpu.ops.offload as off
+    from pintron_tpu.stages.est_fact import run_est_fact
+
+    tgz = os.path.join(GOLDEN, "test-AMBN.tar.gz")
+    gold = tempfile.mkdtemp(prefix="gap-gold-")
+    with tarfile.open(tgz) as tf:
+        tf.extractall(gold)
+    work = tempfile.mkdtemp(prefix="gap-work-")
+    for fn in ("genomic.txt", "ests.txt"):
+        shutil.copy(os.path.join(gold, fn), work)
+
+    off.reset_stats()
+    os.environ["PINTRON_DEVICE"] = "1"
+    os.environ["PINTRON_DEVICE_GAP"] = "1"
+    os.environ["PINTRON_FRESH_MEMO"] = "1"
+    try:
+        run_est_fact(work)
+    finally:
+        del os.environ["PINTRON_DEVICE"]
+        del os.environ["PINTRON_DEVICE_GAP"]
+        del os.environ["PINTRON_FRESH_MEMO"]
+
+    assert off.STATS.get("gap_problems", 0) > 0, \
+        "gap family fell back to CPU silently"
+    for name in ("raw-multifasta-out.txt", "processed-ests.txt",
+                 "megs.txt", "processed-megs.txt", "meg-edges.txt"):
+        gp = os.path.join(gold, name)
+        if not os.path.exists(gp):
+            continue
+        with open(gp, "rb") as f:
+            g = f.read()
+        with open(os.path.join(work, name), "rb") as f:
+            w = f.read()
+        assert g == w, f"{name} differs with PINTRON_DEVICE_GAP=1"
+    shutil.rmtree(gold, ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)

@@ -171,3 +171,106 @@ def test_batch_nw_traceback_matches_host():
         assert int(score[i]) == ref.score, (i, e, g)
         ea, ga = nw_traceback_decode(e, g, ops[i], nsteps[i])
         assert ea == ref.est and ga == ref.gen, (i, e, g)
+
+
+def test_batch_gap_traceback_matches_host():
+    """Device 3-matrix gap fill + device-side traceback must reproduce
+    the host gap_align_run exactly: same gapped strings, same
+    factor_cut/intron coordinates and alignment positions (same
+    direction tie chains and start-matrix choice)."""
+    import numpy as np
+
+    from pintron_tpu.factorize.gap_align import \
+        _compute_gap_alignment_uncached
+    from pintron_tpu.ops.align import batch_gap_traceback
+
+    rng = np.random.default_rng(31)
+    alpha = np.array(list("ACGT"))
+    wildy = np.array(list("ACGTNn"))
+    cases = []
+    for _ in range(60):
+        n = int(rng.integers(1, 100))
+        src = wildy if rng.integers(0, 4) == 0 else alpha
+        e = "".join(rng.choice(src, n))
+        if rng.integers(0, 2):
+            # realistic: gen = est prefix + intron + est suffix + noise
+            cut = int(rng.integers(0, n + 1))
+            intr = "".join(rng.choice(alpha, int(rng.integers(0, 140))))
+            g = list(e[:cut] + intr + e[cut:])
+            for _ in range(int(rng.integers(0, 6))):
+                if g:
+                    g[int(rng.integers(0, len(g)))] = str(
+                        rng.choice(alpha))
+            g = "".join(g) or "A"
+        else:
+            g = "".join(rng.choice(src, int(rng.integers(1, 240))))
+        cases.append((e, g))
+    cases.append(("A", "A"))
+    cases.append(("ACGT", "A"))
+    cases.append(("A", "TTTTTTTT"))
+
+    N = max(len(e) for e, _ in cases)
+    M = max(len(g) for _, g in cases)
+    B = len(cases)
+    est = np.zeros((B, N), dtype=np.int8)
+    gen = np.zeros((B, M), dtype=np.int8)
+    elen = np.zeros(B, dtype=np.int32)
+    glen = np.zeros(B, dtype=np.int32)
+    for i, (e, g) in enumerate(cases):
+        est[i, :len(e)] = np.frombuffer(e.encode(), dtype=np.uint8)
+        gen[i, :len(g)] = np.frombuffer(g.encode(), dtype=np.uint8)
+        elen[i] = len(e)
+        glen[i] = len(g)
+
+    sm0, ops, nsteps = batch_gap_traceback(est, elen, gen, glen,
+                                           max_n=N, max_m=M)
+    sm0 = np.asarray(sm0)
+    ops = np.asarray(ops)
+    nsteps = np.asarray(nsteps)
+    for b, (e, g) in enumerate(cases):
+        ref = _compute_gap_alignment_uncached(e, g)
+        # python replica of epm_fill_introns' native decode
+        n, m = len(e), len(g)
+        i, j, sm = n, m, int(sm0[b])
+        cap = n + m
+        w = cap
+        ea = [""] * cap
+        ga = [""] * cap
+        jump_w = []
+        fcut = istart = iend = 0
+        for k in range(int(nsteps[b])):
+            d = int(ops[b][k])
+            w -= 1
+            if d == 0:
+                ea[w] = e[i - 1]; ga[w] = g[j - 1]; i -= 1; j -= 1
+            elif d == 1:
+                ea[w] = e[i - 1]; ga[w] = "-"; i -= 1
+            else:
+                if d == 3:
+                    if sm == 2:
+                        iend = j - 1; fcut = i
+                    else:
+                        istart = j - 1
+                    sm -= 1
+                    if len(jump_w) < 2:
+                        jump_w.append(w)
+                ea[w] = "-"; ga[w] = g[j - 1]; j -= 1
+        while i > 0:
+            w -= 1; ea[w] = e[i - 1]; ga[w] = "-"; i -= 1
+        while j > 0:
+            w -= 1; ea[w] = "-"; ga[w] = g[j - 1]; j -= 1
+        is_al = ie_al = 0
+        if int(sm0[b]) == 2:
+            if len(jump_w) >= 1:
+                ie_al = jump_w[0] - w
+            if len(jump_w) >= 2:
+                is_al = jump_w[1] - w
+        elif int(sm0[b]) == 1:
+            if len(jump_w) >= 1:
+                is_al = jump_w[0] - w
+        assert "".join(ea[w:]) == ref.est and "".join(ga[w:]) == ref.gen, \
+            (b, e, g)
+        assert (fcut, istart, iend) == (ref.factor_cut, ref.intron_start,
+                                        ref.intron_end), (b, e, g)
+        assert (is_al, ie_al) == (ref.intron_start_on_align,
+                                  ref.intron_end_on_align), (b, e, g)
