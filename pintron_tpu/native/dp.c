@@ -1304,6 +1304,67 @@ static int64_t lcf_dp_small(const char *s1, int64_t l1, const char *s2,
     memset(built, 0, sizeof(built));
     memset(rowa, 0, sizeof(rowa));
     memset(rowb, 0, sizeof(rowb));
+#if defined(__AVX2__)
+    /* Register-resident row with an in-register one-lane shift: lane j
+     * holds R[j+1], so new = (shl1(old) + 1) & mask[0..63] — no
+     * store/reload of the row per char (the memory round trip stalls
+     * on the 1-byte-shifted store-forward), and only the (rare) rows
+     * that beat the current best fall to the exact scalar update, so
+     * results are identical to the scalar loop. */
+    {
+        __m256i r0 = _mm256_setzero_si256();
+        __m256i r1 = _mm256_setzero_si256();
+        __m256i one = _mm256_set1_epi8(1);
+        __m256i th = _mm256_set1_epi8((char)plen);
+        for (i1 = 0; i1 < l1; i1++) {
+            unsigned char c1 = (unsigned char)s1[i1];
+            const uint8_t *mk;
+            __m256i m0, m1, c0v, c1v, n0, n1;
+            if (!built[c1]) {
+                int w1 = (c1 == 'n' || c1 == 'N');
+                for (i2 = 0; i2 < l2; i2++) {
+                    char c2 = s2[i2];
+                    msk[c1][i2] = (uint8_t)(0
+                        - (w1 || c2 == 'n' || c2 == 'N'
+                           || (unsigned char)c2 == c1));
+                }
+                for (i2 = l2; i2 < 64; i2++) msk[c1][i2] = 0;
+                built[c1] = 1;
+            }
+            mk = msk[c1];
+            m0 = _mm256_loadu_si256((const __m256i *)(mk + 0));
+            m1 = _mm256_loadu_si256((const __m256i *)(mk + 32));
+            /* shl1 across the 256-bit pair: lane 0 <- 0, r1 carries
+             * in r0's top byte */
+            c0v = _mm256_permute2x128_si256(r0, r0, 0x08);
+            c1v = _mm256_permute2x128_si256(r0, r1, 0x21);
+            n0 = _mm256_alignr_epi8(r0, c0v, 15);
+            n1 = _mm256_alignr_epi8(r1, c1v, 15);
+            r0 = _mm256_and_si256(_mm256_add_epi8(n0, one), m0);
+            r1 = _mm256_and_si256(_mm256_add_epi8(n1, one), m1);
+            if (_mm256_movemask_epi8(_mm256_cmpgt_epi8(r0, th))
+                | _mm256_movemask_epi8(_mm256_cmpgt_epi8(r1, th))) {
+                uint8_t tmp[65];
+                uint8_t best = 0;
+                tmp[0] = 0;
+                _mm256_storeu_si256((__m256i *)(tmp + 1), r0);
+                _mm256_storeu_si256((__m256i *)(tmp + 33), r1);
+                for (k = 1; k <= 64; k++)
+                    if (tmp[k] > best) best = tmp[k];
+                if ((int64_t)best > plen) {
+                    plen = best;
+                    *occ1 = i1 + 1 - plen;
+                    for (k = 1; k <= 64; k++)
+                        if (tmp[k] == best) break;
+                    *occ2 = k - plen;
+                    th = _mm256_set1_epi8((char)plen);
+                }
+            }
+        }
+        (void)R; (void)Rp;
+        return plen;
+    }
+#else
     for (i1 = 0; i1 < l1; i1++) {
         unsigned char c1 = (unsigned char)s1[i1];
         const uint8_t *mk;
@@ -1334,6 +1395,7 @@ static int64_t lcf_dp_small(const char *s1, int64_t l1, const char *s2,
         { uint8_t *t = R; R = Rp; Rp = t; }
     }
     return plen;
+#endif
 }
 
 int64_t lcf_dp(const char *s1, int64_t l1, const char *s2, int64_t l2,
@@ -5584,6 +5646,20 @@ static int32_t *ep_i32buf(int slot, int64_t need) {
     return bufs[slot];
 }
 
+/* grow-once int8 scratch keyed by slot (matching-statistics columns) */
+static int8_t *ep_i8buf(int slot, int64_t need) {
+    static int8_t *bufs[2];
+    static int64_t caps[2];
+    if (need > caps[slot]) {
+        int8_t *nb = (int8_t *)realloc(bufs[slot],
+                                       (size_t)(2 * need + 64));
+        if (!nb) return NULL;
+        bufs[slot] = nb;
+        caps[slot] = 2 * need + 64;
+    }
+    return bufs[slot];
+}
+
 /* Z-array of a short pattern (literal char equality) */
 static void ep_zself(const char *P, int64_t m, int32_t *zp) {
     int64_t i, l = 0, r = 0;
@@ -5687,6 +5763,9 @@ static int ep_search_small(efct *f, int64_t i1, const char *gen,
     int64_t max_sexon_len = 0, ecut1 = 0, ecut2 = 0;
     int64_t gcut1_1 = 0, gcut1_2 = 0, gcut2_1 = 0, gcut2_2 = 0;
     int64_t max_offstart, offstart;
+    int ms_ok = 0;
+    int64_t ms_offs[64], ms_cnts[64];
+    int32_t *ms_q = NULL, *ms_m = NULL;
 
     if ((e1len + e2len) < (EP_LB_SMALL + 2 * EP_UB_SMALL)) return 0;
     e1slen = e1len < g1len ? e1len : g1len;
@@ -5763,6 +5842,103 @@ static int ep_search_small(efct *f, int64_t i1, const char *gen,
         max_offstart = eln + 1 - EP_LB_SMALL;
     if (allglen2 + 1 - 2 * MIN_IL - EP_LB_SMALL < max_offstart)
         max_offstart = allglen2 + 1 - 2 * MIN_IL - EP_LB_SMALL;
+
+    /* All-offstart matching statistics, vectorized: every offstart's
+     * pass needs lcp(efact[offstart:], T[q:]) for all q, which the
+     * diagonal recurrence
+     *     Lcol(s)[q] = (T[q] == efact[s]) ? Lcol(s+1)[q+1] + 1 : 0
+     * yields for ALL offstarts in |efact| int8 sweeps over T (32
+     * text positions per AVX2 op) — replacing one Z-algorithm scan of
+     * T per offstart.  Emitted hits (length >= EP_LB_SMALL, ascending
+     * q, exact lengths) are precisely ep_matchstats_emit's, so the
+     * bucket walk below is unchanged.  Pattern lengths are <= ~57
+     * (EP_UB_SMALL windows), far under the int8 guard. */
+    if (max_offstart > 0 && max_offstart <= 63 && efactl <= 120
+        && allgfactl > 0) {
+        int64_t n2 = allgfactl, s, acap = 4096, an = 0;
+        int8_t *La = ep_i8buf(0, n2 + 40);
+        int8_t *Lb = ep_i8buf(1, n2 + 40);
+        double tf = fe_now();
+        ms_q = ep_i32buf(1, acap);
+        ms_m = ep_i32buf(2, acap);
+        if (La && Lb && ms_q && ms_m) {
+            ms_ok = 1;
+            memset(La, 0, (size_t)(n2 + 40));
+            memset(Lb, 0, (size_t)(n2 + 40));
+            for (s = efactl - 1; s >= 0 && ms_ok; s--) {
+                char pc = efact[s];
+                int8_t *colc = (s & 1) ? La : Lb;
+                int8_t *coln = (s & 1) ? Lb : La;
+                int64_t q = 0;
+#if defined(__AVX2__)
+                {
+                    __m256i pv = _mm256_set1_epi8(pc);
+                    __m256i one = _mm256_set1_epi8(1);
+                    for (; q + 32 <= n2; q += 32) {
+                        __m256i tv = _mm256_loadu_si256(
+                            (const __m256i *)(allgfact + q));
+                        __m256i eq = _mm256_cmpeq_epi8(tv, pv);
+                        __m256i nx = _mm256_loadu_si256(
+                            (const __m256i *)(coln + q + 1));
+                        _mm256_storeu_si256(
+                            (__m256i *)(colc + q),
+                            _mm256_and_si256(_mm256_add_epi8(nx, one),
+                                             eq));
+                    }
+                }
+#endif
+                for (; q < n2; q++)
+                    colc[q] = (allgfact[q] == pc)
+                              ? (int8_t)(coln[q + 1] + 1) : 0;
+                if (s < max_offstart) {
+                    int64_t q2 = 0;
+                    ms_offs[s] = an;
+#if defined(__AVX2__)
+                    {
+                        __m256i th = _mm256_set1_epi8(EP_LB_SMALL - 1);
+                        for (; q2 + 32 <= n2; q2 += 32) {
+                            unsigned mask2 = (unsigned)_mm256_movemask_epi8(
+                                _mm256_cmpgt_epi8(
+                                    _mm256_loadu_si256(
+                                        (const __m256i *)(colc + q2)),
+                                    th));
+                            while (mask2) {
+                                int b = __builtin_ctz(mask2);
+                                mask2 &= mask2 - 1;
+                                if (an + 1 > acap) {
+                                    acap *= 2;
+                                    ms_q = ep_i32buf(1, acap);
+                                    ms_m = ep_i32buf(2, acap);
+                                    if (!ms_q || !ms_m) { ms_ok = 0; break; }
+                                }
+                                ms_q[an] = (int32_t)(q2 + b);
+                                ms_m[an] = colc[q2 + b];
+                                an++;
+                            }
+                            if (!ms_ok) break;
+                        }
+                    }
+#endif
+                    for (; ms_ok && q2 < n2; q2++) {
+                        if (colc[q2] >= EP_LB_SMALL) {
+                            if (an + 1 > acap) {
+                                acap *= 2;
+                                ms_q = ep_i32buf(1, acap);
+                                ms_m = ep_i32buf(2, acap);
+                                if (!ms_q || !ms_m) { ms_ok = 0; break; }
+                            }
+                            ms_q[an] = (int32_t)q2;
+                            ms_m[an] = colc[q2];
+                            an++;
+                        }
+                    }
+                    ms_cnts[s] = an - ms_offs[s];
+                }
+            }
+        }
+        ep_stats[10] += fe_now() - tf;
+    }
+
     for (offstart = 0; offstart < max_offstart; offstart++) {
         int64_t max_offend = f2plen + 1 - EP_MIN_PERFECT_BORDER;
         int64_t offend;
@@ -5793,11 +5969,7 @@ static int ep_search_small(efct *f, int64_t i1, const char *gen,
             int64_t need = allgfactl + 8;
             int32_t *hq, *hm;
             int64_t nhits, hmin, hk;
-            zp = ep_i32buf(0, m_total + 2);
-            hq = ep_i32buf(1, need);
-            hm = ep_i32buf(2, need);
             M = NULL;
-            if (!zp || !hq || !hm) return -1;   /* error, not a result */
             bstart = (int64_t *)malloc((size_t)(m_total + 2) * 4
                                        * sizeof(int64_t));
             if (!bstart) return -1;
@@ -5808,10 +5980,25 @@ static int ep_search_small(efct *f, int64_t i1, const char *gen,
              * so positions with shorter matches can never be visited */
             hmin = EP_LB_SMALL;
             nhits = 0;
-            if (m_total > 0) {
-                ep_zself(P, m_total, zp);
-                nhits = ep_matchstats_emit(P, m_total, allgfact,
-                                           allgfactl, zp, hmin, hq, hm);
+            if (ms_ok) {
+                /* precomputed all-offstart pass (identical emission) */
+                hq = ms_q + ms_offs[offstart];
+                hm = ms_m + ms_offs[offstart];
+                nhits = ms_cnts[offstart];
+            } else {
+                zp = ep_i32buf(0, m_total + 2);
+                hq = ep_i32buf(1, need);
+                hm = ep_i32buf(2, need);
+                if (!zp || !hq || !hm) {
+                    free(bstart);
+                    return -1;   /* error, not a result */
+                }
+                if (m_total > 0) {
+                    ep_zself(P, m_total, zp);
+                    nhits = ep_matchstats_emit(P, m_total, allgfact,
+                                               allgfactl, zp, hmin, hq,
+                                               hm);
+                }
             }
             /* bucket the (few) qualifying positions by match length,
              * ascending q within each bucket, then set per-bucket
