@@ -258,6 +258,15 @@ def _build_and_load():
             #   sm0 (i64), ops (int8), nsteps (i64)
             + [ctypes.c_int64]                     # ops row stride
             + [ctypes.c_int64] * 4)                # sp_*, min_intron
+        lib.ri_lookaside_set.restype = ctypes.c_int64
+        lib.ri_lookaside_set.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int64]      # records (13/i64), n
+            + [ctypes.c_void_p]                    # window arena
+            + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            #   sm0 (i64), ops (int8), nsteps (i64)
+            + [ctypes.c_int64])                    # ops row stride
+        lib.ri_lookaside_clear.restype = None
+        lib.ri_lookaside_clear.argtypes = []
     lib.unit_process.restype = ctypes.c_int64
     lib.unit_process.argtypes = (
         [ctypes.c_char_p, ctypes.c_int64]        # tree text

@@ -3851,6 +3851,162 @@ mutate:
     return 2;
 }
 
+/* ---- device-result lookaside --------------------------------------------
+ * The intron-refinement chains are sequential (each refinement rewrites
+ * the next pair's coordinates), but the DP WINDOWS of later pairs are
+ * (almost always) independent of earlier results: a refinement moves
+ * only the shared factor's start coordinates, which enter the window
+ * construction only when the factor is shorter than the suffix/prefix
+ * span.  The collect pass therefore emits every un-memoized pair's
+ * windows speculatively in ONE round; the device evaluates the batch;
+ * the results are installed here keyed by WINDOW BYTES; and
+ * refine_intron_core consults the table lazily when the real cascade
+ * reaches each pair with its true coordinates — window hit: decode the
+ * device traceback (bit-identical); miss (mutated small factor):
+ * compute on host.  Either way the outcome is byte-identical. */
+typedef struct {
+    const int64_t *recs;          /* 13-int64 collect records */
+    const char *arena;            /* window bytes */
+    const int64_t *sm0s, *nsteps;
+    const int8_t *ops;
+    int64_t stride, nrec;
+    int32_t *htab;                /* open addressing, entry = rec idx+1 */
+    int64_t hcap;                 /* power of two */
+} ri_look_t;
+static ri_look_t ri_look;
+
+static uint64_t ri_hash_win(const char *e, int64_t n, const char *g,
+                            int64_t m) {
+    uint64_t h = 1469598103934665603ull;
+    int64_t i;
+    for (i = 0; i < n; i++) h = (h ^ (uint8_t)e[i]) * 1099511628211ull;
+    h = (h ^ 0xff) * 1099511628211ull;
+    for (i = 0; i < m; i++) h = (h ^ (uint8_t)g[i]) * 1099511628211ull;
+    return h;
+}
+
+void ri_lookaside_clear(void) {
+    free(ri_look.htab);
+    memset(&ri_look, 0, sizeof(ri_look));
+}
+
+/* Install device results (caller keeps all arrays alive until
+ * ri_lookaside_clear).  Returns 0, or -1 on allocation failure (the
+ * table stays empty: every lookup misses, host computes). */
+int64_t ri_lookaside_set(const int64_t *recs, int64_t nrec,
+                         const char *arena,
+                         const int64_t *sm0s, const int8_t *ops,
+                         const int64_t *nsteps, int64_t stride) {
+    int64_t i, cap = 16;
+    ri_lookaside_clear();
+    while (cap < 4 * nrec) cap <<= 1;
+    ri_look.htab = (int32_t *)calloc((size_t)cap, sizeof(int32_t));
+    if (!ri_look.htab) return -1;
+    ri_look.hcap = cap;
+    ri_look.recs = recs;
+    ri_look.arena = arena;
+    ri_look.sm0s = sm0s;
+    ri_look.ops = ops;
+    ri_look.nsteps = nsteps;
+    ri_look.stride = stride;
+    ri_look.nrec = nrec;
+    for (i = 0; i < nrec; i++) {
+        const int64_t *rec = recs + 13 * i;
+        uint64_t h = ri_hash_win(arena + rec[9], rec[10],
+                                 arena + rec[11], rec[12]);
+        int64_t idx = (int64_t)(h & (uint64_t)(cap - 1));
+        while (ri_look.htab[idx]) idx = (idx + 1) & (cap - 1);
+        ri_look.htab[idx] = (int32_t)(i + 1);
+    }
+    return 0;
+}
+
+static int64_t ri_lookaside_find(const char *e, int64_t n, const char *g,
+                                 int64_t m) {
+    uint64_t h;
+    int64_t idx;
+    if (!ri_look.htab) return -1;
+    h = ri_hash_win(e, n, g, m);
+    idx = (int64_t)(h & (uint64_t)(ri_look.hcap - 1));
+    while (ri_look.htab[idx]) {
+        const int64_t *rec = ri_look.recs
+                             + 13 * (ri_look.htab[idx] - 1);
+        if (rec[10] == n && rec[12] == m
+            && memcmp(ri_look.arena + rec[9], e, (size_t)n) == 0
+            && memcmp(ri_look.arena + rec[11], g, (size_t)m) == 0)
+            return ri_look.htab[idx] - 1;
+        idx = (idx + 1) & (ri_look.hcap - 1);
+    }
+    return -1;
+}
+
+/* Decode one device traceback (batch_gap_traceback op codes) into
+ * ri_est_al/ri_gen_al + the out7 block, replicating gap_align_run's
+ * walk exactly (same buffers, same jump bookkeeping).  Caller must
+ * have built the windows (ri_seq_est/ri_seq_gen) and reserved the
+ * alignment buffers. */
+static void ri_decode_ops(int64_t n, int64_t m, int64_t sm_start,
+                          const int8_t *op, int64_t nst, int64_t stride,
+                          int64_t *out7) {
+    int64_t i = n, j = m, sm = sm_start, cap2 = n + m, w2 = cap2, k;
+    int64_t jump_w[2]; int64_t njump = 0;
+    int64_t factor_cut = 0, intron_start = 0, intron_end = 0;
+    int64_t is_al = 0, ie_al = 0, total;
+    for (k = 0; k < nst && k < stride; k++) {
+        int d = op[k];
+        w2--;
+        if (d == 0) {
+            ri_est_al[w2] = ri_seq_est[i - 1];
+            ri_gen_al[w2] = ri_seq_gen[j - 1];
+            i--; j--;
+        } else if (d == 1) {
+            ri_est_al[w2] = ri_seq_est[i - 1];
+            ri_gen_al[w2] = '-';
+            i--;
+        } else {
+            if (d == 3) {
+                if (sm == 2) { intron_end = j - 1; factor_cut = i; }
+                else intron_start = j - 1;
+                sm--;
+                if (njump < 2) jump_w[njump++] = w2;
+            }
+            ri_est_al[w2] = '-';
+            ri_gen_al[w2] = ri_seq_gen[j - 1];
+            j--;
+        }
+    }
+    while (i > 0) {
+        w2--;
+        ri_est_al[w2] = ri_seq_est[i - 1];
+        ri_gen_al[w2] = '-';
+        i--;
+    }
+    while (j > 0) {
+        w2--;
+        ri_est_al[w2] = '-';
+        ri_gen_al[w2] = ri_seq_gen[j - 1];
+        j--;
+    }
+    total = cap2 - w2;
+    if (w2 > 0) {
+        memmove(ri_est_al, ri_est_al + w2, (size_t)total);
+        memmove(ri_gen_al, ri_gen_al + w2, (size_t)total);
+    }
+    if (sm_start == 2) {
+        if (njump >= 1) ie_al = jump_w[0] - w2;
+        if (njump >= 2) is_al = jump_w[1] - w2;
+    } else if (sm_start == 1) {
+        if (njump >= 1) is_al = jump_w[0] - w2;
+    }
+    out7[0] = total;
+    out7[1] = factor_cut;
+    out7[2] = intron_start;
+    out7[3] = intron_end;
+    out7[4] = is_al;
+    out7[5] = ie_al;
+    out7[6] = sm_start;
+}
+
 int64_t refine_intron_core(
     const char *gen, int64_t gen_len, const char *est, int64_t est_len,
     int64_t d_es, int64_t d_ee, int64_t d_gs, int64_t d_ge,
@@ -3866,11 +4022,22 @@ int64_t refine_intron_core(
         return -1;
     if (!ri_al_reserve(w.n + w.m)) return -1;
 
-    { double rt0 = fe_now();
-    gap_align_run(ri_seq_est, w.n, ri_seq_gen, w.m,
-                  ri_est_al, ri_gen_al, out7);
-    ri_stats[0] += fe_now() - rt0; ri_stats[4] += 1.0; }
-    if (out7[0] < 0) return -1;
+    {
+        int64_t li = ri_lookaside_find(ri_seq_est, w.n, ri_seq_gen, w.m);
+        if (li >= 0) {
+            /* device-evaluated gap alignment: decode the op stream */
+            ri_decode_ops(w.n, w.m, ri_look.sm0s[li],
+                          ri_look.ops + li * ri_look.stride,
+                          ri_look.nsteps[li], ri_look.stride, out7);
+            ri_stats[4] += 1.0;
+        } else {
+            double rt0 = fe_now();
+            gap_align_run(ri_seq_est, w.n, ri_seq_gen, w.m,
+                          ri_est_al, ri_gen_al, out7);
+            ri_stats[0] += fe_now() - rt0; ri_stats[4] += 1.0;
+            if (out7[0] < 0) return -1;
+        }
+    }
 
     return ri_post_align(gen, gen_len, est, est_len,
                          d_es, d_gs, d_ge, a_ee, a_gs, a_ge, &w,
@@ -7154,76 +7321,39 @@ static int64_t est_process_impl(
      * so every round makes progress. */
     if (ri_sink.active) {
         int64_t n_out = 0, need = 0, arena_need = 0;
-        for (k = 0; k < lst.n; k++) {
+        /* window-content dedup across pairs/candidates (candidates of
+         * one EST share most pairs): open-addressed set of emitted
+         * record indices keyed by window bytes */
+        int64_t dcap = 1024, dfill = 0;
+        int32_t *dset = (int32_t *)calloc((size_t)dcap, sizeof(int32_t));
+        for (k = 0; k < lst.n && dset; k++) {
             efct *f = &lst.a[k];
             int first = 1;
+            int speculative = 0;
             int64_t j, limit = f->n - 1;
             if (f->n == 0) continue;
             for (j = 0; j < limit; j++) {
                 efac *donor = &f->f[j];
                 efac *accept = &f->f[j + 1];
-                uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
                 int found = 0;
-                epm_ent *me;
-                mk[0] = 3 | ((uint64_t)(first ? 1 : 0) << 8)
-                        | (epm_seq_id << 16);
-                mk[1] = ((uint64_t)(uint32_t)donor->es << 32)
-                        | (uint32_t)donor->ee;
-                mk[2] = ((uint64_t)(uint32_t)donor->gs << 32)
-                        | (uint32_t)donor->ge;
-                mk[3] = ((uint64_t)(uint32_t)accept->es << 32)
-                        | (uint32_t)accept->ee;
-                mk[4] = ((uint64_t)(uint32_t)accept->gs << 32)
-                        | (uint32_t)accept->ge;
-                me = epm_find(mk, &found);
-                if (!found) {
-                    ri_win w;
-                    if (me) {   /* peek only: un-claim and refund */
-                        me->gen = epm_gen - 1;
-                        epm_fill--;
-                    }
-                    if (!ri_build_windows(
-                            gen, glen, est, elen,
-                            donor->es, donor->ee, donor->gs, donor->ge,
-                            accept->es, accept->ee, accept->gs,
-                            accept->ge, sp_est, sp_intron, sp_gen, &w))
-                        break;
-                    if (w.n * w.m > RI_DEV_MAX_CELLS
-                        || w.n + w.m > RI_DEV_MAX_LEN) {
-                        /* oversized for the device batch: solve on host
-                         * now (fills the memo) so the rounds converge */
-                        if (ep_refine_intron(gen, glen, est, elen,
-                                             donor, accept, sp_est,
-                                             sp_intron, sp_gen,
-                                             min_intron_length,
-                                             first) < 0)
-                            break;
-                        first = 0;
-                        continue;
-                    }
-                    need++;
-                    arena_need += w.n + w.m;
-                    if (n_out < ri_sink.cap
-                        && ri_sink.arena_n + w.n + w.m
-                           <= ri_sink.arena_cap) {
-                        int64_t *rec = ri_sink.out + 13 * n_out;
-                        rec[0] = donor->es; rec[1] = donor->ee;
-                        rec[2] = donor->gs; rec[3] = donor->ge;
-                        rec[4] = accept->es; rec[5] = accept->ee;
-                        rec[6] = accept->gs; rec[7] = accept->ge;
-                        rec[8] = first;
-                        rec[9] = ri_sink.arena_n; rec[10] = w.n;
-                        rec[11] = ri_sink.arena_n + w.n; rec[12] = w.m;
-                        memcpy(ri_sink.arena + ri_sink.arena_n,
-                               ri_seq_est, (size_t)w.n);
-                        memcpy(ri_sink.arena + ri_sink.arena_n + w.n,
-                               ri_seq_gen, (size_t)w.m);
-                        ri_sink.arena_n += w.n + w.m;
-                        n_out++;
-                    }
-                    break;   /* chain blocked until this pair is filled */
+                epm_ent *me = NULL;
+                if (!speculative) {
+                    uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
+                    mk[0] = 3 | ((uint64_t)(first ? 1 : 0) << 8)
+                            | (epm_seq_id << 16);
+                    mk[1] = ((uint64_t)(uint32_t)donor->es << 32)
+                            | (uint32_t)donor->ee;
+                    mk[2] = ((uint64_t)(uint32_t)donor->gs << 32)
+                            | (uint32_t)donor->ge;
+                    mk[3] = ((uint64_t)(uint32_t)accept->es << 32)
+                            | (uint32_t)accept->ee;
+                    mk[4] = ((uint64_t)(uint32_t)accept->gs << 32)
+                            | (uint32_t)accept->ge;
+                    me = epm_find(mk, &found);
                 }
-                {
+                if (found) {
+                    /* memo hit: apply ep_refine_intron's mutations and
+                     * keep the chain exact */
                     int64_t mret = me->v[0];
                     if (mret < 0) break;   /* python-fallback pair */
                     if (mret == 1) {
@@ -7235,10 +7365,113 @@ static int64_t est_process_impl(
                         accept->es = me->v[3];
                         donor->ee = accept->es - 1;
                     }
+                    first = 0;
+                    continue;
+                }
+                if (me) {   /* peek only: un-claim and refund */
+                    me->gen = epm_gen - 1;
+                    epm_fill--;
+                }
+                /* un-memoized pair: emit its windows SPECULATIVELY and
+                 * keep walking the chain with unmutated coordinates —
+                 * later pairs' windows are coordinate-mutation
+                 * independent except for sub-window-length factors,
+                 * which the lazy lookaside simply misses (host
+                 * computes those).  No memo lookups after this point:
+                 * the keys would be built from unmutated coords. */
+                speculative = 1;
+                {
+                    ri_win w;
+                    if (!ri_build_windows(
+                            gen, glen, est, elen,
+                            donor->es, donor->ee, donor->gs, donor->ge,
+                            accept->es, accept->ee, accept->gs,
+                            accept->ge, sp_est, sp_intron, sp_gen, &w)) {
+                        first = 0;
+                        continue;
+                    }
+                    if (w.n * w.m > RI_DEV_MAX_CELLS
+                        || w.n + w.m > RI_DEV_MAX_LEN) {
+                        first = 0;
+                        continue;   /* host computes oversized lazily */
+                    }
+                    /* dedup by window content */
+                    {
+                        uint64_t h = ri_hash_win(ri_seq_est, w.n,
+                                                 ri_seq_gen, w.m);
+                        int64_t idx = (int64_t)(h & (uint64_t)(dcap - 1));
+                        int dup = 0;
+                        while (dset[idx]) {
+                            const int64_t *rec = ri_sink.out
+                                + 13 * (dset[idx] - 1);
+                            if (rec[10] == w.n && rec[12] == w.m
+                                && memcmp(ri_sink.arena + rec[9],
+                                          ri_seq_est, (size_t)w.n) == 0
+                                && memcmp(ri_sink.arena + rec[11],
+                                          ri_seq_gen, (size_t)w.m)
+                                   == 0) {
+                                dup = 1;
+                                break;
+                            }
+                            idx = (idx + 1) & (dcap - 1);
+                        }
+                        if (dup) {
+                            first = 0;
+                            continue;
+                        }
+                        need++;
+                        arena_need += w.n + w.m;
+                        if (n_out < ri_sink.cap
+                            && ri_sink.arena_n + w.n + w.m
+                               <= ri_sink.arena_cap) {
+                            int64_t *rec = ri_sink.out + 13 * n_out;
+                            rec[0] = donor->es; rec[1] = donor->ee;
+                            rec[2] = donor->gs; rec[3] = donor->ge;
+                            rec[4] = accept->es; rec[5] = accept->ee;
+                            rec[6] = accept->gs; rec[7] = accept->ge;
+                            rec[8] = first;
+                            rec[9] = ri_sink.arena_n; rec[10] = w.n;
+                            rec[11] = ri_sink.arena_n + w.n;
+                            rec[12] = w.m;
+                            memcpy(ri_sink.arena + ri_sink.arena_n,
+                                   ri_seq_est, (size_t)w.n);
+                            memcpy(ri_sink.arena + ri_sink.arena_n
+                                   + w.n, ri_seq_gen, (size_t)w.m);
+                            ri_sink.arena_n += w.n + w.m;
+                            n_out++;
+                            dset[idx] = (int32_t)n_out;
+                            dfill++;
+                            if (4 * dfill > 3 * dcap) {
+                                /* grow + rebuild from the records */
+                                int64_t ncap = dcap * 2, r2;
+                                int32_t *nd = (int32_t *)calloc(
+                                    (size_t)ncap, sizeof(int32_t));
+                                if (!nd) { free(dset); dset = NULL;
+                                           break; }
+                                for (r2 = 0; r2 < n_out; r2++) {
+                                    const int64_t *rec = ri_sink.out
+                                        + 13 * r2;
+                                    uint64_t h2 = ri_hash_win(
+                                        ri_sink.arena + rec[9], rec[10],
+                                        ri_sink.arena + rec[11],
+                                        rec[12]);
+                                    int64_t i2 = (int64_t)(h2
+                                        & (uint64_t)(ncap - 1));
+                                    while (nd[i2])
+                                        i2 = (i2 + 1) & (ncap - 1);
+                                    nd[i2] = (int32_t)(r2 + 1);
+                                }
+                                free(dset);
+                                dset = nd;
+                                dcap = ncap;
+                            }
+                        }
+                    }
                 }
                 first = 0;
             }
         }
+        free(dset);
         ri_sink.n = n_out;
         ri_sink.need = need;
         ri_sink.arena_need = arena_need;
@@ -7506,13 +7739,9 @@ int64_t epm_fill_introns(
         const int64_t *rec = recs + 13 * idx;
         const int8_t *op = ops + idx * stride;
         ri_win w;
-        int64_t n, m, i, j, sm, cap2, w2, k, total;
-        int64_t jump_w[2]; int64_t njump = 0;
-        int64_t factor_cut = 0, intron_start = 0, intron_end = 0;
-        int64_t is_al = 0, ie_al = 0;
+        int64_t n, m;
         int64_t out7[8], out4[4] = {0, 0, 0, 0};
         int64_t ret;
-        int64_t sm_start = sm0s[idx];
         uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
         int found;
         epm_ent *me;
@@ -7526,60 +7755,7 @@ int64_t epm_fill_introns(
         if (n != rec[10] || m != rec[12]) return -2;   /* stale record */
         if (!ri_al_reserve(n + m)) return -3;
 
-        i = n; j = m; sm = sm_start; cap2 = n + m; w2 = cap2;
-        for (k = 0; k < nsteps[idx] && k < stride; k++) {
-            int d = op[k];
-            w2--;
-            if (d == 0) {
-                ri_est_al[w2] = ri_seq_est[i - 1];
-                ri_gen_al[w2] = ri_seq_gen[j - 1];
-                i--; j--;
-            } else if (d == 1) {
-                ri_est_al[w2] = ri_seq_est[i - 1];
-                ri_gen_al[w2] = '-';
-                i--;
-            } else {
-                if (d == 3) {
-                    if (sm == 2) { intron_end = j - 1; factor_cut = i; }
-                    else intron_start = j - 1;
-                    sm--;
-                    if (njump < 2) jump_w[njump++] = w2;
-                }
-                ri_est_al[w2] = '-';
-                ri_gen_al[w2] = ri_seq_gen[j - 1];
-                j--;
-            }
-        }
-        while (i > 0) {
-            w2--;
-            ri_est_al[w2] = ri_seq_est[i - 1];
-            ri_gen_al[w2] = '-';
-            i--;
-        }
-        while (j > 0) {
-            w2--;
-            ri_est_al[w2] = '-';
-            ri_gen_al[w2] = ri_seq_gen[j - 1];
-            j--;
-        }
-        total = cap2 - w2;
-        if (w2 > 0) {
-            memmove(ri_est_al, ri_est_al + w2, (size_t)total);
-            memmove(ri_gen_al, ri_gen_al + w2, (size_t)total);
-        }
-        if (sm_start == 2) {
-            if (njump >= 1) ie_al = jump_w[0] - w2;
-            if (njump >= 2) is_al = jump_w[1] - w2;
-        } else if (sm_start == 1) {
-            if (njump >= 1) is_al = jump_w[0] - w2;
-        }
-        out7[0] = total;
-        out7[1] = factor_cut;
-        out7[2] = intron_start;
-        out7[3] = intron_end;
-        out7[4] = is_al;
-        out7[5] = ie_al;
-        out7[6] = sm_start;
+        ri_decode_ops(n, m, sm0s[idx], op, nsteps[idx], stride, out7);
 
         ret = ri_post_align(gen, glen, est, elen,
                             rec[0], rec[2], rec[3], rec[5], rec[6],

@@ -27,6 +27,52 @@ import numpy as np
 BIG = 1 << 20
 
 
+def pack_ops(ops):
+    """Pack traceback op codes (values 0..3) four per byte on device:
+    the op stream is the dominant device->host transfer of the
+    traceback kernels, and a remote-attached chip is link-bound, so
+    the wire carries 2 bits per op.  Width must be a multiple of 4."""
+    B, T = ops.shape
+    o = ops.astype(jnp.uint8).reshape(B, T // 4, 4)
+    return (o[:, :, 0] | (o[:, :, 1] << 2) | (o[:, :, 2] << 4)
+            | (o[:, :, 3] << 6))
+
+
+_UNPACK_LUT = None
+
+
+def unpack_ops(packed, width: int):
+    """Host-side inverse of pack_ops: (B, T/4) uint8 -> (B, width)
+    int8 op codes (width <= T)."""
+    global _UNPACK_LUT
+    if _UNPACK_LUT is None:
+        v = np.arange(256, dtype=np.uint8)
+        _UNPACK_LUT = np.stack(
+            [(v >> (2 * k)) & 3 for k in range(4)], axis=1).astype(np.int8)
+    p = np.asarray(packed)
+    B = p.shape[0]
+    return _UNPACK_LUT[p].reshape(B, -1)[:, :width]
+
+
+def decode_nw_fused(fused, width: int):
+    """Split batch_nw_traceback's fused wire array into (ops, nsteps)
+    — ONE host fetch for the whole result."""
+    f = np.asarray(fused)
+    ops = unpack_ops(f[:, :-2], width)
+    nsteps = f[:, -2].astype(np.int32) | (f[:, -1].astype(np.int32) << 8)
+    return ops, nsteps
+
+
+def decode_gap_fused(fused, width: int):
+    """Split batch_gap_traceback's fused wire array into
+    (sm, ops, nsteps)."""
+    f = np.asarray(fused)
+    ops = unpack_ops(f[:, :-3], width)
+    nsteps = f[:, -3].astype(np.int32) | (f[:, -2].astype(np.int32) << 8)
+    sm = f[:, -1].astype(np.int32)
+    return sm, ops, nsteps
+
+
 @functools.partial(jax.jit, static_argnames=("max_rows", "k_max"))
 def banded_edit_distance(seq1, len1, seq2, len2, band, *, max_rows: int,
                          k_max: int):
@@ -136,9 +182,9 @@ def batch_edit_rowmin(seq1, len1, seq2, len2, *, max_rows: int):
 
     Args are batch_edit_distance_score's: seq1 (B, N) the TEXT windows
     (columns), seq2 (B, M) the PATTERNS (rows), len1/len2 (B,) int32.
-    Returns (vals, pos), both (B, max_rows+1) int32: row r's minimum
-    over columns 0..len1 and the smallest column attaining it.  Rows
-    past len2 are garbage (callers slice 0..len2).  Same int32
+    Returns ONE fused int16 array (B, 2*(max_rows+1)): per-row minima
+    over columns 0..len1, then the smallest columns attaining them.
+    Rows past len2 are garbage (callers slice 0..len2).  Same int32
     recurrence as the host rows — bit-identical minima/positions.
     Requires the PADDED width N <= 16382 (the argmin encoding needs
     C = p2(N+2) <= 2**15 so CLAMP stays above every genuine row value;
@@ -182,12 +228,14 @@ def batch_edit_rowmin(seq1, len1, seq2, len2, *, max_rows: int):
     _, (vs, ps) = jax.lax.scan(row_step, M0, rows)
     vals = jnp.concatenate([v0[None, :], vs], axis=0).T  # (B, R+1)
     pos = jnp.concatenate([p0[None, :], ps], axis=0).T
-    # int16 on the wire: genuine values are < 2**15 under the wrapper's
-    # size guard, and halving the row-table bytes matters when the
-    # device is remote-attached (the tables, not the sequences, are the
-    # transfer cost of this op)
-    return (jnp.clip(vals, 0, 32000).astype(jnp.int16),
-            pos.astype(jnp.int16))
+    # int16 on the wire, vals and pos fused side by side in ONE array:
+    # genuine values are < 2**15 under the wrapper's size guard, the
+    # tables (not the sequences) are the transfer cost of this op, and
+    # each fetched output leaf costs its own round trip when the chip
+    # is remote-attached
+    return jnp.concatenate(
+        [jnp.clip(vals, 0, 32000).astype(jnp.int16),
+         pos.astype(jnp.int16)], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("max_n", "max_m"))
@@ -198,12 +246,14 @@ def batch_nw_traceback(est, elen, gen, glen, *, max_n: int, max_m: int):
     matches, direction preference diag > up > left).
 
     Args: est (B, max_n) / gen (B, max_m) int8 byte codes (padded),
-    elen/glen (B,) int32.  Returns (score, ops, nsteps):
+    elen/glen (B,) int32.  Returns (score, fused):
       * score (B,) int32 — the final alignment cost;
-      * ops (B, max_n+max_m) int8 — traceback operations from the END
-        of the alignment backwards (0=diag, 1=up/gap-in-gen,
-        2=left/gap-in-est, 3=stopped at a matrix border);
-      * nsteps (B,) int32 — ops consumed before the border.
+      * fused (B, T/4 + 2) uint8 — the traceback in wire format:
+        2-bit-packed op codes (0=diag, 1=up/gap-in-gen,
+        2=left/gap-in-est; from the END of the alignment backwards)
+        followed by nsteps as two little-endian bytes.  Decode with
+        ``decode_nw_fused`` — ONE fused array because every fetched
+        output leaf costs its own round trip on a remote-attached chip.
     The host reverses ops[:nsteps], prepends the remaining i/j border
     run, and materializes the two gapped strings — byte-identical to
     the host traceback (same direction tie-breaks, same value
@@ -242,30 +292,62 @@ def batch_nw_traceback(est, elen, gen, glen, *, max_n: int, max_m: int):
         vals = jnp.where(i <= elen[:, None], vals, M1)
         return vals, dirs
 
-    rows = jnp.arange(1, max_n + 1, dtype=jnp.int32)
-    Mf, dstack = jax.lax.scan(fill_row, M0, rows)   # dstack (N, B, M)
-    dirs = jnp.transpose(dstack, (1, 0, 2))          # (B, N, M)
+    # 4 DP rows per scan step: on a remote-attached chip the per-step
+    # scan overhead dominates the row work at these widths, so fewer,
+    # fatter steps cut the fill wall ~3-4x (identical values — rows
+    # past elen freeze)
+    R4 = -(-max_n // 4) * 4
+    rows4 = jnp.arange(0, R4, 4, dtype=jnp.int32)
+
+    def fill_4rows(carry, r0):
+        c0, d0 = fill_row(carry, r0 + 1)
+        c1, d1 = fill_row(c0, r0 + 2)
+        c2, d2 = fill_row(c1, r0 + 3)
+        c3, d3 = fill_row(c2, r0 + 4)
+        return c3, jnp.stack([d0, d1, d2, d3], axis=0)
+
+    Mf, dstack = jax.lax.scan(fill_4rows, M0, rows4)  # (R4/4, 4, B, M)
+    dirs = jnp.transpose(dstack.reshape(R4 // 4 * 4, B, max_m),
+                         (1, 0, 2))                   # (B, R4, M)
     score = jnp.take_along_axis(Mf, glen[:, None], axis=1)[:, 0]
 
-    # device traceback: every problem walks its own path in lockstep
-    flat = dirs.reshape(B, max_n * max_m)
+    # device traceback: every problem walks its own path in lockstep;
+    # 8 ops per scan step to amortize the per-step overhead
+    flat = dirs.reshape(B, R4 * max_m)
 
-    def tb_step(carry, _):
+    def tb_one(carry):
         i, j, k = carry
         active = (i > 0) & (j > 0)
         fidx = jnp.clip((i - 1) * max_m + (j - 1), 0,
-                        max_n * max_m - 1)
+                        R4 * max_m - 1)
         d = jnp.take_along_axis(flat, fidx[:, None],
                                 axis=1)[:, 0].astype(jnp.int32)
         d = jnp.where(active, d, 3)
         di = jnp.where((d == 0) | (d == 1), 1, 0)
         dj = jnp.where((d == 0) | (d == 2), 1, 0)
-        return (i - di, j - dj, k + active.astype(jnp.int32)),             d.astype(jnp.int8)
+        return (i - di, j - dj, k + active.astype(jnp.int32)), \
+            d.astype(jnp.int8)
 
+    def tb_step(carry, _):
+        outs = []
+        for _u in range(8):
+            carry, d = tb_one(carry)
+            outs.append(d)
+        return carry, jnp.stack(outs, axis=0)
+
+    T8 = -(-(max_n + max_m) // 8)
     (ti, tj, nsteps), opsT = jax.lax.scan(
         tb_step, (elen, glen, jnp.zeros(B, jnp.int32)),
-        None, length=max_n + max_m)
-    return score, jnp.transpose(opsT, (1, 0)), nsteps
+        None, length=T8)
+    ops = jnp.transpose(opsT.reshape(T8 * 8, B), (1, 0))
+    # one fused uint8 result: [packed ops | nsteps lo | nsteps hi] —
+    # every fetched output leaf costs its own round trip over a
+    # remote-attached chip, so the traceback ships as a single array
+    fused = jnp.concatenate(
+        [pack_ops(ops),
+         (nsteps & 255).astype(jnp.uint8)[:, None],
+         ((nsteps >> 8) & 255).astype(jnp.uint8)[:, None]], axis=1)
+    return score, fused
 
 
 @functools.partial(jax.jit, static_argnames=("max_n", "max_m"))
@@ -284,17 +366,17 @@ def batch_gap_traceback(est, elen, gen, glen, *, max_n: int, max_m: int):
     choice (R >= G >= L on ties).
 
     Args: est (B, max_n) / gen (B, max_m) int8 byte codes (padded),
-    elen/glen (B,) int32.  Returns (start_matrix, ops, nsteps):
-      * start_matrix (B,) int32 in {0,1,2} (L/G/R);
-      * ops (B, max_n+max_m) int8 — traceback operations from the END
-        of the alignment backwards (0=diag, 1=up/gap-in-gen,
-        2=left/gap-in-est, 3=left with a matrix JUMP (R->G or G->L),
-        4=stopped at a matrix border);
-      * nsteps (B,) int32 — ops consumed before the border.
-    The native decoder (``epm_fill_introns``) replays gap_align_run's
-    walk from these ops: emits the two gapped strings right-to-left,
-    records intron_end/factor_cut at the first jump when starting in R
-    and intron_start at the G->L jump, prepends the border runs.
+    elen/glen (B,) int32.  Returns one fused uint8 array
+    (B, T/4 + 3): 2-bit-packed traceback op codes (0=diag,
+    1=up/gap-in-gen, 2=left/gap-in-est, 3=left with a matrix JUMP
+    (R->G or G->L); from the END of the alignment backwards), then
+    nsteps as two little-endian bytes, then the start matrix in
+    {0,1,2} (L/G/R).  Decode with ``decode_gap_fused``.
+    The native decoder (``ri_decode_ops`` behind the lookaside, or
+    ``epm_fill_introns``) replays gap_align_run's walk from these ops:
+    emits the two gapped strings right-to-left, records
+    intron_end/factor_cut at the first jump when starting in R and
+    intron_start at the G->L jump, prepends the border runs.
     """
     B = est.shape[0]
     est = est.astype(jnp.int32)
@@ -364,9 +446,21 @@ def batch_gap_traceback(est, elen, gen, glen, *, max_n: int, max_m: int):
         Rf = jnp.where(keep, Rrel, Rprev)
         return (Lf, Rf), comb
 
-    rows = jnp.arange(1, max_n + 1, dtype=jnp.int32)
-    (Lfin, Rfin), cstack = jax.lax.scan(fill_row, (L0, R0), rows)
-    dirs = jnp.transpose(cstack, (1, 0, 2))             # (B, N, M)
+    # 4 DP rows per scan step (see batch_nw_traceback: the per-step
+    # scan overhead dominates the row work on a remote-attached chip)
+    R4 = -(-max_n // 4) * 4
+    rows4 = jnp.arange(1, R4 + 1, 4, dtype=jnp.int32)
+
+    def fill_4rows(carry, r0):
+        c0, d0 = fill_row(carry, r0)
+        c1, d1 = fill_row(c0, r0 + 1)
+        c2, d2 = fill_row(c1, r0 + 2)
+        c3, d3 = fill_row(c2, r0 + 3)
+        return c3, jnp.stack([d0, d1, d2, d3], axis=0)
+
+    (Lfin, Rfin), cstack = jax.lax.scan(fill_4rows, (L0, R0), rows4)
+    dirs = jnp.transpose(cstack.reshape(R4, B, max_m),
+                         (1, 0, 2))                     # (B, R4, M)
 
     # finals at (n, m): G recomputed from the frozen final L row
     Gfin = jnp.concatenate(
@@ -379,14 +473,15 @@ def batch_gap_traceback(est, elen, gen, glen, *, max_n: int, max_m: int):
                     jnp.where(Rf >= Lf, 2, 0),
                     jnp.where(Gf >= Lf, 1, 0)).astype(jnp.int32)
 
-    # device traceback with the matrix-state walk of gap_align_run
-    flat = dirs.reshape(B, max_n * max_m)
+    # device traceback with the matrix-state walk of gap_align_run;
+    # 8 ops per scan step to amortize the per-step overhead
+    flat = dirs.reshape(B, R4 * max_m)
     JUMP = jnp.int32(5)
 
-    def tb_step(carry, _):
+    def tb_one(carry):
         i, j, sm, k = carry
         active = (i > 0) & (j > 0)
-        fidx = jnp.clip((i - 1) * max_m + (j - 1), 0, max_n * max_m - 1)
+        fidx = jnp.clip((i - 1) * max_m + (j - 1), 0, R4 * max_m - 1)
         c = jnp.take_along_axis(flat, fidx[:, None],
                                 axis=1)[:, 0].astype(jnp.int32)
         rdc = (c >> 3) & 3
@@ -395,16 +490,35 @@ def batch_gap_traceback(est, elen, gen, glen, *, max_n: int, max_m: int):
         d0 = c & 3
         d = jnp.where(sm == 2, d2, jnp.where(sm == 1, d1, d0))
         d = jnp.where(active, d, 4)
-        opc = jnp.where(d == JUMP, 3, d).astype(jnp.int8)
+        # emitted codes stay 2-bit packable: jump -> 3, border -> 0
+        # (positions past nsteps are never read by the decoder)
+        opc = jnp.where(d == JUMP, 3,
+                        jnp.where(d == 4, 0, d)).astype(jnp.int8)
         di = jnp.where((d == 0) | (d == 1), 1, 0)
         dj = jnp.where((d == 0) | (d == 2) | (d == JUMP), 1, 0)
         sm2 = sm - (d == JUMP).astype(jnp.int32)
         return (i - di, j - dj, sm2, k + active.astype(jnp.int32)), opc
 
+    def tb_step(carry, _):
+        outs = []
+        for _u in range(8):
+            carry, d = tb_one(carry)
+            outs.append(d)
+        return carry, jnp.stack(outs, axis=0)
+
+    T8 = -(-(max_n + max_m) // 8)
     (_, _, _, nsteps), opsT = jax.lax.scan(
         tb_step, (elen, glen, sm0, jnp.zeros(B, jnp.int32)),
-        None, length=max_n + max_m)
-    return sm0, jnp.transpose(opsT, (1, 0)), nsteps
+        None, length=T8)
+    ops = jnp.transpose(opsT.reshape(T8 * 8, B), (1, 0))
+    # single fused uint8 result (see batch_nw_traceback):
+    # [packed ops | nsteps lo | nsteps hi | start matrix]
+    fused = jnp.concatenate(
+        [pack_ops(ops),
+         (nsteps & 255).astype(jnp.uint8)[:, None],
+         ((nsteps >> 8) & 255).astype(jnp.uint8)[:, None],
+         sm0.astype(jnp.uint8)[:, None]], axis=1)
+    return fused
 
 
 def nw_traceback_decode(est_seq: str, gen_seq: str, ops, nsteps: int):

@@ -436,6 +436,10 @@ def _eval_gap_device(problems: List[Tuple[bytes, bytes]]):
         groups.setdefault((_p4(max(len(e), 1)), _p4(max(len(g), 1))),
                           []).append((i, e, g))
     STATS["problems"] += len(problems)
+    from pintron_tpu.ops.align import decode_gap_fused
+
+    # launch-then-force: all buckets dispatch before any transfer
+    pending = []
     for (N, M), items in sorted(groups.items()):
         sub = max(1, (1 << 28) // max(1, N * M))
         for c0 in range(0, len(items), sub):
@@ -443,22 +447,22 @@ def _eval_gap_device(problems: List[Tuple[bytes, bytes]]):
             Bp = _p2(len(chunk), lo=16)
             s1, l1 = _encode([e for _, e, _ in chunk], N, rows=Bp)
             s2, l2 = _encode([g for _, _, g in chunk], M, rows=Bp)
-            sm, ops, nsteps = batch_gap_traceback(
+            fused = batch_gap_traceback(
                 s1, l1, s2, l2, max_n=N, max_m=M)
-            sm = np.asarray(sm)
-            ops = np.asarray(ops)
-            nsteps = np.asarray(nsteps)
-            for j, (i, e, g) in enumerate(chunk):
-                w = min(len(e) + len(g), ops.shape[1])
-                all_ops[i, :w] = ops[j, :w]
-                all_sm[i] = int(sm[j])
-                all_n[i] = int(nsteps[j])
+            pending.append((chunk, fused, N + M))
             STATS["device_problems"] += len(chunk)
             STATS["gap_problems"] = (STATS.get("gap_problems", 0)
                                      + len(chunk))
             STATS["device_cells"] += sum(
                 3 * (len(e) + 1) * (len(g) + 1) for _, e, g in chunk)
             STATS["batches"] += 1
+    for chunk, fused, width in pending:
+        sm, ops, nsteps = decode_gap_fused(fused, width)
+        for j, (i, e, g) in enumerate(chunk):
+            w = min(len(e) + len(g), ops.shape[1])
+            all_ops[i, :w] = ops[j, :w]
+            all_sm[i] = int(sm[j])
+            all_n[i] = int(nsteps[j])
     return all_sm, all_ops, all_n
 
 
@@ -506,6 +510,10 @@ def _eval_nw_device(problems: List[Tuple[bytes, bytes]]):
         groups.setdefault((_p4(max(len(e), 1)), _p4(max(len(g), 1))),
                           []).append((i, e, g))
     STATS["problems"] += len(problems)
+    from pintron_tpu.ops.align import decode_nw_fused
+
+    # launch-then-force: all buckets dispatch before any transfer
+    pending = []
     for (N, M), items in sorted(groups.items()):
         sub = max(1, (1 << 28) // max(1, N * M))
         for c0 in range(0, len(items), sub):
@@ -513,20 +521,21 @@ def _eval_nw_device(problems: List[Tuple[bytes, bytes]]):
             Bp = _p2(len(chunk), lo=16)
             s1, l1 = _encode([e for _, e, _ in chunk], N, rows=Bp)
             s2, l2 = _encode([g for _, _, g in chunk], M, rows=Bp)
-            _score, ops, nsteps = batch_nw_traceback(
+            _score, fused = batch_nw_traceback(
                 s1, l1, s2, l2, max_n=N, max_m=M)
-            ops = np.asarray(ops)
-            nsteps = np.asarray(nsteps)
-            for j, (i, e, g) in enumerate(chunk):
-                w = min(len(e) + len(g), ops.shape[1])
-                all_ops[i, :w] = ops[j, :w]
-                all_n[i] = int(nsteps[j])
+            pending.append((chunk, fused, N + M))
             STATS["device_problems"] += len(chunk)
             STATS["nw_problems"] = (STATS.get("nw_problems", 0)
                                     + len(chunk))
             STATS["device_cells"] += sum(
                 len(e) * len(g) for _, e, g in chunk)
             STATS["batches"] += 1
+    for chunk, fused, width in pending:
+        ops, nsteps = decode_nw_fused(fused, width)
+        for j, (i, e, g) in enumerate(chunk):
+            w = min(len(e) + len(g), ops.shape[1])
+            all_ops[i, :w] = ops[j, :w]
+            all_n[i] = int(nsteps[j])
     return all_ops, all_n
 
 
@@ -574,23 +583,28 @@ def _eval_rb_device(problems: List[Tuple[bytes, bytes]]):
         groups.setdefault((_p4(max(len(t), 1)), _p4(max(len(p), 1))),
                           []).append((i, t, p))
     STATS["problems"] += len(problems)
+    # launch every bucket before forcing any result: dispatch is
+    # asynchronous, so the device round trips pipeline
+    pending = []
     for (N, M), items in sorted(groups.items()):
         Bp = _p2(len(items), lo=64)
         s1, l1 = _encode([t for _, t, _ in items], N, rows=Bp)
         s2, l2 = _encode([p for _, _, p in items], M, rows=Bp)
-        v, q = batch_edit_rowmin(s1, l1, s2, l2, max_rows=M)
-        v = np.asarray(v).astype(np.int64)
-        q = np.asarray(q).astype(np.int64)
-        for j, (i, t, p) in enumerate(items):
-            lp = len(p)
-            vals[i, :lp + 1] = v[j, :lp + 1]
-            pos[i, :lp + 1] = q[j, :lp + 1]
+        fused = batch_edit_rowmin(s1, l1, s2, l2, max_rows=M)
+        pending.append((items, fused, M))
         STATS["device_problems"] += len(items)
         STATS["rb_problems"] = (STATS.get("rb_problems", 0)
                                 + len(items))
         STATS["device_cells"] += sum(
             (len(t) + 1) * (len(p) + 1) for _, t, p in items)
         STATS["batches"] += 1
+    for items, fused, M in pending:
+        f = np.asarray(fused).astype(np.int64)   # (B, 2*(M+1)) fused
+        v, q = f[:, :M + 1], f[:, M + 1:]
+        for j, (i, t, p) in enumerate(items):
+            lp = len(p)
+            vals[i, :lp + 1] = v[j, :lp + 1]
+            pos[i, :lp + 1] = q[j, :lp + 1]
     return vals, pos
 
 

@@ -1266,96 +1266,100 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                         minpp.ctypes.data, pospp.ctypes.data,
                         minsp.ctypes.data, possp.ctypes.data, stride)
 
-            def offload_introns(recs_c):
-                """Intron-refinement (gap-alignment) offload for one
-                chunk: alternate native collect rounds with device
-                batches until every refine-intron chain is memoized.
-                The chains are sequential (each refinement rewrites the
-                next pair's coordinates), so round r resolves pair r of
-                every chain — the batch merges ACROSS factorizations
-                and ESTs, and chains typically have <= a dozen introns.
-                Any failure just stops the pre-fill — the cascade
-                recomputes the rest on host, byte-identically."""
+            def prep_introns(recs_c, pool):
+                """Intron-refinement (gap-alignment) offload, phase 1:
+                collect every SPECULATIVE gap problem of the chunk's
+                refine-intron chains (est_collect_introns emits whole
+                chains in one pass — later pairs' windows are
+                coordinate-mutation independent except for tiny
+                factors) and submit ONE device batch, asynchronously
+                when an executor is available.  Returns the pending
+                payload for resolve_introns, or None."""
                 gap_mode = os.environ.get("PINTRON_DEVICE_GAP", "")
                 if gap_mode == "0":
-                    return   # kill-switch
+                    return None   # kill-switch
                 from pintron_tpu.ops import offload as _offmod
                 if gap_mode != "1" and _offmod.GAP_SELF_TUNED_OFF:
-                    return
+                    return None
                 from pintron_tpu.ops.offload import eval_gap
-                t_spent = 0.0
-                host_est = 0.0
-                for _round in range(64):
-                    per_rec = []
-                    problems = []
-                    for rec in recs_c:
-                        if (rec["cands"] is None
-                                or rec["meg_arrays"] is None):
-                            continue
-                        col = _collect_introns(
-                            lib, rec["meg_arrays"], rec["cands"],
-                            gen_seq_bytes, rec["est_bytes"],
-                            rec["est_orig_bytes"], config)
-                        if col is None:
-                            continue
-                        recs_i, arena = col
-                        if not len(recs_i):
-                            continue
-                        base = len(problems)
-                        for r in recs_i:
-                            eo, nn = int(r[9]), int(r[10])
-                            go, mm = int(r[11]), int(r[12])
-                            problems.append((arena[eo:eo + nn],
-                                             arena[go:go + mm]))
-                        per_rec.append((rec, recs_i, base))
-                    if not problems:
-                        break
-                    if (gap_mode != "1" and _round == 0
-                            and len(problems) < 32):
-                        # tiny chunk: the dispatch round trips of the
-                        # chain rounds cost more than the host DP saved
-                        return
+                per_rec = []
+                problems = []
+                for rec in recs_c:
+                    if rec["cands"] is None or rec["meg_arrays"] is None:
+                        continue
+                    col = _collect_introns(
+                        lib, rec["meg_arrays"], rec["cands"],
+                        gen_seq_bytes, rec["est_bytes"],
+                        rec["est_orig_bytes"], config)
+                    if col is None:
+                        continue
+                    recs_i, arena = col
+                    if not len(recs_i):
+                        continue
+                    base = len(problems)
+                    for r in recs_i:
+                        eo, nn = int(r[9]), int(r[10])
+                        go, mm = int(r[11]), int(r[12])
+                        problems.append((arena[eo:eo + nn],
+                                         arena[go:go + mm]))
+                    per_rec.append((rec, recs_i, arena, base))
+                if not problems:
+                    return None
+                if gap_mode != "1" and len(problems) < 32:
+                    # tiny chunk: the dispatch round trip costs more
+                    # than the host DP it would save
+                    return None
+
+                def timed_eval():
                     t0 = time.monotonic()
-                    res = eval_gap(problems)
-                    if res is None:
-                        return
-                    t_spent += time.monotonic() - t0
-                    host_est += sum(
-                        3 * (len(e) + 1) * (len(g) + 1)
-                        for e, g in problems) * 0.4e-9
-                    sm, ops, nsteps = res
-                    stride = ops.shape[1]
-                    for rec, recs_i, base in per_rec:
-                        nrec = len(recs_i)
-                        recsc = np.ascontiguousarray(recs_i)
-                        smc = np.ascontiguousarray(
+                    r = eval_gap(problems)
+                    return r, time.monotonic() - t0
+
+                if pool is not None:
+                    fut = pool.submit(timed_eval)
+                else:
+                    fut = ("done", timed_eval())
+                cells = sum(3 * (len(e) + 1) * (len(g) + 1)
+                            for e, g in problems)
+                return {"per_rec": per_rec, "fut": fut,
+                        "cells": cells, "mode": gap_mode}
+
+            def resolve_introns(prep):
+                """Phase 2: wait for the chunk's gap batch and attach
+                each record's lookaside payload (installed around its
+                cascade by run_cascade).  Failures just skip the
+                payload — the cascade computes on host."""
+                if prep is None:
+                    return
+                from pintron_tpu.ops import offload as _offmod
+                fut = prep["fut"]
+                res, t_eval = (fut[1] if isinstance(fut, tuple)
+                               else fut.result())
+                if prep["mode"] != "1":
+                    host_est = prep["cells"] * 0.4e-9
+                    if t_eval > max(2 * host_est, 0.004):
+                        # self-tuning: this batch (dispatch + op
+                        # transfer over whatever link attaches the
+                        # chip) cost more than the host packed16 fill
+                        # would have (~2.5 cells/ns)
+                        _offmod.GAP_SELF_TUNED_OFF = True
+                if res is None:
+                    return
+                sm, ops, nsteps = res
+                stride = ops.shape[1]
+                for rec, recs_i, arena, base in prep["per_rec"]:
+                    nrec = len(recs_i)
+                    rec["ri_look"] = (
+                        np.ascontiguousarray(recs_i),
+                        np.frombuffer(arena, dtype=np.uint8),
+                        np.ascontiguousarray(
                             np.asarray(sm[base:base + nrec],
-                                       dtype=np.int64))
-                        opsc = np.ascontiguousarray(
-                            ops[base:base + nrec])
-                        nc = np.ascontiguousarray(
+                                       dtype=np.int64)),
+                        np.ascontiguousarray(ops[base:base + nrec]),
+                        np.ascontiguousarray(
                             np.asarray(nsteps[base:base + nrec],
-                                       dtype=np.int64))
-                        lib.epm_fill_introns(
-                            gen_seq_bytes, len(gen_seq_bytes),
-                            rec["est_bytes"], len(rec["est_bytes"]),
-                            rec["est_orig_bytes"],
-                            len(rec["est_orig_bytes"]),
-                            recsc.ctypes.data, nrec,
-                            smc.ctypes.data, opsc.ctypes.data,
-                            nc.ctypes.data, stride,
-                            config.suffpref_length_on_est,
-                            config.suffpref_length_for_intron,
-                            config.suffpref_length_on_gen,
-                            config.min_intron_length)
-                if gap_mode != "1" and t_spent > max(
-                        2 * host_est, 0.004):
-                    # self-tuning: the chain rounds (dispatches + op
-                    # transfers over whatever link attaches the chip)
-                    # cost more than the host packed16 fill would have
-                    # (~2.5 cells/ns) — stop offloading this family in
-                    # this process
-                    _offmod.GAP_SELF_TUNED_OFF = True
+                                       dtype=np.int64)),
+                        stride)
 
             def run_cascade(rec):
                 att = rec["att"]
@@ -1370,11 +1374,25 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                     deadline = (t_fact0
                                 + config.max_single_factorization_time
                                 - rec.get("enum_elapsed", 0.0))
-                factorized, timeout = internal_get_est_factorizations(
-                    gen, est, config, rec["V"],
-                    meg_arrays=rec["meg_arrays"],
-                    gen_seq_bytes=gen_seq_bytes, cands=rec["cands"],
-                    deadline=deadline)
+                la = rec.get("ri_look")
+                if la is not None and hasattr(lib, "ri_lookaside_set"):
+                    recsc, arena_np, smc, opsc, nc, stride = la
+                    lib.ri_lookaside_set(
+                        recsc.ctypes.data, len(recsc),
+                        arena_np.ctypes.data, smc.ctypes.data,
+                        opsc.ctypes.data, nc.ctypes.data, stride)
+                else:
+                    la = None
+                try:
+                    factorized, timeout = \
+                        internal_get_est_factorizations(
+                            gen, est, config, rec["V"],
+                            meg_arrays=rec["meg_arrays"],
+                            gen_seq_bytes=gen_seq_bytes,
+                            cands=rec["cands"], deadline=deadline)
+                finally:
+                    if la is not None:
+                        lib.ri_lookaside_clear()
                 fact_time = time.monotonic() - t_fact0
 
                 raw, megs, pmegs, tmeg, pests, intronic = \
@@ -1410,8 +1428,12 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                         {"unit": att["unit"], "est_idx": 1, "inc": 0,
                          "prev_tp": 0, "prev_te": 0})
 
+            # two chunks suffice for the cross-chunk pipeline (chunk
+            # i's device batches fly while chunk i-1's cascades run);
+            # more chunks mean proportionally more dispatch round
+            # trips, which dominate on a remote-attached chip
             n_chunks = (1 if len(round_recs) <= 256
-                        else min(4, max(1, len(round_recs) // 128)))
+                        else min(2, max(1, len(round_recs) // 128)))
             step = max(1, (len(round_recs) + n_chunks - 1) // n_chunks)
             bounds = [(round_recs[c0:c0 + step],
                        round_recs[min(c0 + step, len(round_recs)) - 1]
@@ -1442,6 +1464,12 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                         launches.append(
                             ("fut", pool.submit(eval_kband,
                                                 problems[lo:hi]), lo, hi))
+                # Software pipeline: chunk i's gap batch is IN FLIGHT on
+                # the executor thread while chunk i-1's cascades run on
+                # this thread (and while chunk i+1's collect/rb work
+                # proceeds) — the device round trips hide behind host
+                # work instead of serializing with it.
+                staged = None   # (recs_c, prep) awaiting cascades
                 for (recs_c, pend), launch in zip(bounds, launches):
                     if launch is not None:
                         kind, val, lo, hi = launch
@@ -1452,8 +1480,15 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                     for rec in recs_c:
                         fill_kband(rec)
                     offload_rb(recs_c)
-                    offload_introns(recs_c)
-                    for rec in recs_c:
+                    prep = prep_introns(recs_c, pool)
+                    if staged is not None:
+                        resolve_introns(staged[1])
+                        for rec in staged[0]:
+                            run_cascade(rec)
+                    staged = (recs_c, prep)
+                if staged is not None:
+                    resolve_introns(staged[1])
+                    for rec in staged[0]:
                         run_cascade(rec)
             finally:
                 if pool is not None:

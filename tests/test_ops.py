@@ -126,6 +126,7 @@ def test_batch_nw_traceback_matches_host():
 
     from pintron_tpu.factorize.alignments import _compute_alignment_uncached
     from pintron_tpu.ops.align import (batch_nw_traceback,
+                                       decode_nw_fused,
                                        nw_traceback_decode)
 
     rng = np.random.default_rng(23)
@@ -161,11 +162,10 @@ def test_batch_nw_traceback_matches_host():
         elen[i] = len(e)
         glen[i] = len(g)
 
-    score, ops, nsteps = batch_nw_traceback(est, elen, gen, glen,
-                                            max_n=N, max_m=M)
+    score, fused = batch_nw_traceback(est, elen, gen, glen,
+                                      max_n=N, max_m=M)
     score = np.asarray(score)
-    ops = np.asarray(ops)
-    nsteps = np.asarray(nsteps)
+    ops, nsteps = decode_nw_fused(fused, N + M)
     for i, (e, g) in enumerate(cases):
         ref = _compute_alignment_uncached(e, g)
         assert int(score[i]) == ref.score, (i, e, g)
@@ -182,7 +182,7 @@ def test_batch_gap_traceback_matches_host():
 
     from pintron_tpu.factorize.gap_align import \
         _compute_gap_alignment_uncached
-    from pintron_tpu.ops.align import batch_gap_traceback
+    from pintron_tpu.ops.align import batch_gap_traceback, decode_gap_fused
 
     rng = np.random.default_rng(31)
     alpha = np.array(list("ACGT"))
@@ -222,11 +222,9 @@ def test_batch_gap_traceback_matches_host():
         elen[i] = len(e)
         glen[i] = len(g)
 
-    sm0, ops, nsteps = batch_gap_traceback(est, elen, gen, glen,
-                                           max_n=N, max_m=M)
-    sm0 = np.asarray(sm0)
-    ops = np.asarray(ops)
-    nsteps = np.asarray(nsteps)
+    fused = batch_gap_traceback(est, elen, gen, glen,
+                                max_n=N, max_m=M)
+    sm0, ops, nsteps = decode_gap_fused(fused, N + M)
     for b, (e, g) in enumerate(cases):
         ref = _compute_gap_alignment_uncached(e, g)
         # python replica of epm_fill_introns' native decode
