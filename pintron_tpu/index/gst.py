@@ -282,6 +282,90 @@ class SuffixTree:
         self.single_char = single
         self._flat = None
 
+    def save(self, prefix: str) -> None:
+        """Serialize the index into the canonical single-buffer layout
+        (<prefix>.ibuf.npy / .bbuf.npy / .text.npy / .meta.npy) so
+        other processes can ATTACH via mmap instead of rebuilding —
+        the multi-process fixed cost the reference pays per worker
+        (main-est-fact.c:224-240 rebuilds the GST in every process).
+        Written under /dev/shm the pages are shared page cache: N
+        workers map one copy."""
+        import numpy as np
+        fl = self.flat_arrays()
+        n = self.n
+        cap = 2 * n + 4
+        nn = len(fl["start"])
+        nch = int(fl["coff"][nn])
+        nocc = len(fl["occ"])
+        ibuf = np.zeros(10 * cap + max(n, 1) + 1, dtype=np.int64)
+        bbuf = np.zeros(2 * cap, dtype=np.uint8)
+        order = ("start", "end", "parent", "slink", "depth", None,
+                 "lo", "hi")
+        for k, name in enumerate(order):
+            if name is None:
+                continue
+            a = np.asarray(fl[name])
+            ibuf[k * cap:k * cap + len(a)] = a
+        cn = np.asarray(fl["cnode"])[:nch]
+        ibuf[8 * cap:8 * cap + nch] = cn
+        co = np.asarray(fl["coff"])
+        ibuf[9 * cap:9 * cap + len(co)] = co
+        oc = np.asarray(fl["occ"])
+        ibuf[10 * cap + 1:10 * cap + 1 + nocc] = oc
+        sg = np.asarray(fl["single"])
+        bbuf[:len(sg)] = sg
+        cc = np.asarray(fl["cchar"])[:nch]
+        bbuf[cap:cap + nch] = cc
+        li = np.asarray(self.leaf_idx, dtype=np.int64)
+        np.save(prefix + ".ibuf.npy", ibuf)
+        np.save(prefix + ".bbuf.npy", bbuf)
+        np.save(prefix + ".leafidx.npy", li)
+        np.save(prefix + ".text.npy",
+                np.frombuffer(self.text, dtype=np.uint8))
+        np.save(prefix + ".meta.npy",
+                np.array([n, nn, nch, nocc], dtype=np.int64))
+
+    @classmethod
+    def load(cls, prefix: str) -> "SuffixTree":
+        """Attach a saved index via mmap (zero build cost; pages shared
+        across attaching processes)."""
+        import numpy as np
+        self = cls.__new__(cls)
+        meta = np.load(prefix + ".meta.npy")
+        n, nn, nch, nocc = (int(x) for x in meta)
+        ibuf = np.load(prefix + ".ibuf.npy", mmap_mode="r")
+        bbuf = np.load(prefix + ".bbuf.npy", mmap_mode="r")
+        text = np.load(prefix + ".text.npy", mmap_mode="r")
+        self.text = text.tobytes()   # bytes object for the c_char_p ABI
+        self.n = n
+        cap = 2 * n + 4
+
+        def isl(k):
+            return ibuf[k * cap:(k + 1) * cap]
+
+        self.start = isl(0)[:nn]
+        self.end = isl(1)[:nn]
+        self.parent = isl(2)[:nn]
+        self.slink = isl(3)[:nn]
+        self.depth = isl(4)[:nn]
+        self.lo = isl(6)[:nn]
+        self.hi = isl(7)[:nn]
+        self.leaf_occ = ibuf[10 * cap + 1:10 * cap + 1 + nocc]
+        self.single_char = bbuf[:nn]
+        self.leaf_idx = np.load(prefix + ".leafidx.npy", mmap_mode="r")
+        self._flat = {
+            "start": self.start, "end": self.end, "parent": self.parent,
+            "slink": self.slink, "depth": self.depth,
+            "single": self.single_char, "lo": self.lo, "hi": self.hi,
+            "occ": self.leaf_occ,
+            "coff": ibuf[9 * cap:9 * cap + nn + 1],
+            "cchar": bbuf[cap:cap + max(nch, 1)],
+            "cnode": ibuf[8 * cap:8 * cap + max(nch, 1)],
+            "_ibuf": ibuf, "_bbuf": bbuf,
+        }
+        self._children = None
+        return self
+
     def flat_arrays(self):
         """Flattened numpy arrays for the native vertex scan (cached)."""
         if self._flat is not None and "_ptrs" not in self._flat:

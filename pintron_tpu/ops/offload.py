@@ -210,10 +210,25 @@ def _service_conn():
         return None
     if _SERVICE_CONN is None:
         import threading
+        import time as _t
         from multiprocessing.connection import Client
 
         from pintron_tpu.devservice import AUTHKEY
-        _SERVICE_CONN = Client(addr, family="AF_UNIX", authkey=AUTHKEY)
+        # PINTRON_SERVICE_WAIT_S: tolerate a service that is still
+        # booting (multihost spawns it concurrently with the workers);
+        # a missing socket after the wait raises -> device_call wedges
+        # this worker onto the byte-identical host path
+        wait = float(os.environ.get("PINTRON_SERVICE_WAIT_S", "0"))
+        deadline = _t.monotonic() + wait
+        while True:
+            try:
+                _SERVICE_CONN = Client(addr, family="AF_UNIX",
+                                       authkey=AUTHKEY)
+                break
+            except (FileNotFoundError, ConnectionRefusedError):
+                if _t.monotonic() >= deadline:
+                    raise
+                _t.sleep(0.02)
         _SERVICE_LOCK = threading.Lock()
     return _SERVICE_CONN
 

@@ -973,12 +973,16 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
     import numpy as np
 
     from pintron_tpu.native import get_lib
-    if not os.environ.get("PINTRON_DEVICE_SERVICE"):
+    if (not os.environ.get("PINTRON_DEVICE_SERVICE")
+            and not os.environ.get("PINTRON_JAX_DEFERRED")):
         # local-device mode needs jax in-process; probe so an
         # unavailable jax falls back to the CPU path like every other
         # unavailability case instead of crashing inside eval_kband.
         # (Service mode skips the import: the worker never runs a local
-        # backend and a jax import costs seconds per spawned worker.)
+        # backend and a jax import costs seconds per spawned worker.
+        # PINTRON_JAX_DEFERRED means a background thread is importing
+        # jax concurrently — multihost workers — so probing here would
+        # serialize on the import lock and forfeit the overlap.)
         try:
             import jax  # noqa: F401 - probe only
         except Exception:

@@ -130,3 +130,53 @@ def test_multiprocess_est_fact_byte_identical(golden, tmp_path):
             continue
         assert gp.read_bytes() == (work / name).read_bytes(), \
             f"{name} differs in the 2-process distributed run"
+
+
+def test_multihost_host_mode_byte_identical(golden, tmp_path):
+    """The JAX-free scaling mode (collective=False: native host-path
+    workers attaching the shared mmap index) must also reproduce the
+    stage-2 artifacts byte-for-byte at any N."""
+    import shutil
+
+    from pintron_tpu.parallel.multihost import run_est_fact_multiprocess
+
+    case = golden("test-788")
+    work = tmp_path / "mhh"
+    work.mkdir()
+    for fn in ("genomic.txt", "ests.txt"):
+        shutil.copy(case / fn, work / fn)
+    report = run_est_fact_multiprocess(str(work), 2, collective=False)
+    assert report["collective"] is False
+    assert len(report["ranks"]) == 2
+    for name in ("raw-multifasta-out.txt", "processed-ests.txt",
+                 "megs.txt", "processed-megs.txt", "meg-edges.txt"):
+        gp = case / name
+        if not gp.exists():
+            continue
+        assert gp.read_bytes() == (work / name).read_bytes(), name
+
+
+def test_suffix_tree_save_load_roundtrip(tmp_path):
+    """SuffixTree.save/load (the shared-memory index attach) must
+    reproduce every flat array, the leaf indexes and the text exactly —
+    the vertex scan reads full-capacity slices, so the serialized
+    layout must match the build layout bit for bit."""
+    import numpy as np
+
+    from pintron_tpu.index.gst import SuffixTree
+
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        n = int(rng.integers(100, 4000))
+        text = bytes(rng.choice(list(b"ACGTN"), n))
+        t1 = SuffixTree(text)
+        prefix = str(tmp_path / "idx")
+        t1.save(prefix)
+        t2 = SuffixTree.load(prefix)
+        assert t2.text == t1.text
+        f1, f2 = t1.flat_arrays(), t2.flat_arrays()
+        for k in ("start", "end", "parent", "slink", "depth", "single",
+                  "lo", "hi", "occ", "coff", "cchar", "cnode"):
+            assert np.array_equal(np.asarray(f1[k]), np.asarray(f2[k])), k
+        assert np.array_equal(np.asarray(t1.leaf_idx),
+                              np.asarray(t2.leaf_idx))
