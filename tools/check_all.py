@@ -11,8 +11,10 @@ Runs (in order):
   5. batch-driver sweep                 (tools/check_batch_sweep.py)
   6. batch-driver sweep, device service (tools/check_batch_sweep.py --device)
   7. seeding-evidence invariant         (tools/seeding_evidence.py)
+  8. downstream-stage fuzz vs reference (tools/fuzz_downstream.py)
 
---quick limits 2/3 to three representative cases and skips 5/6.
+--quick limits 2/3 to three representative cases, skips 5/6 and
+runs 8 with fewer seeds.
 Exits nonzero if any gate fails; prints one summary line per gate.
 """
 
@@ -63,6 +65,9 @@ def main():
                       None))
     gates.append(("seeding evidence",
                   [py, "tools/seeding_evidence.py"], None))
+    gates.append(("downstream fuzz vs reference binaries",
+                  [py, "tools/fuzz_downstream.py",
+                   "6" if quick else "30"], None))
 
     bad = 0
     for name, cmd, env in gates:
