@@ -408,6 +408,48 @@ def _eval_edit_batch_device(pairs: List[Tuple[bytes, bytes]]
 NW_SELF_TUNED_OFF = False
 GAP_SELF_TUNED_OFF = False
 
+# ---- self-tuning with hysteresis ----------------------------------------
+# The rb/nw/gap offload families time their own batches against a host
+# cost estimate and latch OFF when the chip's attachment link makes a
+# family a net loss.  The latch must not be a life sentence: the first
+# batches over a remote link are the COLDEST (fresh compiles, empty
+# service caches, un-warmed merge window), so every
+# TUNE_REPROBE_EVERY-th skipped opportunity runs anyway as a re-probe
+# and the measured cost clears or confirms the latch
+# (tune_report): a latch set by a temporarily cold link recovers once
+# the link warms.
+
+TUNE_REPROBE_EVERY = 8
+_TUNE_SKIPS = {"rb": 0, "nw": 0, "gap": 0}
+
+
+def tuned_off(family: str) -> bool:
+    """Latched-off check WITH hysteresis: while latched, every
+    TUNE_REPROBE_EVERY-th opportunity returns False so the caller runs
+    that batch as a re-probe (its timing then feeds tune_report)."""
+    off = {"rb": RB_SELF_TUNED_OFF, "nw": NW_SELF_TUNED_OFF,
+           "gap": GAP_SELF_TUNED_OFF}[family]
+    if not off:
+        return False
+    _TUNE_SKIPS[family] += 1
+    if _TUNE_SKIPS[family] >= TUNE_REPROBE_EVERY:
+        _TUNE_SKIPS[family] = 0
+        return False
+    return True
+
+
+def tune_report(family: str, elapsed: float, host_est: float) -> None:
+    """Record one measured batch for a family: latch it OFF when the
+    batch cost at least doubled the host estimate, CLEAR the latch when
+    the batch beat 1.2x the estimate (hysteresis band between the two
+    thresholds: keep the current state, no flapping)."""
+    key = f"{family.upper()}_SELF_TUNED_OFF"
+    if elapsed > max(2 * host_est, 0.004):
+        globals()[key] = True
+        _TUNE_SKIPS[family] = 0
+    elif elapsed < max(1.2 * host_est, 0.002):
+        globals()[key] = False
+
 
 def eval_gap(problems: List[Tuple[bytes, bytes]]):
     """Bounded entry point: batched 3-matrix L/G/R gap alignments WITH

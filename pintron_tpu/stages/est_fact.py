@@ -1086,7 +1086,7 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
             nw_mode = os.environ.get("PINTRON_DEVICE_NW", "")
             from pintron_tpu.ops import offload as _offmod
             if nw_mode != "0" and not (nw_mode != "1"
-                                       and _offmod.NW_SELF_TUNED_OFF):
+                                       and _offmod.tuned_off("nw")):
                 ep_per_rec = []
                 ep_problems = []
                 for rec in round_recs:
@@ -1112,14 +1112,14 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                     res_nw = eval_nw(ep_problems)
                     if res_nw is not None and nw_mode != "1":
                         # host NW runs ~3 cells/ns in the int16 SIMD
-                        # rows; flip the latch when the device batch
-                        # (dispatch + ops transfer included) loses to
-                        # that with a 2x margin
+                        # rows; the measured batch (dispatch + ops
+                        # transfer included) sets or clears the latch
+                        # with hysteresis (offload.tune_report)
                         cells = sum(len(e) * len(g)
                                     for e, g in ep_problems)
-                        if time.monotonic() - t_nw0 > max(
-                                2 * cells * 0.35e-9, 0.002):
-                            _offmod.NW_SELF_TUNED_OFF = True
+                        _offmod.tune_report(
+                            "nw", time.monotonic() - t_nw0,
+                            cells * 0.35e-9)
                     if res_nw is not None:
                         all_ops, all_n = res_nw
                         all_ops = np.ascontiguousarray(all_ops)
@@ -1203,7 +1203,7 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                 if rb_mode == "0":
                     return   # kill-switch: K-band-only offload
                 from pintron_tpu.ops import offload as _offmod
-                if rb_mode != "1" and _offmod.RB_SELF_TUNED_OFF:
+                if rb_mode != "1" and _offmod.tuned_off("rb"):
                     return
                 from pintron_tpu.ops.offload import eval_rb
                 per_rec = []
@@ -1240,17 +1240,14 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                 if res is None:
                     return
                 if rb_mode != "1":
-                    # self-tuning: if this batch took longer on device
-                    # (dispatch + row-table transfer over whatever link
-                    # attaches the chip) than the host AVX2 rows would
-                    # have (~2 cells/ns), the link is too slow for this
-                    # family — stop offloading it in this process
+                    # self-tuning: the measured batch (dispatch +
+                    # row-table transfer over whatever link attaches
+                    # the chip) vs the host AVX2 rows (~2 cells/ns)
+                    # sets or clears the latch with hysteresis
                     cells = sum((len(t) + 1) * (len(p) + 1)
                                 for t, p in problems)
-                    host_est = cells * 0.5e-9
-                    if time.monotonic() - t_rb0 > max(
-                            2 * host_est, 0.002):
-                        _offmod.RB_SELF_TUNED_OFF = True
+                    _offmod.tune_report(
+                        "rb", time.monotonic() - t_rb0, cells * 0.5e-9)
                 vals, pos = res
                 stride = vals.shape[1]
                 for rec, recs, base in per_rec:
@@ -1283,7 +1280,7 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                 if gap_mode == "0":
                     return None   # kill-switch
                 from pintron_tpu.ops import offload as _offmod
-                if gap_mode != "1" and _offmod.GAP_SELF_TUNED_OFF:
+                if gap_mode != "1" and _offmod.tuned_off("gap"):
                     return None
                 from pintron_tpu.ops.offload import eval_gap
                 per_rec = []
@@ -1340,13 +1337,12 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                 res, t_eval = (fut[1] if isinstance(fut, tuple)
                                else fut.result())
                 if prep["mode"] != "1":
-                    host_est = prep["cells"] * 0.4e-9
-                    if t_eval > max(2 * host_est, 0.004):
-                        # self-tuning: this batch (dispatch + op
-                        # transfer over whatever link attaches the
-                        # chip) cost more than the host packed16 fill
-                        # would have (~2.5 cells/ns)
-                        _offmod.GAP_SELF_TUNED_OFF = True
+                    # self-tuning: the measured batch (dispatch + op
+                    # transfer over whatever link attaches the chip)
+                    # vs the host packed16 fill (~2.5 cells/ns) sets
+                    # or clears the latch with hysteresis
+                    _offmod.tune_report("gap", t_eval,
+                                        prep["cells"] * 0.4e-9)
                 if res is None:
                     return
                 sm, ops, nsteps = res

@@ -288,3 +288,40 @@ def test_device_gap_family_byte_identical():
         assert g == w, f"{name} differs with PINTRON_DEVICE_GAP=1"
     shutil.rmtree(gold, ignore_errors=True)
     shutil.rmtree(work, ignore_errors=True)
+
+
+def test_self_tune_latch_recovers_on_warm_link():
+    """The self-tuning latch must not be a life sentence: while latched
+    OFF, every TUNE_REPROBE_EVERY-th opportunity runs as a re-probe,
+    and a probe that beats the host estimate CLEARS the latch (a link
+    that was only cold during first compiles recovers the family)."""
+    import pintron_tpu.ops.offload as off
+
+    old = off.GAP_SELF_TUNED_OFF
+    old_skips = dict(off._TUNE_SKIPS)
+    try:
+        # a slow measured batch latches the family off
+        off.GAP_SELF_TUNED_OFF = False
+        off._TUNE_SKIPS["gap"] = 0
+        off.tune_report("gap", elapsed=1.0, host_est=0.001)
+        assert off.GAP_SELF_TUNED_OFF
+
+        # latched: the next 7 opportunities are skipped, the 8th runs
+        for _ in range(off.TUNE_REPROBE_EVERY - 1):
+            assert off.tuned_off("gap")
+        assert not off.tuned_off("gap"), "re-probe slot must run"
+
+        # the re-probe measures a fast batch: latch cleared
+        off.tune_report("gap", elapsed=0.0005, host_est=0.01)
+        assert not off.GAP_SELF_TUNED_OFF
+        assert not off.tuned_off("gap")
+
+        # hysteresis band: a mediocre batch neither sets nor clears
+        off.tune_report("gap", elapsed=0.0159, host_est=0.01)
+        assert not off.GAP_SELF_TUNED_OFF
+        off.GAP_SELF_TUNED_OFF = True
+        off.tune_report("gap", elapsed=0.0159, host_est=0.01)
+        assert off.GAP_SELF_TUNED_OFF
+    finally:
+        off.GAP_SELF_TUNED_OFF = old
+        off._TUNE_SKIPS.update(old_skips)
