@@ -72,15 +72,26 @@ def measure_device_kernel():
 
     Reports cells/s (band cells = M * (2K+1) per problem) for the
     Pallas kernel (production default) and the XLA wavefront fallback,
-    their ratio, and an estimated fraction of VPU peak.  Roofline note:
-    the Pallas kernel spends ~30 vector ops per band cell (masking,
-    DP mins, log2(W) prefix scan, window shift) against a nominal v5e
-    VPU of 8x128 lanes x 4 ALUs x 1.5 GHz ~= 6.1e12 op/s -> ~200
-    Gcells/s ceiling for this op mix; HBM traffic is O(B*(N+R)) int32,
-    ~8 MB/call at this shape (~0.1 ms at v5e bandwidth), so the kernel
-    is compute-bound by design (the pre-rewrite version streamed a
-    (B, rows, W) mismatch tensor and was memory-bound at ~5% of peak).
-    Returns {} when no accelerator is attached."""
+    their ratio, and fractions of two ceilings.  Roofline note,
+    REVISED by round-5 measurements: the naive "~200 Gcells/s" ceiling
+    (30 ops/cell against 4 fully-parallel VPU ALUs) is unreachable for
+    this recurrence — the DP rows form a serial dependency chain of
+    vector ops, so the sustained rate is bounded by VECTOR ISSUE, not
+    ALU width.  Per row-step the kernel issues ~30 ops on ~5 vregs
+    (DP mins, the log2(W) sublane-rotate prefix scan, masking, the
+    window shift) ~= 150 vreg-ops covering 128 problems x 33 band
+    cells; at ~1 vreg-op/cycle, 940 MHz, that is ~26 Gcells/s
+    (`device_pallas_issue_bound_cells_per_s`).  Round-5 experiments
+    confirmed the bound empirically: 4-row and 8-row unrolling, native
+    sublane rotates with constant masks, vreg-padded bands and 256-lane
+    tiles all land within noise of ~9-10 Gcells/s (~35-40% of the
+    issue bound — the remainder is Mosaic's per-op overhead on 5-vreg
+    ragged tiles).  HBM traffic is O(B*(N+R)) int32, ~8 MB/call
+    (~0.1 ms), irrelevant.  Going materially faster needs fewer ops
+    per cell: int16/int8 lanes (Mosaic rejects 16-bit vector min on
+    this target — probed) or an antidiagonal formulation trading the
+    scan for 2x the steps (~1.5x at best).  Returns {} when no
+    accelerator is attached."""
     try:
         import jax
         import numpy as np
@@ -130,6 +141,14 @@ def measure_device_kernel():
                 out[f"device_{name}_cells_per_s"] = round(cps)
                 out[f"device_{name}_vpu_peak_frac_est"] = round(
                     cps * 30 / 6.1e12, 4)
+                if name == "pallas":
+                    # serial-chain issue bound (see docstring): ~150
+                    # vreg-ops per 128x33-cell row step at ~0.94 GHz
+                    issue_bound = 128 * 33 / (150 / 0.94e9)
+                    out["device_pallas_issue_bound_cells_per_s"] = \
+                        round(issue_bound)
+                    out["device_pallas_issue_bound_frac"] = round(
+                        cps / issue_bound, 3)
             except Exception:
                 out[f"device_{name}_cells_per_s"] = None
         if out.get("device_pallas_cells_per_s") and \

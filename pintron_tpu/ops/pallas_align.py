@@ -21,9 +21,19 @@ in-kernel from O(B*(N+R)) int32 of streamed data instead of the
 HBM (a 16x traffic cut at the production shape — that tensor made the
 kernel memory-bound at ~5% of VPU peak).  The in-row left-chain
 ``M2[o] = min_{j<=o}(cand[j] + (o-j))`` closes with a log2(W)
-shift-and-min prefix scan over sublanes; sublane shifts and the
-dynamic-sublane row reads (``ref[pl.ds(r-1, 1), :]``) are native
-Mosaic operations on every TPU generation.
+prefix scan built from NATIVE sublane rotates (``pltpu.roll``) with
+constant iota masks; rows advance eight per ``fori`` iteration off one
+vreg-aligned dynamic block read, and the band is padded to whole
+8-sublane vregs.
+
+Performance model (measured, round 5): the DP rows are a serial chain
+of vector ops, so the sustained rate is bounded by vector ISSUE, not
+ALU width — ~150 vreg-ops per 128-problem row step puts the ceiling
+near ~26 Gcells/s at the production shape; the kernel runs at ~9-10
+(unrolling, rotate lowering, band padding and wider tiles all land
+within noise of that, and Mosaic rejects the 16-bit vector min that
+would halve the op count on this target — see bench.py's roofline
+note).
 
 Numerical contract: bit-identical to the host/C ``kband_core`` per
 problem (int32 DP, same band-boundary semantics) — checked by
@@ -60,11 +70,19 @@ def _kband_kernel(win0_ref, nc_ref, ch2_ref, len1_ref, len2_ref,
     """``small=True`` runs the DP in int16 (2x VPU lane packing): every
     genuine band value is bounded by max(len1, len2) < _BIG16 under the
     wrapper's size gate, and the sentinel arithmetic peaks at
-    _BIG16 + W + 1 << 32767, so the int16 program is exact."""
+    _BIG16 + W + 1 << 32767, so the int16 program is exact.
+
+    EIGHT DP rows per fori iteration: the per-iteration fixed costs
+    (loop plumbing, the dynamic-sublane row reads) dominated the tiny
+    per-row vector work at production widths, so each iteration loads
+    an (8, TB) block of row/window chars once (a vreg-aligned dynamic
+    slice) and runs eight row updates on static slices of it."""
     W = 2 * k_max + 1
+    WP = -(-W // 8) * 8   # band padded to whole 8-sublane vregs: rolls
+    #                       on ragged tiles lower to masked shuffles
     dt = jnp.int16 if small else jnp.int32
     big = _BIG16 if small else BIG
-    offs = jax.lax.broadcasted_iota(jnp.int32, (W, _TB), 0)  # o on sublanes
+    offs = jax.lax.broadcasted_iota(jnp.int32, (WP, _TB), 0)  # o on sublanes
     offs_d = offs.astype(dt)
     len1 = len1_ref[0, :][None, :]
     len2 = len2_ref[0, :][None, :]
@@ -77,17 +95,31 @@ def _kband_kernel(win0_ref, nc_ref, ch2_ref, len1_ref, len2_ref,
     c0 = offs - k_max
     M0 = jnp.where((c0 >= 0) & (c0 <= band), c0, big).astype(dt)
 
-    def row_step(r, carry):
-        M1, win = carry
+    # sublane shifts via the NATIVE rotate: a shift expressed as
+    # concatenate(sentinel-rows, slice) lowers to multi-op relayouts on
+    # every prefix-scan step, which dominated the row cost; rotate +
+    # iota-mask select is two native ops.  Masks are loop constants.
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (WP, _TB), 0)
+    up_masks = {}
+    sh = 1
+    while sh < W:
+        up_masks[sh] = sub_iota < sh
+        sh *= 2
+    last_mask = sub_iota >= (W - 1)
+
+    def shift_down(x, sh, fill):
+        """x shifted +sh sublanes (row j <- row j-sh), fill on top."""
+        return jnp.where(up_masks[sh], jnp.asarray(fill, dt),
+                         pltpu.roll(x, sh, 0))
+
+    def one_row(r, M1, win, ch2):
         c = offs + (r - k_max)
         active = in_band & (c >= 1) & (c <= len1) & (r <= len2)
-        ch2 = ch2_ref[pl.ds(r - 1, 1), :].astype(dt)   # (1, TB)
         mism = (win != ch2).astype(dt)
 
         diag = M1 + mism
-        up = jnp.concatenate(
-            [M1[1:, :], jnp.full((1, _TB), big, dt)], axis=0) \
-            + jnp.asarray(1, dt)
+        up = jnp.where(last_mask, jnp.asarray(big, dt),
+                       pltpu.roll(M1, WP - 1, 0)) + jnp.asarray(1, dt)
         cand = jnp.minimum(diag, up)
         is_boundary = (c == 0) & (r <= band)
         cand = jnp.where(is_boundary, r.astype(dt), cand)
@@ -97,19 +129,24 @@ def _kband_kernel(win0_ref, nc_ref, ch2_ref, len1_ref, len2_ref,
         x = cand - offs_d
         sh = 1
         while sh < W:
-            shifted = jnp.concatenate(
-                [jnp.full((sh, _TB), big, dt), x[:W - sh, :]], axis=0)
-            x = jnp.minimum(x, shifted)
+            x = jnp.minimum(x, shift_down(x, sh, big))
             sh *= 2
         M2 = jnp.minimum(x + offs_d, jnp.asarray(big, dt))
-        M2 = jnp.where(r <= len2, M2, M1)
+        return jnp.where(r <= len2, M2, M1)
 
-        # advance the sequence window one sublane; admit seq1[b, r+k_max]
-        win2 = jnp.concatenate(
-            [win[1:, :], nc_ref[pl.ds(r - 1, 1), :].astype(dt)], axis=0)
-        return M2, win2
+    def oct_step(q, carry):
+        M1, win = carry
+        r0 = 8 * (q - 1) + 1
+        ch2q = ch2_ref[pl.ds(r0 - 1, 8), :].astype(dt)   # (8, TB)
+        ncq = nc_ref[pl.ds(r0 - 1, 8), :].astype(dt)
+        for u in range(8):
+            M1 = one_row(r0 + u, M1, win, ch2q[u:u + 1, :])
+            # advance the window one sublane; admit seq1[b, r+k_max]
+            win = jnp.where(last_mask, ncq[u:u + 1, :],
+                            pltpu.roll(win, WP - 1, 0))
+        return M1, win
 
-    Mf, _ = jax.lax.fori_loop(1, max_rows + 1, row_step,
+    Mf, _ = jax.lax.fori_loop(1, max_rows // 8 + 1, oct_step,
                               (M0, win0_ref[...].astype(dt)))
 
     # out[b] = Mf[len1 - len2 + k_max, b]
@@ -141,9 +178,14 @@ def banded_edit_distance_pallas(seq1, len1, seq2, len2, band, *,
     #   nc[i, b]   = seq1[b, i + 1 + k_max]    (char admitted after row i+1)
     #   ch2t[i, b] = seq2[b, i]                (row chars, transposed)
     # out-of-range indices are clipped; those cells are masked in-kernel.
-    offs = jnp.arange(W, dtype=jnp.int32)
+    WP = -(-W // 8) * 8
+    offs = jnp.arange(WP, dtype=jnp.int32)
     win0 = seq1[:, jnp.clip(offs - k_max, 0, seq1.shape[1] - 1)].T
-    rows = jnp.arange(max_rows, dtype=jnp.int32)
+    # rows padded to a multiple of 8 (the kernel steps 8 DP rows per
+    # iteration; rows past each problem's len2 freeze, so padding rows
+    # are inert)
+    R4 = -(-max_rows // 8) * 8
+    rows = jnp.arange(R4, dtype=jnp.int32)
     nc = seq1[:, jnp.clip(rows + 1 + k_max, 0, seq1.shape[1] - 1)].T
     ch2t = seq2[:, jnp.clip(rows, 0, seq2.shape[1] - 1)].T
 
@@ -163,17 +205,17 @@ def banded_edit_distance_pallas(seq1, len1, seq2, len2, band, *,
     small = False
 
     grid = (Bp // _TB,)
-    row_spec = pl.BlockSpec((max_rows, _TB), lambda i: (0, i),
+    row_spec = pl.BlockSpec((R4, _TB), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     one_spec = pl.BlockSpec((1, _TB), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kband_kernel, max_rows=max_rows, k_max=k_max,
+        functools.partial(_kband_kernel, max_rows=R4, k_max=k_max,
                           small=small),
         out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((W, _TB), lambda i: (0, i),
+            pl.BlockSpec((WP, _TB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             row_spec, row_spec, one_spec, one_spec, one_spec,
         ],
