@@ -203,14 +203,46 @@ def measure_device_mode(workdir: str, n_ests: int):
         dev_cells = off.STATS["device_cells"]
         frac = (dev_cells / (dev_cells + host_cells)
                 if dev_cells + host_cells else 0.0)
-        return {"device_mode_ests_per_s": round(n_ests / best, 2),
-                "device_mode_problems_offloaded":
-                    off.STATS["device_problems"] // max(1, runs),
-                "device_cell_fraction": round(frac, 4),
-                "host_cells_by_family":
-                    {k: v // max(1, runs) for k, v in host.items()},
-                "device_cells_per_run":
-                    dev_cells // max(1, runs)}
+        out = {"device_mode_ests_per_s": round(n_ests / best, 2),
+               "device_mode_problems_offloaded":
+                   off.STATS["device_problems"] // max(1, runs),
+               "device_cell_fraction": round(frac, 4),
+               "host_cells_by_family":
+                   {k: v // max(1, runs) for k, v in host.items()},
+               "device_cells_per_run":
+                   dev_cells // max(1, runs)}
+
+        # Forced-family run: every DP family (kband + rb + nw + gap)
+        # on device regardless of the link self-tuning — the honest
+        # measure of how much of the alignment DP the architecture
+        # can put on the chip (the auto number above shows what the
+        # tuner keeps on over THIS attachment link).
+        svc = _start_service()
+        os.environ["PINTRON_DEVICE"] = "1"
+        os.environ["PINTRON_FRESH_MEMO"] = "1"
+        for fam in ("GAP", "NW", "RB"):
+            os.environ[f"PINTRON_DEVICE_{fam}"] = "1"
+        try:
+            off.reset_stats()
+            dp_census_reset()
+            t0 = time.perf_counter()
+            run_est_fact(workdir)
+            dt = time.perf_counter() - t0
+            host = dict(off.HOST_CENSUS)
+            for k, v in (dp_census() or {}).items():
+                host[k] = host.get(k, 0) + v
+            hc = sum(host.values())
+            dc = off.STATS["device_cells"]
+            out["device_cell_fraction_forced"] = round(
+                dc / (dc + hc) if dc + hc else 0.0, 4)
+            out["device_mode_forced_ests_per_s"] = round(n_ests / dt, 2)
+        finally:
+            _stop_service(svc)
+            for fam in ("GAP", "NW", "RB"):
+                os.environ.pop(f"PINTRON_DEVICE_{fam}", None)
+            del os.environ["PINTRON_DEVICE"]
+            del os.environ["PINTRON_FRESH_MEMO"]
+        return out
     except Exception:
         return {}
 
