@@ -110,6 +110,14 @@ def _start_service(timeout_s: float = 120.0):
     while _t.monotonic() - t0 < timeout_s:
         if os.path.exists(ready) and os.path.exists(sock):
             os.environ["PINTRON_DEVICE_SERVICE"] = sock
+            # drop any connection cached against a PREVIOUS service
+            # (and the wedge latch a dead one may have tripped): a
+            # stale socket would error every call and wedge this
+            # process onto the host path for its lifetime
+            import pintron_tpu.ops.offload as off
+            off._SERVICE_CONN = None
+            off._SERVICE_LOCK = None
+            off._WEDGED = False
             return proc
         if proc.poll() is not None:
             return None
@@ -120,6 +128,12 @@ def _start_service(timeout_s: float = 120.0):
 
 def _stop_service(proc) -> None:
     sock = os.environ.pop("PINTRON_DEVICE_SERVICE", None)
+    try:
+        import pintron_tpu.ops.offload as off
+        off._SERVICE_CONN = None
+        off._SERVICE_LOCK = None
+    except Exception:
+        pass
     if proc is None:
         return
     try:

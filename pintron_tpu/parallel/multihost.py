@@ -9,12 +9,17 @@ analogy to the fork pool):
   * **disjoint sharding**: process r owns EST units r, r+N, r+2N, ...
     (the per-EST independence axis, main-est-fact.c:249-291) and runs
     the full device flow over its shard;
-  * **a global collective**: after alignment, every process joins a
-    ``jax.distributed`` cluster (Gloo over TCP — the DCN stand-in on a
-    CPU platform; ICI collectives on real pods), forms one global Mesh
-    over all processes' devices, and all-reduces its shard's
-    problem/verdict counts — every rank must observe identical global
-    sums, certifying the cross-process collective path end-to-end;
+  * **a global collective carrying real data**: after alignment, every
+    process joins a ``jax.distributed`` cluster (Gloo over TCP — the
+    DCN stand-in on a CPU platform; ICI collectives on real pods),
+    forms one global Mesh, all-reduces its shard's problem/verdict
+    counts, AND all-gathers its shard's candidate INTRON SET (derived
+    from its own factorizations), merging the gathered sets with a
+    deterministic sorted dedup — the SURVEY §2.5 registry-merge
+    pattern (all-gather candidate sets -> deterministic merge)
+    executed end to end.  Every rank must arrive at the identical
+    merged set, and the parent verifies it equals the set derived
+    from the merged artifacts (the single-process view);
   * **a deterministic merge**: the parent reassembles the per-unit
     output blobs in unit order, which is exactly the reference's file
     ABI — stage-2 artifacts must come out byte-identical to the
@@ -118,6 +123,37 @@ def _shard_blobs_host(workdir: str, shard, idx_prefix: str = ""):
     return blobs, {"problems": 0, "device_problems": 0}
 
 
+def _intron_candidates(blobs):
+    """Candidate intron set from raw-multifasta factor rows: adjacent
+    factors of one factorization with a genomic gap define a candidate
+    (gen_end+1, gen_start-1) intron — the registry seed stage 4
+    consumes (main-intron-agreement.c:172-287).  Returns a sorted,
+    deduped (n, 2) int64 array."""
+    import numpy as np
+    cands = set()
+    for _i, six in blobs:
+        prev_ge = None
+        for ln in six[0].splitlines():
+            if ln.startswith(">"):
+                prev_ge = None
+                continue
+            if not ln or not ln[0].isdigit():
+                if ln.startswith("#"):
+                    continue
+                prev_ge = None
+                continue
+            parts = ln.split(" ", 4)
+            if len(parts) < 4:
+                continue
+            gs, ge = int(parts[2]), int(parts[3])
+            if prev_ge is not None and gs > prev_ge + 1:
+                cands.add((prev_ge + 1, gs - 1))
+            prev_ge = ge
+    if not cands:
+        return np.zeros((0, 2), dtype=np.int64)
+    return np.array(sorted(cands), dtype=np.int64)
+
+
 def child_main(argv) -> int:
     rank = int(argv[0])
     nprocs = int(argv[1])
@@ -213,13 +249,38 @@ def child_main(argv) -> int:
     gsum = jax.jit(lambda x: jnp.sum(x, axis=0))(garr)
     global_counts = [int(v) for v in np.asarray(gsum)]
 
+    # Candidate-set reduction over the cluster: every rank derives its
+    # shard's candidate intron set from its own factorizations,
+    # all-gathers the REAL sets (not just counts) over the
+    # jax.distributed cluster, and merges them with a deterministic
+    # sorted dedup — the SURVEY §2.5 registry-merge pattern executed
+    # end to end.  Every rank must arrive at the identical merged set,
+    # and the parent re-derives the same set from the merged artifacts.
+    from jax.experimental import multihost_utils as mhu
+
+    cand = _intron_candidates(blobs)
+    ncand = int(mhu.process_allgather(
+        np.array([len(cand)], dtype=np.int64)).max())
+    padded = np.full((max(ncand, 1), 2), -1, dtype=np.int64)
+    padded[:len(cand)] = cand
+    allc = np.asarray(mhu.process_allgather(padded))   # (N, maxn, 2)
+    flat = allc.reshape(-1, 2)
+    flat = flat[flat[:, 0] >= 0]
+    merged = sorted({(int(a), int(b)) for a, b in flat})
+    import hashlib as _hl
+    merged_digest = _hl.sha256(
+        np.array(merged, dtype=np.int64).tobytes()).hexdigest()
+
     with open(out_path, "wb") as f:
         pickle.dump({"rank": rank,
                      "n_global_devices": len(devs),
                      "n_local_devices": len(local),
                      "blobs": blobs,
                      "local_problems": int(counts[0, 0]),
-                     "global_counts": global_counts}, f)
+                     "global_counts": global_counts,
+                     "local_candidates": len(cand),
+                     "merged_candidates": len(merged),
+                     "merged_digest": merged_digest}, f)
     return 0
 
 
@@ -351,6 +412,7 @@ def _wait_and_merge(procs, outs, workdir, timeout, nprocs):
     merged = {}
     report = {"nprocs": nprocs, "ranks": []}
     globals_seen = set()
+    digests_seen = set()
     for out_path in outs:
         with open(out_path, "rb") as f:
             d = pickle.load(f)
@@ -361,12 +423,36 @@ def _wait_and_merge(procs, outs, workdir, timeout, nprocs):
              "local_problems": d["local_problems"],
              "global_counts": d["global_counts"],
              "n_global_devices": d["n_global_devices"],
+             "local_candidates": d.get("local_candidates"),
              "timing": d.get("timing")})
         globals_seen.add(tuple(d["global_counts"]))
+        if d.get("merged_digest") is not None:
+            digests_seen.add((d["merged_candidates"],
+                              d["merged_digest"]))
     if len(globals_seen) != 1:
         raise AssertionError(
             f"ranks disagree on the all-reduced counts: {globals_seen}")
     report["global_counts"] = list(globals_seen.pop())
+    if digests_seen:
+        # the candidate-set collective: every rank must have merged the
+        # all-gathered intron sets into the identical global set, and
+        # that set must equal the one derived from the merged artifacts
+        # (the single-process view) — a real cross-process reduction of
+        # candidate DATA, verified end to end
+        if len(digests_seen) != 1:
+            raise AssertionError(
+                f"ranks disagree on the merged candidate introns: "
+                f"{digests_seen}")
+        n_merged, digest = digests_seen.pop()
+        ordered_blobs = [(i, merged[i]) for i in sorted(merged)]
+        ref_cand = _intron_candidates(ordered_blobs)
+        import hashlib as _hl
+        ref_digest = _hl.sha256(ref_cand.tobytes()).hexdigest()
+        if (len(ref_cand), ref_digest) != (n_merged, digest):
+            raise AssertionError(
+                "collectively merged candidate introns differ from the "
+                "single-process derivation")
+        report["merged_candidate_introns"] = n_merged
 
     ordered = [merged[i] for i in sorted(merged)]
     from pintron_tpu.utils import write_text
