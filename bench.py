@@ -223,6 +223,7 @@ def measure_device_mode(workdir: str, n_ests: int):
         for fam in ("GAP", "NW", "RB"):
             os.environ[f"PINTRON_DEVICE_{fam}"] = "1"
         try:
+            run_est_fact(workdir)   # warm (forced-family compiles)
             off.reset_stats()
             dp_census_reset()
             t0 = time.perf_counter()
