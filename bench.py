@@ -106,7 +106,7 @@ def measure_device_kernel():
         N = M + K
         rng = np.random.default_rng(0)
         sets = []
-        for _ in range(4):
+        for _ in range(8):
             s1 = rng.integers(0, 4, (B, N), dtype=np.int8)
             s2 = np.take_along_axis(
                 s1, np.broadcast_to(np.arange(M), (B, M)), axis=1).copy()
@@ -122,7 +122,10 @@ def measure_device_kernel():
         cells = B * M * (2 * K + 1)
         out = {"device_kind": str(dev.device_kind),
                "device_batch": [B, M, 2 * K + 1]}
-        chain, reps = 4, 3
+        # deep chains: per-dispatch latency over the remote-attached
+        # chip swings 20-80 ms run to run; 8 chained dispatches per
+        # timing amortize it to noise
+        chain, reps = 8, 4
         for name, fn in (
                 ("pallas", lambda *a: banded_edit_distance_pallas(
                     *a, max_rows=M, k_max=K)),
@@ -133,7 +136,7 @@ def measure_device_kernel():
                 best = float("inf")
                 for _ in range(reps):
                     t0 = time.perf_counter()
-                    rs = [fn(*sets[i % 4]) for i in range(chain)]
+                    rs = [fn(*sets[i % 8]) for i in range(chain)]
                     for r in rs:
                         np.asarray(r)
                     best = min(best, (time.perf_counter() - t0) / chain)
