@@ -420,7 +420,8 @@ GAP_SELF_TUNED_OFF = False
 # the link warms.
 
 TUNE_REPROBE_EVERY = 8
-_TUNE_SKIPS = {"rb": 0, "nw": 0, "gap": 0}
+_TUNE_SKIPS = {"rb": 0, "nw": 0, "gap": 0, "kband": 0}
+KBAND_SELF_TUNED_OFF = False
 
 
 def tuned_off(family: str) -> bool:
@@ -428,7 +429,8 @@ def tuned_off(family: str) -> bool:
     TUNE_REPROBE_EVERY-th opportunity returns False so the caller runs
     that batch as a re-probe (its timing then feeds tune_report)."""
     off = {"rb": RB_SELF_TUNED_OFF, "nw": NW_SELF_TUNED_OFF,
-           "gap": GAP_SELF_TUNED_OFF}[family]
+           "gap": GAP_SELF_TUNED_OFF,
+           "kband": KBAND_SELF_TUNED_OFF}[family]
     if not off:
         return False
     _TUNE_SKIPS[family] += 1

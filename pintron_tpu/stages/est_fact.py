@@ -1143,9 +1143,19 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                                 ops_c.ctypes.data, n_c.ctypes.data,
                                 stride)
 
-            # noisy-exon collect (memo-hits the endpoints filled above)
+            # noisy-exon collect (memo-hits the endpoints filled above).
+            # Like the other families, K-band SELF-TUNES against the
+            # measured link: when the attachment makes even this family
+            # a net loss (thin tunnel + a host SIMD that finishes
+            # first), the latch skips collect+eval and the cascade
+            # computes on host — with the re-probe hysteresis, so a
+            # warmed link recovers the family.  PINTRON_DEVICE_KBAND=1
+            # forces, =0 disables.
+            kb_mode = os.environ.get("PINTRON_DEVICE_KBAND", "")
+            kb_on = kb_mode != "0" and not (
+                kb_mode != "1" and _offmod.tuned_off("kband"))
             for rec in round_recs:
-                if rec["cands"] is not None:
+                if kb_on and rec["cands"] is not None:
                     col = _collect_noisy(
                         lib, rec["cands"], gen_seq_bytes,
                         rec["est_bytes"], rec["est_orig_bytes"],
@@ -1449,6 +1459,25 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
             # cascades, so the device/service round trips pipeline
             # back-to-back while this thread works through chunk i's
             # host cascades (the native calls release the GIL).
+            def timed_kband(chunk_problems):
+                t0 = time.monotonic()
+                r = eval_kband(chunk_problems)
+                if kb_mode != "1" and r is not None and chunk_problems:
+                    cells = 0
+                    for g, e, ub in chunk_problems:
+                        if ub == 0 or g == e:
+                            continue
+                        n2, m2 = ((len(g), len(e))
+                                  if len(g) >= len(e)
+                                  else (len(e), len(g)))
+                        if n2 - m2 > ub:
+                            continue
+                        cells += (n2 * m2 if 2 * ub + 1 >= n2
+                                  else m2 * (2 * ub + 1))
+                    _offmod.tune_report(
+                        "kband", time.monotonic() - t0, cells * 0.4e-9)
+                return r
+
             try:
                 launches = []
                 prev_end = 0
@@ -1459,10 +1488,11 @@ def _run_units_device(gen: mf.EstInfo, tree: SuffixTree,
                         launches.append(None)
                     elif pool is None:
                         launches.append(
-                            ("done", eval_kband(problems[lo:hi]), lo, hi))
+                            ("done", timed_kband(problems[lo:hi]),
+                             lo, hi))
                     else:
                         launches.append(
-                            ("fut", pool.submit(eval_kband,
+                            ("fut", pool.submit(timed_kband,
                                                 problems[lo:hi]), lo, hi))
                 # Software pipeline: chunk i's gap batch is IN FLIGHT on
                 # the executor thread while chunk i-1's cascades run on
@@ -1543,6 +1573,7 @@ def _run_units_device_forked(gen: mf.EstInfo, tree: SuffixTree,
             stats["_rb_self_tuned_off"] = off.RB_SELF_TUNED_OFF
             stats["_nw_self_tuned_off"] = off.NW_SELF_TUNED_OFF
             stats["_gap_self_tuned_off"] = off.GAP_SELF_TUNED_OFF
+            stats["_kband_self_tuned_off"] = off.KBAND_SELF_TUNED_OFF
             pw.send(("ok", dev, stats, dp_census()))
         except BaseException as e:  # noqa: BLE001 - report to parent
             try:
@@ -1583,6 +1614,9 @@ def _run_units_device_forked(gen: mf.EstInfo, tree: SuffixTree,
                 elif k == "_gap_self_tuned_off":
                     if v:
                         off.GAP_SELF_TUNED_OFF = True
+                elif k == "_kband_self_tuned_off":
+                    if v:
+                        off.KBAND_SELF_TUNED_OFF = True
                 elif k != "device_runs":
                     off.STATS[k] = off.STATS.get(k, 0) + v
             for k, v in (census or {}).items():

@@ -106,6 +106,7 @@ def test_device_stage2_byte_identical():
         shutil.copy(os.path.join(gold, fn), work)
 
     off.reset_stats()
+    off.KBAND_SELF_TUNED_OFF = False   # order-independence vs the tuner
     os.environ["PINTRON_DEVICE"] = "1"
     # fresh memo: an earlier in-process test on the same locus would
     # otherwise leave nothing for the device batch to compute
@@ -221,6 +222,9 @@ def test_wedged_device_degrades_to_cpu_byte_identical(monkeypatch):
     off.reset_stats()
     monkeypatch.setattr(off, "_eval_kband_device", fake_hang)
     monkeypatch.setenv("PINTRON_DEVICE", "1")
+    # force the family: an earlier test's slow CPU-backend batch may
+    # have self-tuned kband off, which would skip the dispatch entirely
+    monkeypatch.setenv("PINTRON_DEVICE_KBAND", "1")
     monkeypatch.setenv("PINTRON_FRESH_MEMO", "1")
     monkeypatch.setenv("PINTRON_DEVICE_TIMEOUT_S", "1")
     try:
@@ -264,6 +268,8 @@ def test_device_gap_family_byte_identical():
         shutil.copy(os.path.join(gold, fn), work)
 
     off.reset_stats()
+    off.GAP_SELF_TUNED_OFF = False
+    off.KBAND_SELF_TUNED_OFF = False
     os.environ["PINTRON_DEVICE"] = "1"
     os.environ["PINTRON_DEVICE_GAP"] = "1"
     os.environ["PINTRON_FRESH_MEMO"] = "1"

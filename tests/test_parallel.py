@@ -70,7 +70,9 @@ def test_mesh_kband_real_data_invariance(golden):
         return orig(problems)
 
     off.eval_kband = capture
+    off.KBAND_SELF_TUNED_OFF = False   # order-independence vs the tuner
     os.environ["PINTRON_DEVICE"] = "1"
+    os.environ["PINTRON_DEVICE_KBAND"] = "1"
     os.environ["PINTRON_DEVICE_MESH"] = "8"
     # wipe the persistent memo: an earlier test may have already run
     # this locus, which would leave nothing to collect for the device
@@ -80,6 +82,7 @@ def test_mesh_kband_real_data_invariance(golden):
     finally:
         off.eval_kband = orig
         del os.environ["PINTRON_DEVICE"]
+        del os.environ["PINTRON_DEVICE_KBAND"]
         del os.environ["PINTRON_DEVICE_MESH"]
         del os.environ["PINTRON_FRESH_MEMO"]
 

@@ -38,6 +38,10 @@ def main():
     args = [a for a in args if a != "--device"]
     if device:
         os.environ["PINTRON_DEVICE"] = "1"
+        # force the K-band family: this sweep certifies the DEVICE
+        # path's bytes, so the link self-tuner must not quietly turn
+        # the flow into a host run on slow attachments
+        os.environ.setdefault("PINTRON_DEVICE_KBAND", "1")
         import pintron_tpu.ops.offload as offload
         mesh_n = int(os.environ.get("PINTRON_DEVICE_MESH", "0") or 0)
         if mesh_n > 1:
