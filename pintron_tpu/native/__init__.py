@@ -248,16 +248,6 @@ def _build_and_load():
             + [ctypes.c_void_p, ctypes.c_int64]    # recs_out (13/i64), cap
             + [ctypes.c_void_p, ctypes.c_int64]    # arena, arena_cap
             + [ctypes.c_void_p])                   # meta[2]: need, arena
-        lib.epm_fill_introns.restype = ctypes.c_int64
-        lib.epm_fill_introns.argtypes = (
-            [ctypes.c_char_p, ctypes.c_int64]      # gen
-            + [ctypes.c_char_p, ctypes.c_int64]    # est (masked)
-            + [ctypes.c_char_p, ctypes.c_int64]    # est original
-            + [ctypes.c_void_p, ctypes.c_int64]    # records (13/i64), n
-            + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
-            #   sm0 (i64), ops (int8), nsteps (i64)
-            + [ctypes.c_int64]                     # ops row stride
-            + [ctypes.c_int64] * 4)                # sp_*, min_intron
         lib.ri_lookaside_set.restype = ctypes.c_int64
         lib.ri_lookaside_set.argtypes = (
             [ctypes.c_void_p, ctypes.c_int64]      # records (13/i64), n

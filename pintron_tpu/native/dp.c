@@ -7714,71 +7714,6 @@ int64_t est_collect_introns(
     return r;
 }
 
-/* Pre-fill the refine-intron memo (tag 3) from device-computed gap
- * alignments: per record, `sm` holds batch_gap_traceback's start
- * matrix, `ops` its traceback op codes (0=diag, 1=up, 2=left,
- * 3=left+matrix-jump, from the END backwards) and `nsteps` their
- * count.  The decode reproduces gap_align_run's walk exactly (same
- * buffers, same jump bookkeeping), then ri_post_align — the identical
- * shift/Burset code the host runs — computes the memo value, so the
- * memoized outcome is bit-identical to the host computation. */
-int64_t epm_fill_introns(
-    const char *gen, int64_t glen,
-    const char *est, int64_t elen,
-    const char *est_orig, int64_t eolen,
-    const int64_t *recs, int64_t nrec,
-    const int64_t *sm0s, const int8_t *ops, const int64_t *nsteps,
-    int64_t stride,
-    int64_t sp_est, int64_t sp_intron, int64_t sp_gen,
-    int64_t min_intron_length) {
-
-    int64_t idx;
-    epm_seq_id = epm_begin(gen, glen, est, elen, est_orig, eolen);
-    if (epm_seq_id == 0 || !epm_tab) return -1;
-    for (idx = 0; idx < nrec; idx++) {
-        const int64_t *rec = recs + 13 * idx;
-        const int8_t *op = ops + idx * stride;
-        ri_win w;
-        int64_t n, m;
-        int64_t out7[8], out4[4] = {0, 0, 0, 0};
-        int64_t ret;
-        uint64_t mk[7] = {0, 0, 0, 0, 0, 0, 0};
-        int found;
-        epm_ent *me;
-
-        if (!ri_build_windows(gen, glen, est, elen,
-                              rec[0], rec[1], rec[2], rec[3],
-                              rec[4], rec[5], rec[6], rec[7],
-                              sp_est, sp_intron, sp_gen, &w))
-            return -3;
-        n = w.n; m = w.m;
-        if (n != rec[10] || m != rec[12]) return -2;   /* stale record */
-        if (!ri_al_reserve(n + m)) return -3;
-
-        ri_decode_ops(n, m, sm0s[idx], op, nsteps[idx], stride, out7);
-
-        ret = ri_post_align(gen, glen, est, elen,
-                            rec[0], rec[2], rec[3], rec[5], rec[6],
-                            rec[7], &w, ri_est_al, ri_gen_al, out7,
-                            min_intron_length, rec[8] ? 1 : 0, out4);
-
-        mk[0] = 3 | ((uint64_t)(rec[8] ? 1 : 0) << 8)
-                | (epm_seq_id << 16);
-        mk[1] = ((uint64_t)(uint32_t)rec[0] << 32) | (uint32_t)rec[1];
-        mk[2] = ((uint64_t)(uint32_t)rec[2] << 32) | (uint32_t)rec[3];
-        mk[3] = ((uint64_t)(uint32_t)rec[4] << 32) | (uint32_t)rec[5];
-        mk[4] = ((uint64_t)(uint32_t)rec[6] << 32) | (uint32_t)rec[7];
-        me = epm_find(mk, &found);
-        if (me) {
-            me->v[0] = ret;
-            me->v[1] = out4[0];
-            me->v[2] = out4[1];
-            me->v[3] = out4[2];
-        }
-    }
-    return 0;
-}
-
 /* ======================================================================
  * Fused per-unit driver: the whole est-fact inner loop for one work unit
  * (a fixed-strand EST, or a forward EST plus its reverse-complement

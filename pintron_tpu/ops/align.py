@@ -372,8 +372,8 @@ def batch_gap_traceback(est, elen, gen, glen, *, max_n: int, max_m: int):
     (R->G or G->L); from the END of the alignment backwards), then
     nsteps as two little-endian bytes, then the start matrix in
     {0,1,2} (L/G/R).  Decode with ``decode_gap_fused``.
-    The native decoder (``ri_decode_ops`` behind the lookaside, or
-    ``epm_fill_introns``) replays gap_align_run's walk from these ops:
+    The native decoder (``ri_decode_ops``, consulted through the
+    window-keyed lookaside) replays gap_align_run's walk from these ops:
     emits the two gapped strings right-to-left, records
     intron_end/factor_cut at the first jump when starting in R and
     intron_start at the G->L jump, prepends the border runs.

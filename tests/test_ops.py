@@ -227,7 +227,7 @@ def test_batch_gap_traceback_matches_host():
     sm0, ops, nsteps = decode_gap_fused(fused, N + M)
     for b, (e, g) in enumerate(cases):
         ref = _compute_gap_alignment_uncached(e, g)
-        # python replica of epm_fill_introns' native decode
+        # python replica of ri_decode_ops (the lookaside decoder)
         n, m = len(e), len(g)
         i, j, sm = n, m, int(sm0[b])
         cap = n + m
