@@ -2038,7 +2038,23 @@ def run_est_fact(workdir: str = ".", config: Optional[Config] = None,
     # measure fresh work instead of cache hits.
     fresh = bool(os.environ.get("PINTRON_FRESH_MEMO"))
     results = None
-    if os.environ.get("PINTRON_DEVICE"):
+    device_on = bool(os.environ.get("PINTRON_DEVICE"))
+    if device_on:
+        # When EVERY family has self-tuned off (and none is forced),
+        # the device flow would only pay its own plumbing: take the
+        # plain pool path instead.  tuned_off's re-probe slots still
+        # route every Nth run back through the device flow, so a link
+        # that warms up recovers the offloads at run granularity.
+        import pintron_tpu.ops.offload as _offmod
+        forced = any(os.environ.get(f"PINTRON_DEVICE_{f}") == "1"
+                     for f in ("KBAND", "RB", "NW", "GAP"))
+        if (not forced and not os.environ.get("PINTRON_DEVICE_MESH")
+                and _offmod.tuned_off("kband")
+                and _offmod.tuned_off("rb")
+                and _offmod.tuned_off("nw")
+                and _offmod.tuned_off("gap")):
+            device_on = False
+    if device_on:
         # TPU-offload path: single process, K-band cascade checks
         # batched across the whole EST set on the device (the fork pool
         # is the CPU-parallel alternative; JAX must not cross forks).
