@@ -223,7 +223,7 @@ def measure_device_mode(workdir: str, n_ests: int):
         svc = _start_service()
         os.environ["PINTRON_DEVICE"] = "1"
         os.environ["PINTRON_FRESH_MEMO"] = "1"
-        for fam in ("GAP", "NW", "RB"):
+        for fam in ("KBAND", "GAP", "NW", "RB"):
             os.environ[f"PINTRON_DEVICE_{fam}"] = "1"
         try:
             run_est_fact(workdir)   # warm (forced-family compiles)
@@ -242,7 +242,7 @@ def measure_device_mode(workdir: str, n_ests: int):
             out["device_mode_forced_ests_per_s"] = round(n_ests / dt, 2)
         finally:
             _stop_service(svc)
-            for fam in ("GAP", "NW", "RB"):
+            for fam in ("KBAND", "GAP", "NW", "RB"):
                 os.environ.pop(f"PINTRON_DEVICE_{fam}", None)
             del os.environ["PINTRON_DEVICE"]
             del os.environ["PINTRON_FRESH_MEMO"]

@@ -317,13 +317,22 @@ class SuffixTree:
         cc = np.asarray(fl["cchar"])[:nch]
         bbuf[cap:cap + nch] = cc
         li = np.asarray(self.leaf_idx, dtype=np.int64)
-        np.save(prefix + ".ibuf.npy", ibuf)
-        np.save(prefix + ".bbuf.npy", bbuf)
-        np.save(prefix + ".leafidx.npy", li)
-        np.save(prefix + ".text.npy",
-                np.frombuffer(self.text, dtype=np.uint8))
-        np.save(prefix + ".meta.npy",
-                np.array([n, nn, nch, nocc], dtype=np.int64))
+        # atomic per-file publish (write-temp + rename): concurrent
+        # savers of the same content-addressed prefix produce identical
+        # bytes, so last-rename-wins can never tear a reader's mmap —
+        # an in-place np.save would truncate files an attached worker
+        # is mapping
+        import os as _os
+        for suffix, arr in ((".ibuf.npy", ibuf), (".bbuf.npy", bbuf),
+                            (".leafidx.npy", li),
+                            (".text.npy",
+                             np.frombuffer(self.text, dtype=np.uint8)),
+                            (".meta.npy",
+                             np.array([n, nn, nch, nocc],
+                                      dtype=np.int64))):
+            tmp = f"{prefix}.tmp{_os.getpid()}{suffix}"
+            np.save(tmp, arr)   # np.save keeps the .npy-suffixed name
+            _os.replace(tmp, prefix + suffix)
 
     @classmethod
     def load(cls, prefix: str) -> "SuffixTree":

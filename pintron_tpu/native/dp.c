@@ -3778,7 +3778,8 @@ static int ri_build_windows(
  * re-placement via shifts/Burset and the accept/reject rules
  * (refine-intron.c:47-265 below the DP).  est_al/gen_al/out7 come
  * either from gap_align_run (host) or from the device traceback decode
- * (epm_fill_introns) — byte-identical by construction. */
+ * (ri_decode_ops behind the lookaside) — byte-identical by
+ * construction. */
 static int64_t ri_post_align(
     const char *gen, int64_t gen_len, const char *est, int64_t est_len,
     int64_t d_es, int64_t d_gs, int64_t d_ge,
@@ -7038,9 +7039,11 @@ int64_t epm_fill_rb(
 /* ---- intron (gap-alignment) collect sink --------------------------------
  * When active, est_process_impl replays the refine-intron chains
  * against the tag-3 memo and emits the first un-memoized gap-alignment
- * problem of each chain instead of solving it (the device evaluates the
- * batch; epm_fill_introns decodes + memoizes; rounds repeat until no
- * problems remain).  Per-process like every other scratch here.
+ * problem of each chain instead of solving it; the device evaluates
+ * ONE speculative batch and the results install into the window-keyed
+ * lookaside (ri_lookaside_set) that refine_intron_core probes lazily
+ * during the real cascade.  Per-process like every other scratch
+ * here.
  * Records are 13 int64s: {d_es, d_ee, d_gs, d_ge, a_es, a_ee, a_gs,
  * a_ge, first, est_arena_off, n, gen_arena_off, m}; window bytes live
  * in the arena. */
@@ -7310,15 +7313,17 @@ static int64_t est_process_impl(
 
     /* INTRON COLLECT MODE (ri_sink.active): replay each factorization's
      * refine-intron CHAIN against the tag-3 memo.  Memo hits apply
-     * ep_refine_intron's mutation rules and the chain proceeds; the
-     * first miss emits one gap-alignment problem (coords + the two DP
-     * windows, byte-identical to refine_intron_core's construction) and
-     * stops that chain — the chain is sequential because each
-     * refinement rewrites the coordinates (and thus the memo key and
-     * windows) of the NEXT pair's donor.  The device flow alternates
-     * collect rounds with epm_fill_introns until no problems remain;
-     * problems too large for the device batch are solved host-side HERE
-     * so every round makes progress. */
+     * ep_refine_intron's mutation rules and the chain stays exact; at
+     * the first miss the chain turns SPECULATIVE: every remaining
+     * pair's windows (byte-identical to refine_intron_core's
+     * construction, built from the un-mutated coordinates) are emitted
+     * for one device batch, deduped by window content.  Later pairs'
+     * windows are coordinate-mutation independent except for
+     * sub-window-length factors, whose stale windows simply miss the
+     * lookaside at cascade time (host computes them); oversized
+     * problems are not emitted for the same reason.  The device flow
+     * runs ONE collect pass; the cascade consumes the results lazily
+     * through the window-keyed lookaside. */
     if (ri_sink.active) {
         int64_t n_out = 0, need = 0, arena_need = 0;
         /* window-content dedup across pairs/candidates (candidates of

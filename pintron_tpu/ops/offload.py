@@ -202,6 +202,16 @@ def device_wedged() -> bool:
 _SERVICE_CONN = None
 _SERVICE_LOCK = None
 
+# Guards the FIRST connection: the kband batch (executor thread) and an
+# rb/gap batch (main thread) can race into _service_conn while
+# _SERVICE_CONN is None — without this lock both would dial, or one
+# could observe the connection before its per-call lock exists, and two
+# threads interleaving send/recv on one Connection corrupt the pickle
+# stream (wedging the worker onto the host path for its lifetime).
+import threading as _threading
+
+_SERVICE_INIT_LOCK = _threading.Lock()
+
 
 def _service_conn():
     global _SERVICE_CONN, _SERVICE_LOCK
@@ -209,27 +219,33 @@ def _service_conn():
     if not addr:
         return None
     if _SERVICE_CONN is None:
-        import threading
-        import time as _t
-        from multiprocessing.connection import Client
+        with _SERVICE_INIT_LOCK:
+            if _SERVICE_CONN is not None:
+                return _SERVICE_CONN
+            import time as _t
+            from multiprocessing.connection import Client
 
-        from pintron_tpu.devservice import AUTHKEY
-        # PINTRON_SERVICE_WAIT_S: tolerate a service that is still
-        # booting (multihost spawns it concurrently with the workers);
-        # a missing socket after the wait raises -> device_call wedges
-        # this worker onto the byte-identical host path
-        wait = float(os.environ.get("PINTRON_SERVICE_WAIT_S", "0"))
-        deadline = _t.monotonic() + wait
-        while True:
-            try:
-                _SERVICE_CONN = Client(addr, family="AF_UNIX",
-                                       authkey=AUTHKEY)
-                break
-            except (FileNotFoundError, ConnectionRefusedError):
-                if _t.monotonic() >= deadline:
-                    raise
-                _t.sleep(0.02)
-        _SERVICE_LOCK = threading.Lock()
+            from pintron_tpu.devservice import AUTHKEY
+            # PINTRON_SERVICE_WAIT_S: tolerate a service that is still
+            # booting (multihost spawns it concurrently with the
+            # workers); a missing socket after the wait raises ->
+            # device_call wedges this worker onto the byte-identical
+            # host path
+            wait = float(os.environ.get("PINTRON_SERVICE_WAIT_S", "0"))
+            deadline = _t.monotonic() + wait
+            while True:
+                try:
+                    conn = Client(addr, family="AF_UNIX",
+                                  authkey=AUTHKEY)
+                    break
+                except (FileNotFoundError, ConnectionRefusedError):
+                    if _t.monotonic() >= deadline:
+                        raise
+                    _t.sleep(0.02)
+            # publish the lock BEFORE the connection: a reader that
+            # sees the connection must also see its lock
+            _SERVICE_LOCK = _threading.Lock()
+            _SERVICE_CONN = conn
     return _SERVICE_CONN
 
 
@@ -421,21 +437,32 @@ GAP_SELF_TUNED_OFF = False
 
 TUNE_REPROBE_EVERY = 8
 _TUNE_SKIPS = {"rb": 0, "nw": 0, "gap": 0, "kband": 0}
+# A probe stays ARMED until a measurement lands: tuned_off may be
+# consulted several times on the way to one batch (the run-level
+# all-latched bypass, then the per-family gate inside the device flow)
+# and the armed probe must pass through every gate, not be consumed by
+# the first one.
+_PROBE_PENDING = {"rb": False, "nw": False, "gap": False,
+                  "kband": False}
 KBAND_SELF_TUNED_OFF = False
 
 
 def tuned_off(family: str) -> bool:
     """Latched-off check WITH hysteresis: while latched, every
-    TUNE_REPROBE_EVERY-th opportunity returns False so the caller runs
-    that batch as a re-probe (its timing then feeds tune_report)."""
+    TUNE_REPROBE_EVERY-th opportunity ARMS a re-probe; an armed family
+    keeps answering False (run the batch) until tune_report records
+    the probe's timing."""
     off = {"rb": RB_SELF_TUNED_OFF, "nw": NW_SELF_TUNED_OFF,
            "gap": GAP_SELF_TUNED_OFF,
            "kband": KBAND_SELF_TUNED_OFF}[family]
     if not off:
         return False
+    if _PROBE_PENDING[family]:
+        return False
     _TUNE_SKIPS[family] += 1
     if _TUNE_SKIPS[family] >= TUNE_REPROBE_EVERY:
         _TUNE_SKIPS[family] = 0
+        _PROBE_PENDING[family] = True
         return False
     return True
 
@@ -445,6 +472,7 @@ def tune_report(family: str, elapsed: float, host_est: float) -> None:
     batch cost at least doubled the host estimate, CLEAR the latch when
     the batch beat 1.2x the estimate (hysteresis band between the two
     thresholds: keep the current state, no flapping)."""
+    _PROBE_PENDING[family] = False
     key = f"{family.upper()}_SELF_TUNED_OFF"
     if elapsed > max(2 * host_est, 0.004):
         globals()[key] = True
@@ -460,9 +488,11 @@ def eval_gap(problems: List[Tuple[bytes, bytes]]):
     (est_window, gen_window) pair from est_collect_introns; returns
     (sm, ops, nsteps) — per-problem start matrix (int64), traceback op
     codes (int8, from the END backwards, stride = ops.shape[1]) and
-    their counts — decoded natively by epm_fill_introns into memo
-    values bit-identical to the host gap_align_run + ri_post_align.
-    None when the device is wedged/unavailable/oversized."""
+    their counts — installed into the window-keyed lookaside
+    (ri_lookaside_set) and decoded natively when refine_intron_core's
+    lazy probe hits, bit-identical to the host gap_align_run +
+    ri_post_align.  None when the device is wedged/unavailable/
+    oversized."""
     return device_call(_eval_gap_device, problems,
                        what="gap-align device batch")
 

@@ -36,9 +36,6 @@ def _orf_case(tmp_path, exon_seqs, name="cc"):
 
     intron = "GT" + "C" * 96 + "AG"
     gen = intron.join(exon_seqs)   # exon1 intron exon2 ...
-    gen = exon_seqs[0] + "".join(
-        intron + e for e in exon_seqs[1:]) if len(exon_seqs) > 1 \
-        else exon_seqs[0]
     work = tmp_path / name
     work.mkdir()
     (work / "genomic.txt").write_text(

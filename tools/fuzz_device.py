@@ -5,7 +5,7 @@ byte-identical to the plain host path on random spliced loci — off the
 golden distribution, where small factors make refine-intron mutations
 shift later pairs' windows and exercise the lookaside MISS fallbacks.
 
-Usage: python tools/fuzz_device.py [n_seeds]
+Usage: python tools/fuzz_device.py [n_seeds] [seed_base]
 """
 
 import os
@@ -63,9 +63,10 @@ def run_case(seed: int, gen_len: int, n_ests: int) -> str:
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     n_seeds = int(argv[0]) if argv else 15
+    seed_base = int(argv[1]) if len(argv) > 1 else 4000
     fails = 0
     for k in range(n_seeds):
-        seed = 4000 + k
+        seed = seed_base + k
         gen_len = (20_000, 50_000, 100_000)[k % 3]
         n_ests = (30, 60, 120)[(k // 3) % 3]
         detail = run_case(seed, gen_len, n_ests)

@@ -27,7 +27,7 @@ stages/ccds.py (boolean-index and head-removal list bugs,
 feof double-count, "(null)" printf) are exactly what this fuzz
 confirms or falsifies off the golden distribution.
 
-Usage: python tools/fuzz_downstream.py [n_seeds]
+Usage: python tools/fuzz_downstream.py [n_seeds] [seed_base]
 """
 
 import os
@@ -142,9 +142,10 @@ def run_one(seed: int, gen_len: int, n_ests: int, keep: bool = False):
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     n_seeds = int(argv[0]) if argv else 30
+    seed_base = int(argv[1]) if len(argv) > 1 else 1000
     fails = 0
     for k in range(n_seeds):
-        seed = 1000 + k
+        seed = seed_base + k
         # vary the locus scale so short/medium/long intron regimes and
         # transcript-graph sizes are all exercised
         gen_len = (30_000, 60_000, 120_000)[k % 3]
