@@ -1619,6 +1619,12 @@ def _run_units_device_forked(gen: mf.EstInfo, tree: SuffixTree,
                         off.KBAND_SELF_TUNED_OFF = True
                 elif k != "device_runs":
                     off.STATS[k] = off.STATS.get(k, 0) + v
+            # an armed re-probe was inherited and MEASURED by the
+            # forked children (their gates run armed families), so the
+            # parent's pending flags are satisfied by this run — left
+            # set, they would turn every later run into a probe
+            for fam in off._PROBE_PENDING:
+                off._PROBE_PENDING[fam] = False
             for k, v in (census or {}).items():
                 off.HOST_CENSUS[k] = off.HOST_CENSUS.get(k, 0) + v
         else:
